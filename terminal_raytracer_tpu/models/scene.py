@@ -1,0 +1,269 @@
+"""Scene schema, JSON loader, and the two scene representations.
+
+The JSON schema is identical to the reference's serde structs
+(reference: src/lib.rs:52-98): global ``width / height / samples_per_pixel /
+max_depth / frames_to_accumulate``, ``camera{fov_degrees, char_aspect_ratio}``,
+and arrays ``spheres[{center, radius, color, emission, reflectivity}]``,
+``planes[{point, normal, ...}]``, ``triangles[{v0, v1, v2, ...}]`` — with
+``triangles`` optional (lib.rs:62-63). All scalars are parsed as f64 and
+narrowed to f32 (lib.rs:73-98, vec3.rs:15-17); we replicate the narrowing so
+baked constants match the reference bit-for-bit.
+
+Two representations, both SoA — never the reference's 180-byte tagged-union
+AoS record (src/primitive.rs:7-33), which exists only for WGSL struct ABI:
+
+* :class:`Scene` — a frozen, hashable pytree-of-Python-floats. Because scene
+  geometry is static for the process lifetime (reference uploads it once,
+  lib.rs:301-305, and never mutates it), the renderer *bakes* primitives into
+  the compiled kernel as constants: XLA folds them into the instruction
+  stream and the hot loop does zero geometry memory traffic. ``Scene`` is a
+  valid ``jax.jit`` static argument.
+* :func:`Scene.to_arrays` — packed ``float32`` SoA device arrays (centers
+  ``[N,3]``, radii ``[N]``, ...), for build-time tooling (uniform grid,
+  dynamic-scene variants) that wants data, not constants.
+
+Primitive iteration order is preserved exactly as the reference flattens it
+— spheres, then planes, then triangles (lib.rs:120-154) — because closest-hit
+resolves ties by "strictly closer wins" (shader.wgsl:279), making order
+observable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+_SCENES_DIR = Path(__file__).parent / "scenes"
+DEFAULT_SCENE = "Cornell_Box"
+
+# Primitive type tags, matching primitive.rs:7.
+SPHERE, PLANE, TRIANGLE = 0, 1, 2
+
+# A primitive is emissive (a light) iff emission.x+y+z > 0.001
+# (shader.wgsl:346-347).
+LIGHT_POWER_EPS = 1e-3
+
+
+def _f32(v: float) -> float:
+    """f64 -> f32 narrowing as in vec3.rs:15-17 (then back to Python float)."""
+    return float(np.float32(v))
+
+
+def _f32v(v) -> Tuple[float, float, float]:
+    return (_f32(v[0]), _f32(v[1]), _f32(v[2]))
+
+
+class Material(NamedTuple):
+    color: Tuple[float, float, float]
+    emission: Tuple[float, float, float]
+    reflectivity: float
+
+    @property
+    def is_light(self) -> bool:
+        return sum(self.emission) > LIGHT_POWER_EPS
+
+
+class Sphere(NamedTuple):
+    center: Tuple[float, float, float]
+    radius: float
+    material: Material
+
+
+class Plane(NamedTuple):
+    point: Tuple[float, float, float]
+    normal: Tuple[float, float, float]
+    material: Material
+
+
+class Triangle(NamedTuple):
+    v0: Tuple[float, float, float]
+    v1: Tuple[float, float, float]
+    v2: Tuple[float, float, float]
+    material: Material
+
+
+@dataclasses.dataclass(frozen=True)
+class Camera_Config:
+    fov_degrees: float
+    char_aspect_ratio: float
+
+
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    """Immutable, hashable scene — safe to pass as a jit static argument."""
+
+    width: int
+    height: int
+    samples_per_pixel: int
+    max_depth: int
+    frames_to_accumulate: int
+    camera: Camera_Config
+    spheres: Tuple[Sphere, ...]
+    planes: Tuple[Plane, ...]
+    triangles: Tuple[Triangle, ...]
+
+    # ---- derived views ----------------------------------------------------
+
+    @property
+    def primitives(self):
+        """(type_tag, primitive) in the reference's flatten order
+        (lib.rs:120-154): spheres, planes, triangles."""
+        out = [(SPHERE, s) for s in self.spheres]
+        out += [(PLANE, p) for p in self.planes]
+        out += [(TRIANGLE, t) for t in self.triangles]
+        return tuple(out)
+
+    @property
+    def lights(self):
+        """Emissive primitives in primitive order. Planes are never sampled
+        as lights (shader.wgsl:390-391) but *do* occupy a slot in the
+        reference's NEE loop; excluding them here only skips a `continue`."""
+        return tuple(
+            (tag, p)
+            for tag, p in self.primitives
+            if p.material.is_light and tag != PLANE
+        )
+
+    @property
+    def primitive_count(self) -> int:
+        return len(self.spheres) + len(self.planes) + len(self.triangles)
+
+    @property
+    def aspect_ratio(self) -> float:
+        return self.width / self.height
+
+    @property
+    def fov_rad(self) -> float:
+        return float(np.radians(np.float32(self.camera.fov_degrees)))
+
+    def with_overrides(
+        self,
+        width: Optional[int] = None,
+        height: Optional[int] = None,
+        samples_per_pixel: Optional[int] = None,
+        max_depth: Optional[int] = None,
+        frames_to_accumulate: Optional[int] = None,
+    ) -> "Scene":
+        """Benchmark / terminal-clamp overrides (lib.rs:113-115)."""
+        kw = {}
+        if width is not None:
+            kw["width"] = int(width)
+        if height is not None:
+            kw["height"] = int(height)
+        if samples_per_pixel is not None:
+            kw["samples_per_pixel"] = int(samples_per_pixel)
+        if max_depth is not None:
+            kw["max_depth"] = int(max_depth)
+        if frames_to_accumulate is not None:
+            kw["frames_to_accumulate"] = int(frames_to_accumulate)
+        return dataclasses.replace(self, **kw)
+
+    def clamp_to_terminal(self, term_width: int, term_height: int) -> "Scene":
+        """Resolution clamp: width <= terminal width, height <= terminal
+        height - 2 (two status rows), as in lib.rs:113-115."""
+        return self.with_overrides(
+            width=min(self.width, int(term_width)),
+            height=min(self.height, int(term_height) - 2),
+        )
+
+    # ---- SoA array export --------------------------------------------------
+
+    def to_arrays(self) -> Dict[str, np.ndarray]:
+        """Packed float32 SoA arrays (for grid builds / dynamic variants)."""
+
+        def mat_cols(prims):
+            return (
+                np.array([p.material.color for p in prims], np.float32).reshape(-1, 3),
+                np.array([p.material.emission for p in prims], np.float32).reshape(-1, 3),
+                np.array([p.material.reflectivity for p in prims], np.float32),
+            )
+
+        s_col, s_emi, s_ref = mat_cols(self.spheres)
+        p_col, p_emi, p_ref = mat_cols(self.planes)
+        t_col, t_emi, t_ref = mat_cols(self.triangles)
+        return {
+            "sphere_center": np.array([s.center for s in self.spheres], np.float32).reshape(-1, 3),
+            "sphere_radius": np.array([s.radius for s in self.spheres], np.float32),
+            "sphere_color": s_col, "sphere_emission": s_emi, "sphere_reflectivity": s_ref,
+            "plane_point": np.array([p.point for p in self.planes], np.float32).reshape(-1, 3),
+            "plane_normal": np.array([p.normal for p in self.planes], np.float32).reshape(-1, 3),
+            "plane_color": p_col, "plane_emission": p_emi, "plane_reflectivity": p_ref,
+            "triangle_v0": np.array([t.v0 for t in self.triangles], np.float32).reshape(-1, 3),
+            "triangle_v1": np.array([t.v1 for t in self.triangles], np.float32).reshape(-1, 3),
+            "triangle_v2": np.array([t.v2 for t in self.triangles], np.float32).reshape(-1, 3),
+            "triangle_color": t_col, "triangle_emission": t_emi, "triangle_reflectivity": t_ref,
+        }
+
+
+# ---- JSON loading ----------------------------------------------------------
+
+
+def _material(d: dict) -> Material:
+    return Material(
+        color=_f32v(d["color"]),
+        emission=_f32v(d["emission"]),
+        reflectivity=_f32(d["reflectivity"]),
+    )
+
+
+def scene_from_dict(cfg: dict) -> Scene:
+    cam = cfg["camera"]
+    return Scene(
+        width=int(cfg["width"]),
+        height=int(cfg["height"]),
+        samples_per_pixel=int(cfg["samples_per_pixel"]),
+        max_depth=int(cfg["max_depth"]),
+        frames_to_accumulate=int(cfg["frames_to_accumulate"]),
+        camera=Camera_Config(
+            fov_degrees=_f32(cam["fov_degrees"]),
+            char_aspect_ratio=_f32(cam["char_aspect_ratio"]),
+        ),
+        spheres=tuple(
+            Sphere(_f32v(s["center"]), _f32(s["radius"]), _material(s))
+            for s in cfg.get("spheres", [])
+        ),
+        planes=tuple(
+            Plane(_f32v(p["point"]), _f32v(p["normal"]), _material(p))
+            for p in cfg.get("planes", [])
+        ),
+        # `triangles` is optional, like #[serde(default)] at lib.rs:62-63.
+        triangles=tuple(
+            Triangle(_f32v(t["v0"]), _f32v(t["v1"]), _f32v(t["v2"]), _material(t))
+            for t in cfg.get("triangles", [])
+        ),
+    )
+
+
+def load_scene(path_or_name: Optional[str] = None) -> Scene:
+    """Load a scene JSON from a filesystem path, or a packaged scene by name.
+
+    With no argument, loads the packaged Cornell Box — the reference embeds
+    the same default scene in its binary (lib.rs:104-108).
+    """
+    if path_or_name is None:
+        path = _SCENES_DIR / f"{DEFAULT_SCENE}.json"
+    else:
+        p = Path(path_or_name)
+        if p.exists():
+            path = p
+        else:
+            candidate = _SCENES_DIR / f"{path_or_name}.json"
+            if not candidate.exists():
+                raise FileNotFoundError(
+                    f"scene not found: {path_or_name!r} (no such file, and no "
+                    f"packaged scene named that; packaged: {list_scenes()})"
+                )
+            path = candidate
+    try:
+        cfg = json.loads(path.read_text())
+    except json.JSONDecodeError as e:
+        raise ValueError(f"malformed scene JSON at {path}: {e}") from e
+    return scene_from_dict(cfg)
+
+
+def list_scenes():
+    return sorted(p.stem for p in _SCENES_DIR.glob("*.json"))

@@ -1,0 +1,215 @@
+"""Ray-primitive intersections and scene traversal, vectorized over lanes.
+
+Intersection semantics are specified by the reference kernel
+(reference: src/shader.wgsl:155-294) and replicated exactly, including the
+epsilon constants and strict/non-strict bound checks that are visible in
+output images:
+
+* sphere — normalized-direction quadratic, root valid iff strictly inside
+  (t_min, t_max); nearer root preferred (shader.wgsl:155-175). The
+  reference's squared-distance early-reject (shader.wgsl:258-272) is a
+  scalar-divergence optimization that never changes which rays hit (each of
+  its three reject conditions implies the quadratic rejects too); in a
+  vectorized kernel it saves nothing, so it is intentionally absent.
+* plane — parallel iff |denom| < 1e-4; t valid iff t_min <= t <= t_max
+  (non-strict, unlike sphere/triangle — shader.wgsl:178-189).
+* triangle — Möller–Trumbore with parallel epsilon 1e-5 and strict
+  t bounds (shader.wgsl:192-223).
+
+Scene traversal is an *unrolled* closest-hit sweep over the static primitive
+list in the reference's flatten order (spheres, planes, triangles —
+src/lib.rs:120-154) with "strictly closer wins" (shader.wgsl:279), so tie
+resolution matches. Primitive data are Python floats baked at trace time:
+XLA folds them into the instruction stream — zero geometry memory traffic,
+the TPU answer to the reference's VMEM-resident storage buffer. Shipped
+scenes are <= ~30 primitives, so the unroll is small; larger scenes would
+switch to the SoA array path (models/scene.py `to_arrays`).
+
+Normals (shader.wgsl:234-245): spheres get (p - center)/radius normalized at
+runtime; plane and triangle normals are compile-time f32 constants.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import scene as scene_mod
+from . import vecmath as vm
+from .vecmath import V3
+
+# Epsilons, bit-matching the reference.
+PLANE_PARALLEL_EPS = 1e-4  # shader.wgsl:180
+TRI_PARALLEL_EPS = 1e-5  # shader.wgsl:198
+RAY_EPS = 1e-3  # t_min / shadow offset / scatter offset (shader.wgsl:399,445,482)
+T_FAR = 1e10  # shader.wgsl:445
+
+MISS = -1.0
+
+
+def intersect_sphere(o: V3, d: V3, center: V3, radius, t_min, t_max):
+    """Returns hit distance, or -1.0 for a miss. shader.wgsl:155-175.
+
+    Assumes |d| == 1 (the quadratic's `a` term is 1), as the reference does.
+    """
+    oc = center - o
+    h = vm.dot(d, oc)
+    c = vm.dot(oc, oc) - radius * radius
+    disc = h * h - c
+    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+    near = h - sqrtd
+    far = h + sqrtd
+    near_ok = (near > t_min) & (near < t_max)
+    far_ok = (far > t_min) & (far < t_max)
+    root = jnp.where(near_ok, near, far)
+    hit = (disc >= 0.0) & (near_ok | far_ok)
+    return jnp.where(hit, root, MISS)
+
+
+def intersect_plane(o: V3, d: V3, point: V3, normal: V3, t_min, t_max):
+    """shader.wgsl:178-189. Note the non-strict t bounds."""
+    denom = vm.dot(normal, d)
+    parallel = jnp.abs(denom) < PLANE_PARALLEL_EPS
+    t = vm.dot(point - o, normal) / jnp.where(parallel, 1.0, denom)
+    hit = (~parallel) & (t >= t_min) & (t <= t_max)
+    return jnp.where(hit, t, MISS)
+
+
+def intersect_triangle(o: V3, d: V3, v0: V3, edge1: V3, edge2: V3, t_min, t_max):
+    """Möller-Trumbore, shader.wgsl:192-223. Takes precomputed edges."""
+    h = vm.cross(d, edge2)
+    a = vm.dot(edge1, h)
+    parallel = (a > -TRI_PARALLEL_EPS) & (a < TRI_PARALLEL_EPS)
+    f = 1.0 / jnp.where(parallel, 1.0, a)
+    s = o - v0
+    u = f * vm.dot(s, h)
+    q = vm.cross(s, edge1)
+    v = f * vm.dot(d, q)
+    t = f * vm.dot(edge2, q)
+    hit = (
+        (~parallel)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > t_min)
+        & (t < t_max)
+    )
+    return jnp.where(hit, t, MISS)
+
+
+class Hit(NamedTuple):
+    """Per-lane closest-hit record (shader.wgsl:39-47). `found` replaces the
+    reference's `t < 0` sentinel check; `normal` is already front-face
+    flipped (shader.wgsl:284-287)."""
+
+    found: jnp.ndarray  # bool lanes
+    t: jnp.ndarray
+    p: V3
+    normal: V3
+    color: V3
+    emission: V3
+    reflectivity: jnp.ndarray
+
+
+def _c3(v) -> V3:
+    """A compile-time constant 3-vector from Python floats."""
+    return V3(float(v[0]), float(v[1]), float(v[2]))
+
+
+def _tri_edges_f32(tri: scene_mod.Triangle):
+    """Precompute triangle edges / geometric normal / area in f32, matching
+    the shader's runtime f32 arithmetic (shader.wgsl:193-194, 386-389)."""
+    v0 = np.asarray(tri.v0, np.float32)
+    e1 = np.asarray(tri.v1, np.float32) - v0
+    e2 = np.asarray(tri.v2, np.float32) - v0
+    cr = np.cross(e1, e2).astype(np.float32)
+    cr_len = np.float32(np.sqrt(np.float32(np.dot(cr, cr))))
+    normal = (cr / cr_len).astype(np.float32)
+    area = np.float32(0.5) * cr_len
+    return e1, e2, normal, float(area)
+
+
+class ScenePrims:
+    """Compiled-constant traversal functions for one static scene."""
+
+    def __init__(self, scene: scene_mod.Scene):
+        self.scene = scene
+        # Per primitive, in reference flatten order:
+        #   (intersect(o, d, t_min, t_max) -> t, normal(p) -> V3, material)
+        self._prims: List[Tuple[Callable, Callable, scene_mod.Material]] = []
+        for tag, prim in scene.primitives:
+            if tag == scene_mod.SPHERE:
+                c, r = _c3(prim.center), float(prim.radius)
+                inv_r = float(np.float32(1.0) / np.float32(prim.radius))
+
+                def isect(o, d, t_min, t_max, c=c, r=r):
+                    return intersect_sphere(o, d, c, r, t_min, t_max)
+
+                def norm(p, c=c, inv_r=inv_r):
+                    # (p - center)/radius, then normalize (shader.wgsl:236)
+                    return vm.normalize((p - c) * inv_r)
+
+            elif tag == scene_mod.PLANE:
+                pt, n = _c3(prim.point), np.asarray(prim.normal, np.float32)
+                n_unit = _c3(n / np.sqrt(np.dot(n, n)))
+                n_raw = _c3(prim.normal)
+
+                def isect(o, d, t_min, t_max, pt=pt, n_raw=n_raw):
+                    return intersect_plane(o, d, pt, n_raw, t_min, t_max)
+
+                def norm(p, n_unit=n_unit):
+                    return n_unit
+
+            else:  # TRIANGLE
+                e1, e2, n, _ = _tri_edges_f32(prim)
+                v0, e1c, e2c, n_unit = _c3(prim.v0), _c3(e1), _c3(e2), _c3(n)
+
+                def isect(o, d, t_min, t_max, v0=v0, e1c=e1c, e2c=e2c):
+                    return intersect_triangle(o, d, v0, e1c, e2c, t_min, t_max)
+
+                def norm(p, n_unit=n_unit):
+                    return n_unit
+
+            self._prims.append((isect, norm, prim.material))
+
+    def closest_hit(self, o: V3, d: V3, t_min=RAY_EPS, t_max=T_FAR) -> Hit:
+        """Brute-force linear closest-hit sweep (shader.wgsl:248-294)."""
+        lanes = o.x
+        closest = jnp.zeros_like(lanes) + t_max
+        found = jnp.zeros_like(lanes, dtype=bool)
+        normal = vm.splat(jnp.zeros_like(lanes))
+        col = vm.splat(jnp.zeros_like(lanes))
+        emi = vm.splat(jnp.zeros_like(lanes))
+        refl = jnp.zeros_like(lanes)
+
+        for isect, norm_fn, mat in self._prims:
+            t = isect(o, d, t_min, closest)
+            better = (t > 0.0) & (t < closest)  # shader.wgsl:279
+            closest = jnp.where(better, t, closest)
+            p = o + d * t
+            n = norm_fn(p)
+            # Constant normals / materials broadcast against the lane-shaped
+            # mask inside where; XLA folds the splat.
+            normal = vm.where(better, n, normal)
+            col = vm.where(better, V3(*mat.color), col)
+            emi = vm.where(better, V3(*mat.emission), emi)
+            refl = jnp.where(better, mat.reflectivity, refl)
+            found = found | better
+
+        # Front-face flip (shader.wgsl:284-287).
+        front = vm.dot(d, normal) < 0.0
+        normal = vm.where(front, normal, -normal)
+        p = o + d * closest
+        return Hit(found, closest, p, normal, col, emi, refl)
+
+    def occluded(self, o: V3, d: V3, t_min, t_max) -> jnp.ndarray:
+        """Any-hit visibility test for shadow rays (shader.wgsl:399-402:
+        a full hit_scene whose only consumed output is `hit.t < 0`)."""
+        blocked = jnp.zeros_like(o.x, dtype=bool)
+        for isect, _, _ in self._prims:
+            t = isect(o, d, t_min, t_max)
+            blocked = blocked | ((t > 0.0) & (t < t_max))
+        return blocked

@@ -1,0 +1,77 @@
+"""Monte-Carlo direction and area sampling, vectorized over lanes.
+
+Replicates the reference's samplers bit-for-bit in structure and constants:
+cosine-weighted hemisphere with ONB-from-normal (reference:
+src/shader.wgsl:312-335), uniform sphere-surface sampling and uniform
+triangle-area sampling for NEE light points (shader.wgsl:352-389).
+
+Per-lane divergent branches (the ONB axis pick) become `where` selects.
+RNG draws happen in the same order as the reference so distributions match.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from . import rng as prng
+from . import vecmath as vm
+from .vecmath import V3
+
+TWO_PI = 2.0 * 3.14159265359  # the shader's literal pi (shader.wgsl:318)
+PI = 3.14159265359
+
+
+def orthonormal_basis(w: V3) -> Tuple[V3, V3]:
+    """(u, v) completing normalized w, shader.wgsl:324-332: u is built from
+    the y-axis when |w.x| > 0.1, else from the x-axis."""
+    use_y = jnp.abs(w.x) > 0.1
+    # cross((0,1,0), w) = (w.z, 0, -w.x); cross((1,0,0), w) = (0, -w.z, w.y)
+    u_y = vm.normalize(V3(w.z, jnp.zeros_like(w.z), -w.x))
+    u_x = vm.normalize(V3(jnp.zeros_like(w.x), -w.z, w.y))
+    u = vm.where(use_y, u_y, u_x)
+    v = vm.cross(w, u)
+    return u, v
+
+
+def cosine_hemisphere(state, normal: V3, gate=None) -> Tuple[jnp.ndarray, V3]:
+    """Cosine-weighted direction about `normal`; 2 RNG draws
+    (shader.wgsl:312-335). Returns (state', direction). `gate`: see rng.next_f32
+    — the reference draws these only on the diffuse branch (shader.wgsl:474)."""
+    state, r1, r2 = prng.next_f32_pair(state, gate)
+    cos_theta = jnp.sqrt(r1)
+    sin_theta = jnp.sqrt(1.0 - r1)
+    phi = TWO_PI * r2
+    x = sin_theta * jnp.cos(phi)
+    y = sin_theta * jnp.sin(phi)
+    z = cos_theta
+    w = vm.normalize(normal)
+    u, v = orthonormal_basis(w)
+    return state, vm.normalize(u * x + v * y + w * z)
+
+
+def sphere_light_point(state, center: V3, radius, gate=None) -> Tuple[jnp.ndarray, V3, V3, float]:
+    """Uniform point on a sphere light; 2 RNG draws (shader.wgsl:352-369).
+
+    Returns (state', point, light_normal, area). The reference's "local
+    point" is a world-axis-aligned unit vector (no frame alignment)."""
+    state, r1, r2 = prng.next_f32_pair(state, gate)
+    cos_theta = 1.0 - 2.0 * r1
+    sin_theta = jnp.sqrt(1.0 - cos_theta * cos_theta)
+    phi = TWO_PI * r2
+    local = V3(sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta)
+    point = center + local * radius
+    area = 4.0 * PI * radius * radius
+    return state, point, local, area
+
+
+def triangle_light_point(state, v0: V3, v1: V3, v2: V3, gate=None) -> Tuple[jnp.ndarray, V3]:
+    """Uniform point on a triangle light; 2 RNG draws (shader.wgsl:370-384).
+    The caller supplies the (precomputed, constant) normal and area."""
+    state, r1, r2 = prng.next_f32_pair(state, gate)
+    sqrt_r1 = jnp.sqrt(r1)
+    u = 1.0 - sqrt_r1
+    v = r2 * sqrt_r1
+    point = v0 * (1.0 - u - v) + v1 * u + v2 * v
+    return state, point

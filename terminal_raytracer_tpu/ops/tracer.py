@@ -1,0 +1,397 @@
+"""The wavefront path-tracing core.
+
+This module is the TPU-native re-design of the reference's WGSL megakernel
+(reference: src/shader.wgsl:439-622). It is written as shape-polymorphic
+pure ``jax.numpy`` over a *lane grid*: the same code renders
+
+* a whole image at once under ``jax.jit`` — the CPU/TPU **oracle** renderer
+  and correctness reference for everything else, and
+* one (8k, 128k)-shaped pixel tile inside the **Pallas TPU megakernel**
+  (ops/pallas_kernel.py), which only adds memory orchestration.
+
+Divergence model ("no per-lane break on SIMD", SURVEY.md §7): the
+reference's per-thread ``break`` statements (miss, Russian roulette) become
+per-lane *mask bits*; all lanes advance one bounce per step of a
+``lax.while_loop`` that exits early once every lane in the grid is dead.
+Data-dependent RNG draw order therefore becomes fixed draw order — which is
+why parity with the reference is "modulo RNG" (BASELINE.md).
+
+Faithfully replicated reference behaviors (SURVEY.md §7 fidelity list):
+
+* emission added on every hit *plus* NEE every bounce with no MIS — the
+  reference's brighter-than-physical direct light (shader.wgsl:455-459);
+* NEE per-channel clamp at 10.0 (shader.wgsl:420-427); plane lights never
+  sampled (shader.wgsl:390-391);
+* sky = 0.8 * lerp(white, (.5,.7,1)) on miss (shader.wgsl:297-304);
+* epsilon 0.001 for t_min / shadow rays / ray offset (shader.wgsl:399,445,482);
+* Russian roulette from bounce 4, survival min(0.95, max(att)), kill before
+  compensation (shader.wgsl:485-492);
+* adaptive sampling: base = max(4, spp/4) samples, luminance-sum variance,
+  extra = min(spp-base, trunc(var*50)) iff var > 10 (shader.wgsl:513-562)
+  — including the normalization quirks: non-adaptive pixels divide a
+  base-sample sum by full spp, and spp < 4 *brightens* by base/spp
+  (shader.wgsl:600-610).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import scene as scene_mod
+from . import geometry as geom
+from . import rng as prng
+from . import sampling
+from . import vecmath as vm
+from .vecmath import V3
+
+# Constants from the reference kernel.
+SKY_INTENSITY = 0.8  # shader.wgsl:303
+SKY_TOP = (0.5, 0.7, 1.0)  # shader.wgsl:301
+NEE_CLAMP = 10.0  # shader.wgsl:420
+RR_START_BOUNCE = 3  # "i > 3u", shader.wgsl:485
+RR_MAX_SURVIVAL = 0.95  # shader.wgsl:486
+ADAPTIVE_VAR_THRESHOLD = 10.0  # shader.wgsl:561
+ADAPTIVE_VAR_SCALE = 50.0  # shader.wgsl:562
+
+
+class Cam(NamedTuple):
+    """Per-frame camera basis as traced scalars (the only per-frame-varying
+    render inputs besides seed/frame — SURVEY.md §3.5)."""
+
+    pos: V3
+    forward: V3
+    right: V3
+    up: V3
+
+
+def cam_from_pose(pose) -> Cam:
+    """Unpack a models.camera.Camera.pose() (16,) f32 array (or any
+    indexable of scalars — e.g. Pallas SMEM ref reads)."""
+    return Cam(
+        pos=V3(pose[0], pose[1], pose[2]),
+        forward=V3(pose[3], pose[4], pose[5]),
+        right=V3(pose[6], pose[7], pose[8]),
+        up=V3(pose[9], pose[10], pose[11]),
+    )
+
+
+def sky_color(d: V3) -> V3:
+    """shader.wgsl:297-304."""
+    t = 0.5 * (d.y + 1.0)
+    one = 1.0 - t
+    return V3(
+        (one + t * SKY_TOP[0]) * SKY_INTENSITY,
+        (one + t * SKY_TOP[1]) * SKY_INTENSITY,
+        (one + t * SKY_TOP[2]) * SKY_INTENSITY,
+    )
+
+
+def base_sample_count(spp: int) -> int:
+    """base = max(4, spp/4), shader.wgsl:513."""
+    return max(4, spp // 4)
+
+
+class _Light(NamedTuple):
+    kind: int  # scene_mod.SPHERE or TRIANGLE
+    # sphere: center / radius; triangle: v0, v1, v2 + precomputed normal/area
+    data: tuple
+    emission: Tuple[float, float, float]
+
+
+class PathTracer:
+    """A path tracer compiled for one static scene.
+
+    Scene geometry/materials are Python-float constants baked into the traced
+    computation (see models/scene.py); spp / max_depth / resolution are
+    static too, mirroring the reference where they live in per-frame uniforms
+    but never actually change (src/lib.rs:418-430).
+    """
+
+    def __init__(self, scene: scene_mod.Scene):
+        self.scene = scene
+        self.prims = geom.ScenePrims(scene)
+        self.width = scene.width
+        self.height = scene.height
+        self.spp = scene.samples_per_pixel
+        self.max_depth = scene.max_depth
+        self.base_samples = base_sample_count(self.spp)
+
+        # Static f32 camera intrinsics (shader.wgsl:522-527). Computed in
+        # f32 like the shader does per-sample.
+        self.half_height = float(np.tan(np.float32(scene.fov_rad) / np.float32(2)))
+        self.half_width = float(
+            np.float32(scene.width) / np.float32(scene.height)
+        ) * self.half_height
+        self.inv_char_aspect = float(
+            np.float32(1.0) / np.float32(scene.camera.char_aspect_ratio)
+        )
+
+        # Static light list (shader.wgsl:342-391 loops all primitives and
+        # skips non-emissive + planes; the skip is compile-time here).
+        self.lights = []
+        for tag, p in scene.lights:
+            if tag == scene_mod.SPHERE:
+                self.lights.append(
+                    _Light(tag, (V3(*p.center), float(p.radius)), p.material.emission)
+                )
+            else:  # TRIANGLE
+                e1, e2, normal, area = geom._tri_edges_f32(p)
+                self.lights.append(
+                    _Light(
+                        tag,
+                        (V3(*p.v0), V3(*p.v1), V3(*p.v2), V3(*normal), area),
+                        p.material.emission,
+                    )
+                )
+        self.n_lights = len(self.lights)
+
+    # ------------------------------------------------------------------
+    # NEE direct lighting (shader.wgsl:338-436)
+    # ------------------------------------------------------------------
+
+    def direct_light(self, state, p: V3, normal: V3, color: V3, att: V3, gate):
+        """One NEE estimate per light. Returns (state', direct V3).
+
+        The result is fully masked internally (occlusion + cosine terms);
+        the caller additionally gates by its live-lane mask. `gate` is that
+        live mask: RNG state advances only on lanes whose reference thread
+        would reach sample_direct_lighting (it is only called on hits,
+        shader.wgsl:458).
+        """
+        zeros = jnp.zeros_like(p.x)
+        direct = vm.splat(zeros)
+        brdf = color * (1.0 / sampling.PI)  # Lambertian albedo/pi (shader.wgsl:412)
+
+        for light in self.lights:
+            if light.kind == scene_mod.SPHERE:
+                center, radius = light.data
+                state, lp, ln, area = sampling.sphere_light_point(
+                    state, center, radius, gate
+                )
+            else:
+                v0, v1, v2, ln, area = light.data
+                state, lp = sampling.triangle_light_point(state, v0, v1, v2, gate)
+
+            lvec = lp - p
+            ldist = vm.length(lvec)
+            ldir = lvec / ldist
+
+            shadow_o = p + normal * geom.RAY_EPS  # offset along normal (wgsl:399)
+            blocked = self.prims.occluded(
+                shadow_o, ldir, geom.RAY_EPS, ldist - geom.RAY_EPS
+            )
+
+            cos_s = jnp.maximum(0.0, vm.dot(normal, ldir))
+            cos_l = jnp.maximum(0.0, vm.dot(ln, -ldir))
+            ok = (~blocked) & (cos_s > 0.0) & (cos_l > 0.0)
+
+            geom_term = (cos_s * cos_l) / (ldist * ldist)
+            contrib = (brdf * V3(*light.emission)) * (att * (geom_term * area))
+            contrib = vm.min_components(contrib, NEE_CLAMP)  # wgsl:420-427
+            direct = direct + vm.where(ok, contrib, vm.splat(zeros))
+
+        return state, direct
+
+    # ------------------------------------------------------------------
+    # ray_color: the masked wavefront bounce loop (shader.wgsl:439-495)
+    # ------------------------------------------------------------------
+
+    def ray_color(self, state, o: V3, d: V3, gate=None):
+        """Trace one path per lane. Returns (state', color V3, rays).
+
+        `rays` counts hit_scene traversals per lane (primary/bounce sweeps
+        plus NEE shadow sweeps) — the unit of the Mray/s benchmark metric.
+        `gate` (bool lanes) marks lanes whose reference thread runs this
+        trace at all (the adaptive extra-sample loop); gated-off lanes never
+        draw RNG and contribute nothing.
+        """
+        lanes = o.x
+        zeros = jnp.zeros_like(lanes)
+        alive0 = jnp.ones_like(lanes, dtype=bool) if gate is None else gate
+        init = (
+            jnp.zeros((), jnp.int32),  # bounce index
+            state,
+            o,
+            d,
+            vm.splat(jnp.ones_like(lanes)),  # attenuation
+            vm.splat(zeros),  # accumulated color
+            alive0,  # alive mask
+            zeros,  # ray counter
+        )
+
+        def cond(carry):
+            i, _, _, _, _, _, alive, _ = carry
+            return (i < self.max_depth) & jnp.any(alive)
+
+        def body(carry):
+            i, state, o, d, att, acc, alive, rays = carry
+            hit = self.prims.closest_hit(o, d, geom.RAY_EPS, geom.T_FAR)
+            rays = rays + alive.astype(jnp.float32)
+
+            # Miss -> sky contribution, then the lane dies (wgsl:447-452).
+            miss_now = alive & (~hit.found)
+            acc = acc + vm.where(miss_now, sky_color(d) * att, vm.splat(zeros))
+            live = alive & hit.found
+
+            # Emission on direct hit (wgsl:455) — every bounce, no MIS.
+            acc = acc + vm.where(live, hit.emission * att, vm.splat(zeros))
+
+            # NEE (wgsl:458-459). Shadow sweeps count as rays for live lanes.
+            state, direct = self.direct_light(
+                state, hit.p, hit.normal, hit.color, att, live
+            )
+            acc = acc + vm.where(live, direct, vm.splat(zeros))
+            rays = rays + live.astype(jnp.float32) * float(self.n_lights)
+
+            # Scatter: stochastic mirror-vs-diffuse (wgsl:465-480).
+            state, r_spec = prng.next_f32(state, live)
+            is_refl = hit.reflectivity > r_spec
+            refl_dir = vm.reflect(d, hit.normal)
+            state, cos_dir = sampling.cosine_hemisphere(
+                state, hit.normal, live & (~is_refl)
+            )
+            new_d = vm.where(is_refl, refl_dir, cos_dir)
+            att = vm.where(live, att * hit.color, att)
+            new_o = hit.p + new_d * geom.RAY_EPS  # offset along scatter dir (wgsl:482)
+
+            # Russian roulette from bounce 4 (wgsl:485-492): kill first,
+            # compensate survivors.
+            state, r_rr = prng.next_f32(state, live & (i > RR_START_BOUNCE))
+            p_surv = jnp.minimum(RR_MAX_SURVIVAL, vm.max_component(att))
+            rr_on = live & (i > RR_START_BOUNCE)
+            killed = rr_on & (p_surv < r_rr)
+            att = vm.where(rr_on & ~killed, att / p_surv, att)
+            alive = live & (~killed)
+
+            # Sanitize dead lanes so NaNs can't leak into the next sweep.
+            d = vm.where(alive, new_d, V3(zeros, zeros, zeros + 1.0))
+            o = vm.where(alive, new_o, vm.splat(zeros))
+            return (i + 1, state, o, d, att, acc, alive, rays)
+
+        out = jax.lax.while_loop(cond, body, init)
+        _, state, _, _, _, acc, _, rays = out
+        return state, acc, rays
+
+    # ------------------------------------------------------------------
+    # Camera ray generation (shader.wgsl:519-546)
+    # ------------------------------------------------------------------
+
+    def gen_ray(self, state, cam: Cam, xf, yf, gate=None):
+        state, rx = prng.next_f32(state, gate)
+        state, ry = prng.next_f32(state, gate)
+        u = (xf + rx) / float(self.width - 1)
+        v = ((self.height - 1) - yf + ry) / float(self.height - 1)
+        ndc_x = 2.0 * u - 1.0
+        ndc_y = (2.0 * v - 1.0) * self.inv_char_aspect
+        vx = self.half_width * ndc_x
+        vy = self.half_height * ndc_y
+        d = vm.normalize(cam.right * vx + cam.up * vy + cam.forward)
+        o = vm.splat(jnp.zeros_like(d.x)) + cam.pos
+        return state, o, d
+
+    # ------------------------------------------------------------------
+    # Per-pixel sample loops + adaptive sampling (shader.wgsl:499-602)
+    # ------------------------------------------------------------------
+
+    def render_lanes(self, cam: Cam, x, y, seed, frame_number):
+        """Render a lane grid of pixels.
+
+        x, y: integer pixel coordinate arrays of the lane shape.
+        Returns (current_sample V3, variance, total_samples, rays) per lane,
+        where current_sample is already divided per the reference's
+        (quirky) normalization — ready for temporal accumulation.
+        """
+        xf = x.astype(jnp.float32)
+        yf = y.astype(jnp.float32)
+        pix = y.astype(jnp.uint32) * jnp.uint32(self.width) + x.astype(jnp.uint32)
+        state0 = prng.seed_pixel(pix, jnp.asarray(seed), jnp.asarray(frame_number))
+
+        zeros = jnp.zeros_like(xf)
+        base = self.base_samples
+        spp = self.spp
+
+        def sample_body(i, carry):
+            state, csum, csumsq, rays = carry
+            state = prng.advance_sample(state, i)
+            state, o, d = self.gen_ray(state, cam, xf, yf)
+            state, c, r = self.ray_color(state, o, d)
+            return (state, csum + c, csumsq + c * c, rays + r)
+
+        state, csum, csumsq, rays = jax.lax.fori_loop(
+            0,
+            base,
+            sample_body,
+            (state0, vm.splat(zeros), vm.splat(zeros), zeros),
+        )
+
+        # Variance of the base samples, per wgsl:555-558 (sum of per-channel
+        # E[x^2] - E[x]^2; can be slightly negative in f32, kept raw).
+        mean = csum * (1.0 / base)
+        var = vm.sum_components(csumsq * (1.0 / base) - mean * mean)
+
+        if base >= spp:
+            # Adaptive branch statically dead (wgsl:561 needs base < spp).
+            # Reference still divides the base-sample sum by spp — the
+            # spp < 4 brightening quirk.
+            current = csum * (1.0 / spp)
+            total = zeros + float(base)
+            return current, var, total, rays
+
+        # Per-pixel extra-sample budget (wgsl:561-562): f32 compare avoids
+        # the u32 overflow the reference risks on huge variance.
+        needs = var > ADAPTIVE_VAR_THRESHOLD
+        additional = jnp.where(
+            needs,
+            jnp.minimum(float(spp - base), jnp.floor(var * ADAPTIVE_VAR_SCALE)),
+            0.0,
+        )
+
+        def extra_cond(carry):
+            j, *_ = carry
+            return (j < (spp - base)) & jnp.any(j.astype(jnp.float32) < additional)
+
+        def extra_body(carry):
+            j, state, esum, rays = carry
+            take = j.astype(jnp.float32) < additional
+            state = prng.advance_sample(state, base + j, take)
+            state, o, d = self.gen_ray(state, cam, xf, yf, take)
+            state, c, r = self.ray_color(state, o, d, take)
+            esum = esum + vm.where(take, c, vm.splat(zeros))
+            rays = rays + jnp.where(take, r, 0.0)
+            return (j + 1, state, esum, rays)
+
+        _, state, esum, rays = jax.lax.while_loop(
+            extra_cond,
+            extra_body,
+            (jnp.zeros((), jnp.int32), state, vm.splat(zeros), rays),
+        )
+
+        # Normalization (wgsl:600-610): adaptive pixels average over the
+        # samples actually taken; everyone else divides base sum by spp.
+        total = float(base) + additional
+        current = vm.where(
+            needs,
+            (csum + esum) * (1.0 / total),
+            csum * (1.0 / spp),
+        )
+        return current, var, total, rays
+
+    # ------------------------------------------------------------------
+    # Whole-frame oracle entry point
+    # ------------------------------------------------------------------
+
+    def render_frame(self, pose, seed, frame_number):
+        """Render the full (H, W) image in one fused jax.numpy computation —
+        the oracle renderer (and the CPU path). Returns
+        (current V3[H,W], variance[H,W], total_samples[H,W], rays_total)."""
+        h, w = self.height, self.width
+        y = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        x = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        cam = cam_from_pose(pose)
+        current, var, total, rays = self.render_lanes(cam, x, y, seed, frame_number)
+        return current, var, total, jnp.sum(rays)

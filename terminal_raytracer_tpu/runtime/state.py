@@ -1,0 +1,110 @@
+"""Frame state and the jit-stable render step.
+
+The reference's device buffers (accumulation, variance — src/lib.rs:270-284)
+become an explicit :class:`FrameState` pytree threaded through a pure
+``render_step`` and *donated* on every call, so XLA updates accumulation in
+place. The step is jit-compiled once per (scene, mode, backend); between
+frames only ``(camera pose, seed, frame_number)`` change — the invariant of
+SURVEY.md §3.5 — so interactive camera movement never retraces.
+
+Temporal accumulation replicates shader.wgsl:612-620: a running mean with
+alpha = 1/(frame_number+1), overwritten when frame_number == 0 (which the
+host sets on camera movement, lib.rs:409-424).
+
+Because state is explicit, checkpoint/resume falls out for free
+(utils/statefile.py) — a capability superset over the reference, which can
+never persist its accumulation (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import scene as scene_mod
+from ..ops import tonemap as tm
+from ..ops import tracer as tracer_mod
+from ..ops.vecmath import V3
+
+
+class FrameState(NamedTuple):
+    """Device-resident per-frame state. `acc` is [3, H, W] (SoA color
+    planes); `variance` / `samples` are the reference's write-only variance
+    buffer (shader.wgsl:608), actually exposed here (debug heat map)."""
+
+    acc: jnp.ndarray  # [3, H, W] f32 running-mean radiance
+    variance: jnp.ndarray  # [H, W] f32
+    samples: jnp.ndarray  # [H, W] f32 samples taken last frame
+
+
+class FrameOutput(NamedTuple):
+    state: FrameState
+    rgb: jnp.ndarray  # [H, W, 3] u8
+    glyphs: jnp.ndarray  # [H, W] u8 (zeros in full-color mode)
+    rays: jnp.ndarray  # f32 scalar: traversal sweeps this frame
+
+
+def init_state(scene: scene_mod.Scene) -> FrameState:
+    h, w = scene.height, scene.width
+    return FrameState(
+        acc=jnp.zeros((3, h, w), jnp.float32),
+        variance=jnp.zeros((h, w), jnp.float32),
+        samples=jnp.zeros((h, w), jnp.float32),
+    )
+
+
+def make_render_step(
+    scene: scene_mod.Scene,
+    full_color: bool = True,
+    backend: str = "auto",
+    jit: bool = True,
+):
+    """Build `step(state, pose16, seed, frame_number) -> FrameOutput`.
+
+    backend: 'jnp' (the oracle — runs on any JAX backend), 'pallas' (the TPU
+    megakernel), or 'auto' (pallas on TPU, jnp elsewhere).
+    """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend().startswith("tpu") else "jnp"
+
+    if backend == "jnp":
+        tracer = tracer_mod.PathTracer(scene)
+        render_frame = tracer.render_frame
+    elif backend == "pallas":
+        from ..ops import pallas_kernel
+
+        render_frame = pallas_kernel.make_render_frame(scene)
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    def step(state: FrameState, pose, seed, frame_number) -> FrameOutput:
+        current, variance, samples, rays = render_frame(pose, seed, frame_number)
+
+        # Temporal accumulation (shader.wgsl:612-620).
+        fn = jnp.asarray(frame_number, jnp.float32)
+        alpha = jnp.where(fn == 0.0, 1.0, 1.0 / (fn + 1.0))
+        cur = jnp.stack([current.x, current.y, current.z])
+        acc = state.acc * (1.0 - alpha) + cur * alpha
+
+        acc_v = V3(acc[0], acc[1], acc[2])
+        if full_color:
+            rgb = tm.tonemap_fullcolor(acc_v)
+            glyphs = jnp.zeros(rgb.shape[:2], jnp.uint8)
+        else:
+            rgb, glyphs = tm.tonemap_ascii(acc_v)
+
+        return FrameOutput(
+            state=FrameState(acc=acc, variance=variance, samples=samples),
+            rgb=rgb,
+            glyphs=glyphs,
+            rays=rays,
+        )
+
+    if jit:
+        step = jax.jit(step, donate_argnums=(0,))
+    return step

@@ -1,0 +1,145 @@
+"""Render-step contract: temporal accumulation semantics
+(shader.wgsl:612-620), accumulation reset on frame 0, adaptive-sampling
+bookkeeping, determinism, and tonemap wiring."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from terminal_raytracer_tpu.models import Camera, load_scene
+from terminal_raytracer_tpu.ops.tracer import PathTracer, base_sample_count, cam_from_pose
+from terminal_raytracer_tpu.runtime import init_state, make_render_step
+
+
+def _tiny_scene(**kw):
+    defaults = dict(width=32, height=16, samples_per_pixel=4, max_depth=2)
+    defaults.update(kw)
+    return load_scene("scene2").with_overrides(**defaults)
+
+
+def test_accumulation_running_mean():
+    scene = _tiny_scene()
+    step = make_render_step(scene, full_color=True, backend="jnp")
+    cam = Camera()
+    state = init_state(scene)
+
+    frames = []
+    solo_step = make_render_step(scene, backend="jnp", jit=False)
+    for f in range(3):
+        # Render each frame independently with the same (seed, frame_number)
+        # the stateful path will use — frame_number feeds the RNG
+        # (shader.wgsl:507). From zero-initialized accumulation,
+        # acc = current * alpha with alpha = 1/(f+1), so current = acc*(f+1).
+        solo = solo_step(
+            init_state(scene), cam.pose(), np.uint32(100 + f), np.int32(f)
+        )
+        frames.append(np.asarray(solo.state.acc) * (f + 1))
+
+    # Now accumulate the same seeds through the stateful path.
+    out = step(state, cam.pose(), np.uint32(100), np.int32(0))
+    out = step(out.state, cam.pose(), np.uint32(101), np.int32(1))
+    out = step(out.state, cam.pose(), np.uint32(102), np.int32(2))
+    expected = (frames[0] + frames[1] + frames[2]) / 3.0
+    np.testing.assert_allclose(np.asarray(out.state.acc), expected, rtol=1e-4, atol=1e-6)
+
+
+def test_frame_zero_resets_accumulation():
+    scene = _tiny_scene()
+    step = make_render_step(scene, backend="jnp")
+    cam = Camera()
+    out = step(init_state(scene), cam.pose(), np.uint32(5), np.int32(0))
+    out = step(out.state, cam.pose(), np.uint32(6), np.int32(1))
+    # Camera "moved": frame_number goes back to 0 -> acc must equal a fresh
+    # frame render, ignoring history.
+    moved = step(out.state, cam.pose(), np.uint32(7), np.int32(0))
+    fresh = make_render_step(scene, backend="jnp")(
+        init_state(scene), cam.pose(), np.uint32(7), np.int32(0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(moved.state.acc), np.asarray(fresh.state.acc), rtol=1e-6
+    )
+
+
+def test_output_shapes_and_dtypes():
+    scene = _tiny_scene()
+    cam = Camera()
+    out = make_render_step(scene, full_color=True, backend="jnp")(
+        init_state(scene), cam.pose(), np.uint32(1), np.int32(0)
+    )
+    assert out.rgb.shape == (16, 32, 3) and out.rgb.dtype == jnp.uint8
+    assert out.glyphs.shape == (16, 32) and out.glyphs.dtype == jnp.uint8
+    assert out.state.acc.shape == (3, 16, 32)
+    assert out.state.variance.shape == (16, 32)
+    assert float(out.rays) > 0
+
+    out_a = make_render_step(scene, full_color=False, backend="jnp")(
+        init_state(scene), cam.pose(), np.uint32(1), np.int32(0)
+    )
+    assert int(np.asarray(out_a.glyphs).max()) > 0  # ASCII mode fills glyphs
+
+
+def test_determinism_fixed_seed():
+    scene = _tiny_scene()
+    cam = Camera()
+    step = make_render_step(scene, backend="jnp")
+    a = step(init_state(scene), cam.pose(), np.uint32(42), np.int32(0))
+    b = step(init_state(scene), cam.pose(), np.uint32(42), np.int32(0))
+    np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
+    np.testing.assert_array_equal(np.asarray(a.state.acc), np.asarray(b.state.acc))
+
+
+def test_no_nans_or_infs():
+    scene = _tiny_scene(samples_per_pixel=8, max_depth=8)
+    cam = Camera()
+    out = make_render_step(scene, backend="jnp")(
+        init_state(scene), cam.pose(), np.uint32(3), np.int32(0)
+    )
+    acc = np.asarray(out.state.acc)
+    assert np.isfinite(acc).all()
+    assert (acc >= 0).all()
+
+
+def test_adaptive_sample_counts():
+    # spp large enough that base < spp: sample counts are in [base, spp].
+    scene = load_scene("Cornell_Box").with_overrides(
+        width=32, height=16, samples_per_pixel=16, max_depth=3
+    )
+    cam = Camera()
+    out = make_render_step(scene, backend="jnp")(
+        init_state(scene), cam.pose(), np.uint32(11), np.int32(0)
+    )
+    samples = np.asarray(out.state.samples)
+    base = base_sample_count(16)
+    assert base == 4
+    assert samples.min() >= base
+    assert samples.max() <= 16
+    var = np.asarray(out.state.variance)
+    # Pixels that got extra samples must be exactly the high-variance ones.
+    assert ((samples > base) == (var > 10.0)).all() or (samples > base).sum() == 0
+
+
+def test_base_sample_count_quirk():
+    # spp=1 -> base=4 > spp: the reference's 4x brightening case must run
+    # (no adaptive loop) and produce a finite image.
+    assert base_sample_count(1) == 4
+    scene = _tiny_scene(samples_per_pixel=1)
+    cam = Camera()
+    out = make_render_step(scene, backend="jnp")(
+        init_state(scene), cam.pose(), np.uint32(1), np.int32(0)
+    )
+    assert np.isfinite(np.asarray(out.state.acc)).all()
+    assert np.asarray(out.state.samples).max() == 4
+
+
+def test_camera_move_no_retrace():
+    # Moving the camera only changes the pose array: jit must not retrace.
+    scene = _tiny_scene()
+    step = make_render_step(scene, backend="jnp")
+    cam = Camera()
+    state = init_state(scene)
+    out = step(state, cam.pose(), np.uint32(0), np.int32(0))
+    compiled_before = step._cache_size()
+    for key in "wasd":
+        cam.apply_key(key)
+        out = step(out.state, cam.pose(), np.uint32(1), np.int32(0))
+    assert step._cache_size() == compiled_before == 1
