@@ -31,6 +31,17 @@ _U32 = jnp.uint32
 _INV_U32_MAX = float(1.0 / 4294967295.0)
 
 
+def u32_to_f32(v: jnp.ndarray) -> jnp.ndarray:
+    """uint32 -> float32 value conversion, written as int32 + wraparound
+    correction because Mosaic (Pallas TPU) has no direct u32->f32 cast.
+    Used on every backend so oracle and kernel stay bit-identical. Differs
+    from a native round(u32) by at most one ulp (double rounding for values
+    >= 2^31), far below Monte-Carlo relevance."""
+    i = v.astype(jnp.int32)
+    f = i.astype(jnp.float32)
+    return jnp.where(i < 0, f + jnp.float32(4294967296.0), f)
+
+
 def pcg_hash(x: jnp.ndarray) -> jnp.ndarray:
     """PCG-XSH-RR style output hash; bit-exact vs shader.wgsl:106-110."""
     x = x.astype(_U32)
@@ -83,7 +94,7 @@ def next_f32(state: jnp.ndarray, gate=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     use.)
     """
     new = pcg_hash(state)
-    value = new.astype(jnp.float32) * jnp.float32(_INV_U32_MAX)
+    value = u32_to_f32(new) * jnp.float32(_INV_U32_MAX)
     if gate is not None:
         new = jnp.where(gate, new, state)
     return new, value

@@ -112,7 +112,15 @@ class PathTracer:
     but never actually change (src/lib.rs:418-430).
     """
 
-    def __init__(self, scene: scene_mod.Scene):
+    def __init__(self, scene: scene_mod.Scene, loop_mode: str = "while"):
+        """loop_mode: 'while' uses lax.while_loop for the bounce and
+        adaptive-sampling loops (early exit once every lane is dead — the
+        oracle/XLA path); 'fori' uses fixed-trip lax.fori_loop (Mosaic
+        cannot legalize while loops with vector carries, so the Pallas
+        kernel uses this). Identical results either way — dead lanes are
+        fully masked."""
+        assert loop_mode in ("while", "fori")
+        self.loop_mode = loop_mode
         self.scene = scene
         self.prims = geom.ScenePrims(scene)
         self.width = scene.width
@@ -213,6 +221,8 @@ class PathTracer:
         lanes = o.x
         zeros = jnp.zeros_like(lanes)
         alive0 = jnp.ones_like(lanes, dtype=bool) if gate is None else gate
+        # The alive mask is carried as f32, not bool: Mosaic cannot legalize
+        # i1 vector loop carries (tpu.roll_vectors on i1 fails).
         init = (
             jnp.zeros((), jnp.int32),  # bounce index
             state,
@@ -220,18 +230,19 @@ class PathTracer:
             d,
             vm.splat(jnp.ones_like(lanes)),  # attenuation
             vm.splat(zeros),  # accumulated color
-            alive0,  # alive mask
+            jnp.where(alive0, 1.0, 0.0),  # alive mask (f32 carry)
             zeros,  # ray counter
         )
 
         def cond(carry):
-            i, _, _, _, _, _, alive, _ = carry
-            return (i < self.max_depth) & jnp.any(alive)
+            i, _, _, _, _, _, alive_f, _ = carry
+            return (i < self.max_depth) & jnp.any(alive_f != 0.0)
 
         def body(carry):
-            i, state, o, d, att, acc, alive, rays = carry
+            i, state, o, d, att, acc, alive_f, rays = carry
+            alive = alive_f != 0.0
             hit = self.prims.closest_hit(o, d, geom.RAY_EPS, geom.T_FAR)
-            rays = rays + alive.astype(jnp.float32)
+            rays = rays + jnp.where(alive, 1.0, 0.0)
 
             # Miss -> sky contribution, then the lane dies (wgsl:447-452).
             miss_now = alive & (~hit.found)
@@ -246,7 +257,7 @@ class PathTracer:
                 state, hit.p, hit.normal, hit.color, att, live
             )
             acc = acc + vm.where(live, direct, vm.splat(zeros))
-            rays = rays + live.astype(jnp.float32) * float(self.n_lights)
+            rays = rays + jnp.where(live, float(self.n_lights), 0.0)
 
             # Scatter: stochastic mirror-vs-diffuse (wgsl:465-480).
             state, r_spec = prng.next_f32(state, live)
@@ -271,9 +282,14 @@ class PathTracer:
             # Sanitize dead lanes so NaNs can't leak into the next sweep.
             d = vm.where(alive, new_d, V3(zeros, zeros, zeros + 1.0))
             o = vm.where(alive, new_o, vm.splat(zeros))
-            return (i + 1, state, o, d, att, acc, alive, rays)
+            return (i + 1, state, o, d, att, acc, jnp.where(alive, 1.0, 0.0), rays)
 
-        out = jax.lax.while_loop(cond, body, init)
+        if self.loop_mode == "while":
+            out = jax.lax.while_loop(cond, body, init)
+        else:
+            out = jax.lax.fori_loop(
+                0, self.max_depth, lambda _, c: body(c), init
+            )
         _, state, _, _, _, acc, _, rays = out
         return state, acc, rays
 
@@ -298,10 +314,13 @@ class PathTracer:
     # Per-pixel sample loops + adaptive sampling (shader.wgsl:499-602)
     # ------------------------------------------------------------------
 
-    def render_lanes(self, cam: Cam, x, y, seed, frame_number):
+    def render_lanes(self, cam: Cam, x, y, seed, frame_number, active=None):
         """Render a lane grid of pixels.
 
         x, y: integer pixel coordinate arrays of the lane shape.
+        `active` (bool lanes, optional) marks lanes that correspond to real
+        pixels — partial edge tiles in the Pallas kernel carry out-of-bounds
+        lanes that must not trace or count rays.
         Returns (current_sample V3, variance, total_samples, rays) per lane,
         where current_sample is already divided per the reference's
         (quirky) normalization — ready for temporal accumulation.
@@ -319,7 +338,7 @@ class PathTracer:
             state, csum, csumsq, rays = carry
             state = prng.advance_sample(state, i)
             state, o, d = self.gen_ray(state, cam, xf, yf)
-            state, c, r = self.ray_color(state, o, d)
+            state, c, r = self.ray_color(state, o, d, active)
             return (state, csum + c, csumsq + c * c, rays + r)
 
         state, csum, csumsq, rays = jax.lax.fori_loop(
@@ -345,6 +364,8 @@ class PathTracer:
         # Per-pixel extra-sample budget (wgsl:561-562): f32 compare avoids
         # the u32 overflow the reference risks on huge variance.
         needs = var > ADAPTIVE_VAR_THRESHOLD
+        if active is not None:
+            needs = needs & active
         additional = jnp.where(
             needs,
             jnp.minimum(float(spp - base), jnp.floor(var * ADAPTIVE_VAR_SCALE)),
@@ -365,11 +386,15 @@ class PathTracer:
             rays = rays + jnp.where(take, r, 0.0)
             return (j + 1, state, esum, rays)
 
-        _, state, esum, rays = jax.lax.while_loop(
-            extra_cond,
-            extra_body,
-            (jnp.zeros((), jnp.int32), state, vm.splat(zeros), rays),
-        )
+        extra_init = (jnp.zeros((), jnp.int32), state, vm.splat(zeros), rays)
+        if self.loop_mode == "while":
+            _, state, esum, rays = jax.lax.while_loop(
+                extra_cond, extra_body, extra_init
+            )
+        else:
+            _, state, esum, rays = jax.lax.fori_loop(
+                0, spp - base, lambda _, c: extra_body(c), extra_init
+            )
 
         # Normalization (wgsl:600-610): adaptive pixels average over the
         # samples actually taken; everyone else divides base sum by spp.

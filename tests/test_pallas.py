@@ -1,0 +1,74 @@
+"""Pallas megakernel vs the jnp oracle — interpret mode on CPU.
+
+Both run the same `render_lanes` core with identical gated-RNG chains, so
+results are bit-equal here (same backend math). On real TPU, Mosaic and
+XLA:TPU transcendentals differ by ~1 ulp, which can flip specular/RR branch
+decisions on isolated pixels at high depth — the TPU-side check lives in
+bench.py, not here.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from terminal_raytracer_tpu.models import Camera, load_scene
+from terminal_raytracer_tpu.ops import pallas_kernel
+from terminal_raytracer_tpu.ops.tracer import PathTracer
+
+POSE = Camera().pose()
+
+
+def _compare(scene, seed=42, frame=0):
+    pf = jax.jit(pallas_kernel.make_render_frame(scene))
+    of = jax.jit(PathTracer(scene).render_frame)
+    cur_p, var_p, tot_p, rays_p = pf(POSE, np.uint32(seed), np.int32(frame))
+    cur_o, var_o, tot_o, rays_o = of(POSE, np.uint32(seed), np.int32(frame))
+    np.testing.assert_allclose(np.asarray(cur_p.x), np.asarray(cur_o.x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cur_p.y), np.asarray(cur_o.y), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cur_p.z), np.asarray(cur_o.z), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var_p), np.asarray(var_o), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(tot_p), np.asarray(tot_o))
+    assert float(rays_p) == float(rays_o)
+
+
+def test_exact_tile_shape():
+    # 8x128 == exactly one tile
+    scene = load_scene("scene2").with_overrides(
+        width=128, height=8, samples_per_pixel=4, max_depth=3
+    )
+    _compare(scene)
+
+
+def test_partial_edge_tiles():
+    # 140x10: partial tiles on both axes; OOB lanes must not contribute
+    # (wrong ray counts / NaNs would surface here).
+    scene = load_scene("scene2").with_overrides(
+        width=140, height=10, samples_per_pixel=4, max_depth=3
+    )
+    _compare(scene)
+
+
+def test_adaptive_sampling_path():
+    # spp 16 > base 4: exercises the fori-mode extra-sample loop vs the
+    # oracle's while-mode loop — must be identical (masking equivalence).
+    scene = load_scene("Cornell_Box").with_overrides(
+        width=128, height=8, samples_per_pixel=16, max_depth=2
+    )
+    _compare(scene)
+
+
+def test_deep_bounces_russian_roulette():
+    scene = load_scene("demo").with_overrides(
+        width=128, height=8, samples_per_pixel=4, max_depth=12
+    )
+    _compare(scene)
+
+
+def test_rays_counted_only_for_real_pixels():
+    # Width 129 forces a 127-lane-wide ballast column; ray totals must match
+    # the oracle exactly (which has no ballast at all).
+    scene = load_scene("scene2").with_overrides(
+        width=129, height=8, samples_per_pixel=4, max_depth=3
+    )
+    _compare(scene)
