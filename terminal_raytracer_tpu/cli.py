@@ -1,0 +1,144 @@
+"""Command-line entry point.
+
+Reference-parity flags (reference: src/main.rs:9-20): --full-color,
+--verbose, --threads N, --path FILE. Controls in the interactive viewer
+(src/lib.rs:393-404): WASD move, arrows steer, ESC exits — plus extensions:
+'v' toggles the variance heat map, and the flags below marked (ext).
+
+Run: python -m terminal_raytracer_tpu [flags]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="terminal-raytracer-tpu",
+        description="TPU-native terminal path tracer (JAX/XLA/Pallas).",
+    )
+    # --- reference-parity flags (main.rs:9-20) ---
+    p.add_argument("--full-color", action="store_true",
+                   help="render 24-bit truecolor block cells instead of ASCII")
+    p.add_argument("--verbose", action="store_true",
+                   help="print device/runtime info")
+    p.add_argument("--threads", type=int, default=0,
+                   help="host blitter threads (default: all cores)")
+    p.add_argument("--path", metavar="FILE", default=None,
+                   help="scene JSON path (default: packaged Cornell box)")
+    # --- extensions ---
+    p.add_argument("--scene", default=None,
+                   help="(ext) packaged scene name: Cornell_Box, demo, scene2")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "pallas", "jnp"],
+                   help="(ext) compute backend (default: pallas on TPU)")
+    p.add_argument("--frames", type=int, default=None, metavar="N",
+                   help="(ext) headless: render N accumulated frames and exit")
+    p.add_argument("--width", type=int, default=None, help="(ext) override")
+    p.add_argument("--height", type=int, default=None, help="(ext) override")
+    p.add_argument("--spp", type=int, default=None,
+                   help="(ext) override samples_per_pixel")
+    p.add_argument("--depth", type=int, default=None,
+                   help="(ext) override max_depth")
+    p.add_argument("--deterministic", type=int, default=None, metavar="SEED",
+                   help="(ext) fixed RNG seed (reference seeds randomly)")
+    p.add_argument("--no-pipeline", action="store_true",
+                   help="(ext) synchronous frame loop, like the reference")
+    p.add_argument("--dump-image", metavar="FILE", default=None,
+                   help="(ext) with --frames: write final frame (.ppm or .png)")
+    p.add_argument("--save-state", metavar="FILE", default=None,
+                   help="(ext) with --frames: checkpoint accumulation state")
+    p.add_argument("--load-state", metavar="FILE", default=None,
+                   help="(ext) resume from a saved state")
+    p.add_argument("--no-clamp", action="store_true",
+                   help="(ext) don't clamp resolution to the terminal size")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .models import load_scene
+    from .runtime.engine import Engine
+    from .runtime.terminal import terminal_size
+
+    if args.path and args.scene:
+        print("error: --path and --scene are mutually exclusive", file=sys.stderr)
+        return 2
+    try:
+        scene = load_scene(args.path or args.scene)
+    except (FileNotFoundError, ValueError, KeyError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+    scene = scene.with_overrides(
+        width=args.width, height=args.height,
+        samples_per_pixel=args.spp, max_depth=args.depth,
+    )
+
+    interactive = args.frames is None
+    if interactive and not args.no_clamp:
+        tw, th = terminal_size()
+        scene = scene.clamp_to_terminal(tw, th)  # lib.rs:113-115
+
+    if args.full_color:
+        print("outputting with █ characters")  # main.rs:27-31
+    else:
+        print("outputting with ASCII characters")
+
+    engine = Engine(
+        scene,
+        full_color=args.full_color,
+        backend=args.backend,
+        threads=args.threads,
+        verbose=args.verbose,
+        deterministic=args.deterministic,
+        pipeline=not args.no_pipeline,
+    )
+
+    if args.load_state:
+        from .utils.statefile import load_state
+
+        engine.state, engine.frame_count, engine.camera = load_state(args.load_state)
+
+    if interactive:
+        if not sys.stdin.isatty():
+            print("error: interactive mode needs a tty (use --frames N for "
+                  "headless rendering)", file=sys.stderr)
+            return 2
+        engine.run_interactive()
+        return 0
+
+    rgb, glyphs, rays, mean_spp, _heatmap = engine.run_headless(args.frames)
+    if args.dump_image:
+        import numpy as np
+
+        from .utils import imageio
+
+        rgb = np.asarray(rgb)
+        if args.dump_image.endswith(".png"):
+            imageio.write_png(args.dump_image, rgb)
+        else:
+            imageio.write_ppm(args.dump_image, rgb)
+        print(f"wrote {args.dump_image}")
+    if args.save_state:
+        from .utils.statefile import save_state
+
+        save_state(args.save_state, engine.state, engine.frame_count, engine.camera)
+        print(f"saved state to {args.save_state}")
+    if not args.full_color and glyphs is not None and args.dump_image is None:
+        from .ops.tonemap import GLYPH_RAMP
+        import numpy as np
+
+        for row in np.asarray(glyphs):
+            print("".join(GLYPH_RAMP[min(int(i), 67)] for i in row))
+    if args.verbose:
+        print(f"[headless] {args.frames} frames, {float(rays):.3e} rays in "
+              f"last frame, mean spp {float(mean_spp):.1f}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,179 @@
+"""The frame-loop engine — the reference's `run()` re-designed around an
+async device pipeline.
+
+The reference's loop is fully synchronous: dispatch, block on readback,
+encode, print (reference: src/lib.rs:386-565, blocking map_async+poll at
+lib.rs:468-472). Here the compiled render step for frame k+1 is dispatched
+*before* frame k's pixels are fetched and blitted, so host encode/IO overlap
+device compute (JAX dispatch is async; `jax.device_get` of the previous
+frame is the only sync point). One frame of display latency, bought back as
+throughput — `pipeline=False` restores the reference's ordering.
+
+Loop semantics match lib.rs:386-565: 1 ms input poll; WASD/arrows mutate the
+camera and reset accumulation (frame_number=0); rendering stops at
+`frames_to_accumulate` and idles at 10 ms; ESC exits. Extensions: 'v'
+toggles the variance heat-map debug view (completing the reference's
+write-only variance channel, SURVEY.md §5.5), 'p' dumps a screenshot.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import Camera, scene as scene_mod
+from ..ops import tonemap as tm
+from .blit import Blitter
+from .state import init_state, make_render_step
+from .terminal import TerminalSession, terminal_size
+from .timing import FrameTimers
+
+IDLE_SLEEP = 0.010  # accumulation finished (lib.rs:562-563)
+
+
+class Engine:
+    def __init__(
+        self,
+        scene: scene_mod.Scene,
+        full_color: bool = False,
+        backend: str = "auto",
+        threads: int = 0,
+        verbose: bool = False,
+        deterministic: Optional[int] = None,
+        pipeline: bool = True,
+        camera: Optional[Camera] = None,
+    ):
+        self.scene = scene
+        self.full_color = full_color
+        self.verbose = verbose
+        self.pipeline = pipeline
+        self.camera = camera if camera is not None else Camera()
+        self.step = make_render_step(scene, full_color=full_color, backend=backend)
+        self.state = init_state(scene)
+        self.blitter = Blitter(scene.height, scene.width, full_color, threads)
+        # The variance heat map is always drawn as truecolor blocks.
+        self._fc_blitter = (
+            self.blitter
+            if full_color
+            else Blitter(scene.height, scene.width, True, threads)
+        )
+        self.timers = FrameTimers()
+        self.frame_count = 0
+        self.variance_view = False
+        self._rng = np.random.RandomState(deterministic)
+        self._deterministic = deterministic is not None
+        # Tiny jitted postprocessors for the debug view / stats scalars.
+        self._heatmap = jax.jit(tm.variance_heatmap)
+        self._mean = jax.jit(jnp.mean)
+        if verbose:
+            dev = jax.devices()[0]
+            print(
+                f"device: {dev.platform} {getattr(dev, 'device_kind', '')} | "
+                f"backend={backend} | blitter="
+                f"{'native' if self.blitter.native else 'python'} | "
+                f"{scene.width}x{scene.height} spp={scene.samples_per_pixel} "
+                f"depth={scene.max_depth}",
+                file=sys.stderr,
+            )
+
+    # ------------------------------------------------------------------
+
+    def _seed(self) -> np.uint32:
+        # rand::random::<u32>() + frame_count (lib.rs:423), wrapping.
+        return np.uint32(
+            (self._rng.randint(0, 2**32, dtype=np.uint64) + self.frame_count)
+            & 0xFFFFFFFF
+        )
+
+    def render_one(self, frame_number: int):
+        """Dispatch one compiled step (async) and advance state."""
+        out = self.step(
+            self.state, self.camera.pose(), self._seed(), np.int32(frame_number)
+        )
+        self.state = out.state
+        self.frame_count += 1
+        return out
+
+    def _fetch(self, out):
+        """Sync point: previous frame's device->host transfer."""
+        heatmap = self.variance_view
+        if heatmap:
+            rgb = self._heatmap(out.state.variance)
+            glyphs = None
+        else:
+            rgb = out.rgb
+            glyphs = None if self.full_color else out.glyphs
+        rgb, glyphs, rays, mean_samples = jax.device_get(
+            (rgb, glyphs, out.rays, self._mean(out.state.samples))
+        )
+        return rgb, glyphs, rays, mean_samples, heatmap
+
+    # ------------------------------------------------------------------
+
+    def run_interactive(self):
+        scene = self.scene
+        cam_moved = True
+        pending = None  # dispatched-but-not-displayed FrameOutput
+        with TerminalSession() as term:
+            while True:
+                self.timers.start_frame()
+                key = term.poll_key(0.001)
+                if key == "esc":
+                    break
+                if key == "v":
+                    self.variance_view = not self.variance_view
+                moved = self.camera.apply_key(key) if key else False
+                if moved:
+                    cam_moved = True
+                    self.frame_count = 0
+                    pending = None  # stale frame: don't display pre-move pixels
+
+                if self.frame_count < scene.frames_to_accumulate:
+                    with self.timers.phase("tpu"):
+                        out = self.render_one(0 if cam_moved else self.frame_count)
+                    cam_moved = False
+                    if not self.pipeline:
+                        self._display(term, self._fetch(out))
+                        continue
+                    if pending is not None:
+                        self._display(term, self._fetch(pending))
+                    pending = out
+                else:
+                    if pending is not None:
+                        self._display(term, self._fetch(pending))
+                        pending = None
+                    time.sleep(IDLE_SLEEP)
+        print("Exiting.")
+
+    def _display(self, term, fetched):
+        rgb, glyphs, rays, mean_samples, heatmap = fetched
+        with self.timers.phase("cpu"):
+            blitter = self._fc_blitter if heatmap else self.blitter
+            payload = blitter.encode(
+                np.asarray(rgb), None if glyphs is None else np.asarray(glyphs)
+            )
+        dt = max(sum(self.timers._frame_times) / max(len(self.timers._frame_times), 1), 1e-9)
+        mray = float(rays) / dt / 1e6 if self.timers._frame_times else 0.0
+        status = self.timers.status_line(
+            self.frame_count,
+            self.scene.frames_to_accumulate,
+            mray_s=mray,
+            samples=float(mean_samples),
+        )
+        with self.timers.phase("io"):
+            term.write_frame(payload, status, self.scene.height)
+
+    # ------------------------------------------------------------------
+
+    def run_headless(self, n_frames: int):
+        """Render n accumulated frames without a terminal; returns the final
+        fetched (rgb, glyphs, rays, mean_samples)."""
+        out = None
+        for f in range(n_frames):
+            out = self.render_one(f)
+        return self._fetch(out)

@@ -1,0 +1,64 @@
+"""Per-frame phase timers and rolling FPS — the reference's entire
+observability system (reference: src/lib.rs:358-367, 479-494, 551-558),
+plus the Mray/s counter BASELINE.md measures."""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+from typing import Dict
+
+FPS_WINDOW = 30  # 30-frame rolling average (lib.rs:364)
+
+
+class FrameTimers:
+    def __init__(self):
+        self._phases: Dict[str, float] = {}
+        self._t0 = None
+        self._frame_start = None
+        self._frame_times = deque(maxlen=FPS_WINDOW)
+        self._last_frame = None
+
+    def start_frame(self):
+        self._frame_start = time.perf_counter()
+        now = self._frame_start
+        if self._last_frame is not None:
+            self._frame_times.append(now - self._last_frame)
+        self._last_frame = now
+        self._phases = {}
+
+    def phase(self, name: str):
+        """Context manager timing one phase of the frame."""
+        timers = self
+
+        class _P:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+
+            def __exit__(self, *exc):
+                timers._phases[name] = timers._phases.get(name, 0.0) + (
+                    time.perf_counter() - self.t0
+                )
+                return False
+
+        return _P()
+
+    @property
+    def fps(self) -> float:
+        if not self._frame_times:
+            return 0.0
+        return len(self._frame_times) / sum(self._frame_times)
+
+    def status_line(self, frame_count: int, frames_to_accumulate: int,
+                    mray_s: float = 0.0, samples: float = 0.0) -> str:
+        """Same fields as lib.rs:551-558 (TPU/device wait replaces 'GPU'),
+        plus Mray/s and the adaptive sampler's mean samples/pixel."""
+        total_ms = (time.perf_counter() - self._frame_start) * 1e3
+        p = {k: v * 1e3 for k, v in self._phases.items()}
+        other = total_ms - sum(p.values())
+        return (
+            f"Frame: {frame_count}/{frames_to_accumulate} | FPS: {self.fps:.1f} | "
+            f"TPU: {p.get('tpu', 0):.0f}ms | CPU: {p.get('cpu', 0):.0f}ms | "
+            f"IO: {p.get('io', 0):.0f}ms | Other: {other:.0f}ms | "
+            f"Total: {total_ms:.0f}ms | {mray_s:.0f} Mray/s | spp: {samples:.1f}"
+        )

