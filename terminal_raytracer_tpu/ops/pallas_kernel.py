@@ -8,16 +8,26 @@ a (TILE_H, TILE_W) = (8, 128)-aligned block of pixels with every per-pixel
 quantity held as an (8, 128) vector register tile — the direct hardware
 analog of a full GPU workgroup per VPU op.
 
-All of the actual path-tracing math is `ops.tracer.PathTracer.render_lanes`
-— the *same* code the jnp oracle runs — so this module is memory
-orchestration only:
+All of the actual path-tracing math is `ops.tracer.PathTracer` — the *same*
+code the jnp oracle runs — so this module is memory orchestration only:
 
 * scene geometry is baked into the kernel as compile-time constants
   (models/scene.py), so the hot loop touches no HBM at all;
 * per-frame camera pose / seed / frame-number land in SMEM;
-* per-tile outputs (current-sample color planes, variance, sample counts)
-  stream back to HBM through the grid pipeline;
-* the ray counter reduces per-tile into a tiny [grid] array, summed outside.
+* per-tile outputs (current-sample color planes, variance, sample counts,
+  per-pixel ray counts) stream back to HBM through the grid pipeline.
+
+Two schedulers (`mode`):
+
+* 'regen' (default) — path regeneration: per-lane path state lives in VMEM
+  scratch; a lax.while_loop with scalar-only carries (Mosaic cannot
+  legalize vector while carries — mutating scratch refs from the body
+  sidesteps that) keeps every lane busy on its own sample stream and exits
+  the moment no lane in the tile owes work. Occupancy stays near 100%
+  until the tile's last samples drain.
+* 'lockstep' — fixed-trip fori loops, every lane executes max_depth bounces
+  per sample (the straightforward port of the reference's loop nest; kept
+  for benchmarking and as a fallback).
 
 On non-TPU backends the kernel runs in interpreter mode (tests); the oracle
 backend remains the fast path off-TPU.
@@ -25,11 +35,11 @@ backend remains the fast path off-TPU.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 try:  # TPU-specific memory spaces; absent on some CPU-only installs.
@@ -42,6 +52,7 @@ except ImportError:  # pragma: no cover
 
 from ..models import scene as scene_mod
 from . import tracer as tracer_mod
+from .vecmath import V3
 
 # VPU-native tile: 8 sublanes x 128 lanes of f32.
 TILE_H = 8
@@ -52,16 +63,39 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _carry_dtype_counts(tracer, tile_h, tile_w):
+    """Leaf dtypes of the regen carry, for sizing scratch buffers."""
+    dummy = jax.eval_shape(
+        lambda: tracer.regen_carry0(
+            tracer_mod.Cam(
+                V3(0.0, 0.0, 0.0), V3(0.0, 0.0, 1.0),
+                V3(1.0, 0.0, 0.0), V3(0.0, 1.0, 0.0),
+            ),
+            jnp.zeros((tile_h, tile_w), jnp.float32),
+            jnp.zeros((tile_h, tile_w), jnp.float32),
+            jnp.zeros((tile_h, tile_w), jnp.uint32),
+            jnp.zeros((tile_h, tile_w), jnp.float32),
+        )
+    )
+    leaves = jax.tree_util.tree_leaves(dummy)
+    counts = {"uint32": 0, "int32": 0, "float32": 0}
+    for leaf in leaves:
+        counts[str(leaf.dtype)] += 1
+    return counts
+
+
 def make_render_frame(
     scene: scene_mod.Scene,
     tile_h: int = TILE_H,
     tile_w: int = TILE_W,
     interpret: str = "auto",
+    mode: str = "regen",
 ):
     """Build `render_frame(pose, seed, frame_number)` backed by the Pallas
     megakernel. Same signature/returns as PathTracer.render_frame."""
-    # Mosaic cannot legalize while-loops with vector carries: fixed-trip
-    # fori loops with dead-lane masking instead (see PathTracer.loop_mode).
+    # Mosaic cannot legalize while-loops with vector carries; the lockstep
+    # path uses fixed-trip fori loops (PathTracer.loop_mode='fori') and the
+    # regen path keeps its vectors in scratch refs.
     tracer = tracer_mod.PathTracer(scene, loop_mode="fori")
     h, w = scene.height, scene.width
     grid = (_cdiv(h, tile_h), _cdiv(w, tile_w))
@@ -71,8 +105,7 @@ def make_render_frame(
     else:
         interp = bool(interpret)
 
-    def kernel(pose_ref, seed_ref, frame_ref, r_ref, g_ref, b_ref, var_ref,
-               tot_ref, rays_ref):
+    def _tile_coords():
         ti = pl.program_id(0)
         tj = pl.program_id(1)
         ys = ti * tile_h + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
@@ -81,17 +114,77 @@ def make_render_frame(
         # RNG, trace, or count rays (the reference's bounds check,
         # shader.wgsl:503).
         active = (xs < w) & (ys < h)
+        return xs, ys, active
 
-        cam = tracer_mod.cam_from_pose(pose_ref)
-        cur, var, tot, rays = tracer.render_lanes(
-            cam, xs, ys, seed_ref[0], frame_ref[0], active=active
-        )
+    def _write_outputs(refs, cur, var, tot, rays):
+        r_ref, g_ref, b_ref, var_ref, tot_ref, rays_ref = refs
         r_ref[:, :] = cur.x
         g_ref[:, :] = cur.y
         b_ref[:, :] = cur.z
         var_ref[:, :] = var
         tot_ref[:, :] = tot
         rays_ref[:, :] = rays
+
+    def kernel_lockstep(pose_ref, seed_ref, frame_ref, *out_refs):
+        xs, ys, active = _tile_coords()
+        cam = tracer_mod.cam_from_pose(pose_ref)
+        out = tracer.render_lanes(
+            cam, xs, ys, seed_ref[0], frame_ref[0], active=active
+        )
+        _write_outputs(out_refs, *out)
+
+    # --- regen: carry lives in typed scratch planes --------------------------
+
+    def _carry_to_refs(carry, refs):
+        idx = {"uint32": 0, "int32": 0, "float32": 0}
+        for leaf in jax.tree_util.tree_leaves(carry):
+            d = str(leaf.dtype)
+            refs[d][idx[d]] = leaf
+            idx[d] += 1
+
+    def _carry_from_refs(treedef, leaf_dtypes, refs):
+        idx = {"uint32": 0, "int32": 0, "float32": 0}
+        out = []
+        for d in leaf_dtypes:
+            out.append(refs[d][idx[d]])
+            idx[d] += 1
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    def kernel_regen(pose_ref, seed_ref, frame_ref, r_ref, g_ref, b_ref,
+                     var_ref, tot_ref, rays_ref, u32_s, i32_s, f32_s):
+        xs, ys, active = _tile_coords()
+        cam = tracer_mod.cam_from_pose(pose_ref)
+        xf = xs.astype(jnp.float32)
+        yf = ys.astype(jnp.float32)
+        refs = {"uint32": u32_s, "int32": i32_s, "float32": f32_s}
+        max_iters = (scene.samples_per_pixel + 1) * scene.max_depth + 4
+
+        def driver(carry0):
+            leaves, treedef = jax.tree_util.tree_flatten(carry0)
+            leaf_dtypes = [str(l.dtype) for l in leaves]
+            _carry_to_refs(carry0, refs)
+
+            def cond(c):
+                it, n = c
+                return (it < max_iters) & (n > 0)
+
+            def body(c):
+                it, _ = c
+                carry = _carry_from_refs(treedef, leaf_dtypes, refs)
+                carry = tracer.regen_step(cam, xf, yf, carry)
+                _carry_to_refs(carry, refs)
+                return (it + 1, tracer.regen_pending(carry))
+
+            jax.lax.while_loop(
+                cond, body, (jnp.int32(0), tracer.regen_pending(carry0))
+            )
+            return _carry_from_refs(treedef, leaf_dtypes, refs)
+
+        out = tracer.render_lanes_regen(
+            cam, xs, ys, seed_ref[0], frame_ref[0], active=active,
+            driver=driver,
+        )
+        _write_outputs((r_ref, g_ref, b_ref, var_ref, tot_ref, rays_ref), *out)
 
     if _HAS_PLTPU:
         vmem = {"memory_space": pltpu.VMEM}
@@ -100,6 +193,27 @@ def make_render_frame(
         vmem = smem = {}
     tile_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), **vmem)
     plane = jax.ShapeDtypeStruct((h, w), jnp.float32)
+
+    if mode == "regen":
+        counts = _carry_dtype_counts(tracer, tile_h, tile_w)
+        if _HAS_PLTPU:
+            scratch_shapes = [
+                pltpu.VMEM((counts["uint32"], tile_h, tile_w), jnp.uint32),
+                pltpu.VMEM((counts["int32"], tile_h, tile_w), jnp.int32),
+                pltpu.VMEM((counts["float32"], tile_h, tile_w), jnp.float32),
+            ]
+        else:  # pragma: no cover
+            scratch_shapes = [
+                pl.MemoryRef((counts["uint32"], tile_h, tile_w), jnp.uint32),
+                pl.MemoryRef((counts["int32"], tile_h, tile_w), jnp.int32),
+                pl.MemoryRef((counts["float32"], tile_h, tile_w), jnp.float32),
+            ]
+        kernel = kernel_regen
+    elif mode == "lockstep":
+        scratch_shapes = []
+        kernel = kernel_lockstep
+    else:
+        raise ValueError(f"unknown kernel mode {mode!r}")
 
     call = pl.pallas_call(
         kernel,
@@ -112,6 +226,7 @@ def make_render_frame(
         out_specs=[tile_spec] * 6,
         # r, g, b, variance, total samples, per-pixel ray counts
         out_shape=[plane] * 6,
+        scratch_shapes=scratch_shapes,
         interpret=interp,
     )
 
@@ -120,8 +235,6 @@ def make_render_frame(
         seed = jnp.asarray(seed, jnp.uint32).reshape((1,))
         frame = jnp.asarray(frame_number, jnp.int32).reshape((1,))
         r, g, b, var, tot, rays = call(pose, seed, frame)
-        from .vecmath import V3
-
         return V3(r, g, b), var, tot, jnp.sum(rays)
 
     return render_frame

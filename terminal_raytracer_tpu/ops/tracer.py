@@ -206,6 +206,67 @@ class PathTracer:
         return state, direct
 
     # ------------------------------------------------------------------
+    # One wavefront bounce (the body of shader.wgsl:444-493)
+    # ------------------------------------------------------------------
+
+    def bounce_step(self, state, o: V3, d: V3, att: V3, acc: V3, alive,
+                    bounce_idx, rays):
+        """Advance every live lane by one bounce.
+
+        `bounce_idx` is the bounce counter — a traced scalar in the lockstep
+        sample loop, or a per-lane i32 vector in the path-regeneration
+        driver (identical semantics; it only feeds the Russian-roulette
+        `i > 3` condition, shader.wgsl:485).
+
+        Returns (state, o', d', att', acc', alive', rays') where alive'
+        excludes lanes that missed (sky added) or were RR-killed this
+        bounce. Depth termination is the caller's loop bound.
+        """
+        zeros = jnp.zeros_like(o.x)
+        hit = self.prims.closest_hit(o, d, geom.RAY_EPS, geom.T_FAR)
+        rays = rays + jnp.where(alive, 1.0, 0.0)
+
+        # Miss -> sky contribution, then the lane dies (wgsl:447-452).
+        miss_now = alive & (~hit.found)
+        acc = acc + vm.where(miss_now, sky_color(d) * att, vm.splat(zeros))
+        live = alive & hit.found
+
+        # Emission on direct hit (wgsl:455) — every bounce, no MIS.
+        acc = acc + vm.where(live, hit.emission * att, vm.splat(zeros))
+
+        # NEE (wgsl:458-459). Shadow sweeps count as rays for live lanes.
+        state, direct = self.direct_light(
+            state, hit.p, hit.normal, hit.color, att, live
+        )
+        acc = acc + vm.where(live, direct, vm.splat(zeros))
+        rays = rays + jnp.where(live, float(self.n_lights), 0.0)
+
+        # Scatter: stochastic mirror-vs-diffuse (wgsl:465-480).
+        state, r_spec = prng.next_f32(state, live)
+        is_refl = hit.reflectivity > r_spec
+        refl_dir = vm.reflect(d, hit.normal)
+        state, cos_dir = sampling.cosine_hemisphere(
+            state, hit.normal, live & (~is_refl)
+        )
+        new_d = vm.where(is_refl, refl_dir, cos_dir)
+        att = vm.where(live, att * hit.color, att)
+        new_o = hit.p + new_d * geom.RAY_EPS  # offset along scatter dir (wgsl:482)
+
+        # Russian roulette from bounce 4 (wgsl:485-492): kill first,
+        # compensate survivors.
+        rr_on = live & (bounce_idx > RR_START_BOUNCE)
+        state, r_rr = prng.next_f32(state, rr_on)
+        p_surv = jnp.minimum(RR_MAX_SURVIVAL, vm.max_component(att))
+        killed = rr_on & (p_surv < r_rr)
+        att = vm.where(rr_on & ~killed, att / p_surv, att)
+        alive = live & (~killed)
+
+        # Sanitize dead lanes so NaNs can't leak into the next sweep.
+        d = vm.where(alive, new_d, V3(zeros, zeros, zeros + 1.0))
+        o = vm.where(alive, new_o, vm.splat(zeros))
+        return state, o, d, att, acc, alive, rays
+
+    # ------------------------------------------------------------------
     # ray_color: the masked wavefront bounce loop (shader.wgsl:439-495)
     # ------------------------------------------------------------------
 
@@ -240,48 +301,9 @@ class PathTracer:
 
         def body(carry):
             i, state, o, d, att, acc, alive_f, rays = carry
-            alive = alive_f != 0.0
-            hit = self.prims.closest_hit(o, d, geom.RAY_EPS, geom.T_FAR)
-            rays = rays + jnp.where(alive, 1.0, 0.0)
-
-            # Miss -> sky contribution, then the lane dies (wgsl:447-452).
-            miss_now = alive & (~hit.found)
-            acc = acc + vm.where(miss_now, sky_color(d) * att, vm.splat(zeros))
-            live = alive & hit.found
-
-            # Emission on direct hit (wgsl:455) — every bounce, no MIS.
-            acc = acc + vm.where(live, hit.emission * att, vm.splat(zeros))
-
-            # NEE (wgsl:458-459). Shadow sweeps count as rays for live lanes.
-            state, direct = self.direct_light(
-                state, hit.p, hit.normal, hit.color, att, live
+            state, o, d, att, acc, alive, rays = self.bounce_step(
+                state, o, d, att, acc, alive_f != 0.0, i, rays
             )
-            acc = acc + vm.where(live, direct, vm.splat(zeros))
-            rays = rays + jnp.where(live, float(self.n_lights), 0.0)
-
-            # Scatter: stochastic mirror-vs-diffuse (wgsl:465-480).
-            state, r_spec = prng.next_f32(state, live)
-            is_refl = hit.reflectivity > r_spec
-            refl_dir = vm.reflect(d, hit.normal)
-            state, cos_dir = sampling.cosine_hemisphere(
-                state, hit.normal, live & (~is_refl)
-            )
-            new_d = vm.where(is_refl, refl_dir, cos_dir)
-            att = vm.where(live, att * hit.color, att)
-            new_o = hit.p + new_d * geom.RAY_EPS  # offset along scatter dir (wgsl:482)
-
-            # Russian roulette from bounce 4 (wgsl:485-492): kill first,
-            # compensate survivors.
-            state, r_rr = prng.next_f32(state, live & (i > RR_START_BOUNCE))
-            p_surv = jnp.minimum(RR_MAX_SURVIVAL, vm.max_component(att))
-            rr_on = live & (i > RR_START_BOUNCE)
-            killed = rr_on & (p_surv < r_rr)
-            att = vm.where(rr_on & ~killed, att / p_surv, att)
-            alive = live & (~killed)
-
-            # Sanitize dead lanes so NaNs can't leak into the next sweep.
-            d = vm.where(alive, new_d, V3(zeros, zeros, zeros + 1.0))
-            o = vm.where(alive, new_o, vm.splat(zeros))
             return (i + 1, state, o, d, att, acc, jnp.where(alive, 1.0, 0.0), rays)
 
         if self.loop_mode == "while":
@@ -398,6 +420,160 @@ class PathTracer:
 
         # Normalization (wgsl:600-610): adaptive pixels average over the
         # samples actually taken; everyone else divides base sum by spp.
+        total = float(base) + additional
+        current = vm.where(
+            needs,
+            (csum + esum) * (1.0 / total),
+            csum * (1.0 / spp),
+        )
+        return current, var, total, rays
+
+    # ------------------------------------------------------------------
+    # Path regeneration (the high-occupancy wavefront scheduler)
+    # ------------------------------------------------------------------
+    #
+    # The lockstep sample loop above executes max_depth bounce steps per
+    # sample for EVERY lane; after Russian roulette / misses most lanes are
+    # dead ballast (~30% occupancy at depth 32). Path regeneration fixes
+    # this: each lane works through its own sample quota at its own pace —
+    # the moment a lane's path terminates, the next iteration regenerates a
+    # fresh camera ray for that lane's next sample. One phase runs for
+    # ~quota x E[path length] iterations instead of quota x max_depth, and
+    # the adaptive extra-sample phase costs each lane only what its own
+    # variance budget demands (shader.wgsl:561-562) rather than the tile
+    # maximum. Per-lane RNG chains are identical to the lockstep driver
+    # (every draw carries the same reference-control-flow gate), so results
+    # are bit-equal — this is purely a scheduler change.
+
+    def regen_carry0(self, cam: Cam, xf, yf, state, quota):
+        zeros = jnp.zeros_like(xf)
+        return (
+            state,  # u32 rng
+            jnp.zeros_like(xf, dtype=jnp.int32),  # sample index
+            quota,  # f32 per-lane sample quota
+            vm.splat(zeros),  # o
+            V3(zeros, zeros, zeros + 1.0),  # d (unit placeholder)
+            vm.splat(zeros),  # att (dead until regenerated)
+            vm.splat(zeros),  # acc of the in-flight sample
+            jnp.zeros_like(xf, dtype=jnp.int32),  # bounce counter
+            zeros,  # alive (f32 mask)
+            vm.splat(zeros),  # csum
+            vm.splat(zeros),  # csumsq
+            zeros,  # rays
+        )
+
+    def regen_pending(self, carry):
+        """Scalar count of lanes still owing work (drives the while cond)."""
+        _, samp, quota, _, _, _, _, _, alive_f, _, _, _ = carry
+        pending = (alive_f != 0.0) | (samp.astype(jnp.float32) < quota)
+        return jnp.sum(jnp.where(pending, 1, 0)).astype(jnp.int32)
+
+    def regen_step(self, cam: Cam, xf, yf, carry):
+        """One scheduler iteration: regenerate finished lanes, advance every
+        live lane one bounce, fold finished samples into the accumulators.
+        Returns the updated carry."""
+        (state, samp, quota, o, d, att, acc, bounce, alive_f, csum, csumsq,
+         rays) = carry
+        zeros = jnp.zeros_like(xf)
+        alive = alive_f != 0.0
+
+        # Regenerate: idle lanes with samples remaining start their next
+        # sample (same draws the lockstep sample loop would make:
+        # per-sample re-hash, then 2 ray-gen draws — shader.wgsl:517-520).
+        need = (~alive) & (samp.astype(jnp.float32) < quota)
+        state = prng.advance_sample(state, samp, need)
+        state, o2, d2 = self.gen_ray(state, cam, xf, yf, need)
+        o = vm.where(need, o2, o)
+        d = vm.where(need, d2, d)
+        att = vm.where(need, vm.splat(jnp.ones_like(xf)), att)
+        acc = vm.where(need, vm.splat(zeros), acc)
+        bounce = jnp.where(need, 0, bounce)
+        alive = alive | need
+
+        # One bounce for all live lanes.
+        executed = alive
+        state, o, d, att, acc, alive, rays = self.bounce_step(
+            state, o, d, att, acc, alive, bounce, rays
+        )
+
+        # Termination bookkeeping: miss/RR-kill (alive dropped) or depth
+        # exhausted (the reference loop simply ends, shader.wgsl:444).
+        bounce = jnp.where(executed, bounce + 1, bounce)
+        at_depth = alive & (bounce >= self.max_depth)
+        finished = (executed & (~alive)) | at_depth
+        csum = csum + vm.where(finished, acc, vm.splat(zeros))
+        csumsq = csumsq + vm.where(finished, acc * acc, vm.splat(zeros))
+        samp = samp + jnp.where(finished, 1, 0)
+        alive = alive & (~at_depth)
+
+        return (state, samp, quota, o, d, att, acc, bounce,
+                jnp.where(alive, 1.0, 0.0), csum, csumsq, rays)
+
+    def _run_regen_jnp(self, cam, xf, yf, carry):
+        """XLA driver: vector-carry while loop (oracle / CPU / tests)."""
+        # Safety bound only — the pending count is the real exit condition.
+        max_iters = (self.spp + 1) * self.max_depth + 4
+
+        def cond(c):
+            it, carry = c
+            return (it < max_iters) & (self.regen_pending(carry) > 0)
+
+        def body(c):
+            it, carry = c
+            return (it + 1, self.regen_step(cam, xf, yf, carry))
+
+        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+        return carry
+
+    def render_lanes_regen(self, cam: Cam, x, y, seed, frame_number,
+                           active=None, driver=None):
+        """render_lanes with the path-regeneration scheduler. Bit-identical
+        outputs (same RNG chains); `driver(carry0) -> carry` overrides the
+        loop driver (the Pallas kernel supplies a scratch-ref-based one)."""
+        xf = x.astype(jnp.float32)
+        yf = y.astype(jnp.float32)
+        pix = y.astype(jnp.uint32) * jnp.uint32(self.width) + x.astype(jnp.uint32)
+        state0 = prng.seed_pixel(pix, jnp.asarray(seed), jnp.asarray(frame_number))
+        zeros = jnp.zeros_like(xf)
+        base = self.base_samples
+        spp = self.spp
+        run = driver if driver is not None else (
+            lambda c: self._run_regen_jnp(cam, xf, yf, c)
+        )
+
+        # Phase 1: base samples (quota = base on real pixels).
+        quota1 = zeros + float(base)
+        if active is not None:
+            quota1 = jnp.where(active, quota1, 0.0)
+        carry = run(self.regen_carry0(cam, xf, yf, state0, quota1))
+        (state, _, _, _, _, _, _, _, _, csum, csumsq, rays) = carry
+
+        mean = csum * (1.0 / base)
+        var = vm.sum_components(csumsq * (1.0 / base) - mean * mean)
+
+        if base >= spp:
+            current = csum * (1.0 / spp)
+            total = zeros + float(base)
+            return current, var, total, rays
+
+        needs = var > ADAPTIVE_VAR_THRESHOLD
+        if active is not None:
+            needs = needs & active
+        additional = jnp.where(
+            needs,
+            jnp.minimum(float(spp - base), jnp.floor(var * ADAPTIVE_VAR_SCALE)),
+            0.0,
+        )
+
+        # Phase 2: per-lane extra quota; sample indices continue at `base`
+        # so the per-sample re-hash matches shader.wgsl:565.
+        carry2 = list(self.regen_carry0(cam, xf, yf, state, additional))
+        carry2[1] = jnp.zeros_like(x, dtype=jnp.int32) + base  # sample idx
+        carry2[2] = additional + float(base)  # quota in absolute samples
+        carry2[11] = rays
+        carry = run(tuple(carry2))
+        (state, _, _, _, _, _, _, _, _, esum, _, rays) = carry
+
         total = float(base) + additional
         current = vm.where(
             needs,

@@ -18,18 +18,30 @@ from terminal_raytracer_tpu.ops.tracer import PathTracer
 
 POSE = Camera().pose()
 
+# Both kernel schedulers are checked against the oracle. The regen
+# scheduler makes the same RNG draws with the same gates, so every
+# *decision* output (ray counts, per-pixel sample totals) is bit-equal;
+# radiance values differ only by float fusion/association (~1e-5).
+MODES = ["lockstep", "regen"]
+
 
 def _compare(scene, seed=42, frame=0):
-    pf = jax.jit(pallas_kernel.make_render_frame(scene))
     of = jax.jit(PathTracer(scene).render_frame)
-    cur_p, var_p, tot_p, rays_p = pf(POSE, np.uint32(seed), np.int32(frame))
     cur_o, var_o, tot_o, rays_o = of(POSE, np.uint32(seed), np.int32(frame))
-    np.testing.assert_allclose(np.asarray(cur_p.x), np.asarray(cur_o.x), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(cur_p.y), np.asarray(cur_o.y), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(cur_p.z), np.asarray(cur_o.z), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(var_p), np.asarray(var_o), atol=1e-6)
-    np.testing.assert_array_equal(np.asarray(tot_p), np.asarray(tot_o))
-    assert float(rays_p) == float(rays_o)
+    for mode in MODES:
+        pf = jax.jit(pallas_kernel.make_render_frame(scene, mode=mode))
+        cur_p, var_p, tot_p, rays_p = pf(POSE, np.uint32(seed), np.int32(frame))
+        err = f"mode={mode}"
+        np.testing.assert_allclose(
+            np.asarray(cur_p.x), np.asarray(cur_o.x), atol=2e-5, err_msg=err)
+        np.testing.assert_allclose(
+            np.asarray(cur_p.y), np.asarray(cur_o.y), atol=2e-5, err_msg=err)
+        np.testing.assert_allclose(
+            np.asarray(cur_p.z), np.asarray(cur_o.z), atol=2e-5, err_msg=err)
+        np.testing.assert_allclose(
+            np.asarray(var_p), np.asarray(var_o), atol=1e-4, err_msg=err)
+        np.testing.assert_array_equal(np.asarray(tot_p), np.asarray(tot_o), err)
+        assert float(rays_p) == float(rays_o), err
 
 
 def test_exact_tile_shape():
