@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="(ext) resume from a saved state")
     p.add_argument("--no-clamp", action="store_true",
                    help="(ext) don't clamp resolution to the terminal size")
+    p.add_argument("--scan", action="store_true",
+                   help="(ext) with --frames: compile the whole frame "
+                        "sequence as one lax.scan program (offline mode)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="(ext) with --frames: dump a jax.profiler trace of "
+                        "the render to DIR (view with TensorBoard/Perfetto)")
     return p
 
 
@@ -111,7 +117,38 @@ def main(argv=None) -> int:
         engine.run_interactive()
         return 0
 
-    rgb, glyphs, rays, mean_spp, _heatmap = engine.run_headless(args.frames)
+    import contextlib
+
+    profile_ctx = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile)
+
+    with profile_ctx:
+        if args.scan:
+            from .runtime.offline import make_scan_renderer
+            import jax
+            import jax.numpy as jnp
+            import numpy as np
+
+            render = make_scan_renderer(
+                scene, args.frames, full_color=args.full_color,
+                backend=args.backend,
+            )
+            rng = np.random.RandomState(args.deterministic)
+            seeds = (
+                rng.randint(0, 2**32, size=args.frames, dtype=np.uint64)
+                + np.arange(args.frames, dtype=np.uint64)
+            ).astype(np.uint32)
+            engine.state, rgb, glyphs, rays = render(
+                engine.state, engine.camera.pose(), jnp.asarray(seeds)
+            )
+            engine.frame_count = args.frames
+            rgb, glyphs, rays = jax.device_get((rgb, glyphs, rays))
+            mean_spp = float("nan")
+        else:
+            rgb, glyphs, rays, mean_spp, _heatmap = engine.run_headless(args.frames)
     if args.dump_image:
         import numpy as np
 
