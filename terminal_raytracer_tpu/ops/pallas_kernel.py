@@ -54,8 +54,10 @@ from ..models import scene as scene_mod
 from . import tracer as tracer_mod
 from .vecmath import V3
 
-# VPU-native tile: 8 sublanes x 128 lanes of f32.
-TILE_H = 8
+# Tile shape: (16, 128) won the tile scan on v5e (two f32 register tiles
+# deep amortizes the scheduler loop's scalar overhead; wider/deeper tiles
+# lose to drain-tail waste). The minimum f32 tile is (8, 128).
+TILE_H = 16
 TILE_W = 128
 
 

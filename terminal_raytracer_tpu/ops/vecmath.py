@@ -61,17 +61,57 @@ def splat(c: Scalar) -> V3:
     return V3(c, c, c)
 
 
+def _is_const(v, value: float) -> bool:
+    return isinstance(v, (int, float)) and float(v) == value
+
+
+def _smul(a, b):
+    """Trace-time-folding multiply: scene geometry is baked as Python-float
+    constants (models/scene.py), and axis-aligned data is full of exact
+    0/±1 components — folding them here removes real VPU ops that Mosaic
+    would otherwise emit (XLA folds these; Mosaic is weaker). Folding
+    0*x -> 0 also short-circuits NaN/Inf from masked dead lanes, which is
+    the safe direction (every consumer is mask-selected)."""
+    if _is_const(a, 0.0) or _is_const(b, 0.0):
+        return 0.0
+    if _is_const(a, 1.0):
+        return b
+    if _is_const(b, 1.0):
+        return a
+    if _is_const(a, -1.0):
+        return -b
+    if _is_const(b, -1.0):
+        return -a
+    return a * b
+
+
+def _sadd(a, b):
+    if _is_const(a, 0.0):
+        return b
+    if _is_const(b, 0.0):
+        return a
+    return a + b
+
+
+def _ssub(a, b):
+    if _is_const(b, 0.0):
+        return a
+    if _is_const(a, 0.0):
+        return -b
+    return a - b
+
+
 def dot(a: V3, b: V3) -> Scalar:
-    """shader.wgsl:126-128."""
-    return a.x * b.x + a.y * b.y + a.z * b.z
+    """shader.wgsl:126-128 (with trace-time constant folding)."""
+    return _sadd(_sadd(_smul(a.x, b.x), _smul(a.y, b.y)), _smul(a.z, b.z))
 
 
 def cross(a: V3, b: V3) -> V3:
-    """shader.wgsl:225-232."""
+    """shader.wgsl:225-232 (with trace-time constant folding)."""
     return V3(
-        a.y * b.z - a.z * b.y,
-        a.z * b.x - a.x * b.z,
-        a.x * b.y - a.y * b.x,
+        _ssub(_smul(a.y, b.z), _smul(a.z, b.y)),
+        _ssub(_smul(a.z, b.x), _smul(a.x, b.z)),
+        _ssub(_smul(a.x, b.y), _smul(a.y, b.x)),
     )
 
 
