@@ -134,14 +134,19 @@ class Engine:
                     pending = None  # stale frame: don't display pre-move pixels
 
                 if self.frame_count < scene.frames_to_accumulate:
-                    with self.timers.phase("tpu"):
-                        out = self.render_one(0 if cam_moved else self.frame_count)
+                    out = self.render_one(0 if cam_moved else self.frame_count)
                     cam_moved = False
                     if not self.pipeline:
-                        self._display(term, self._fetch(out))
+                        with self.timers.phase("tpu"):
+                            fetched = self._fetch(out)
+                        self._display(term, fetched)
                         continue
                     if pending is not None:
-                        self._display(term, self._fetch(pending))
+                        # Fetching frame k-1 is the device sync point — it
+                        # overlaps with frame k's compute just dispatched.
+                        with self.timers.phase("tpu"):
+                            fetched = self._fetch(pending)
+                        self._display(term, fetched)
                     pending = out
                 else:
                     if pending is not None:
@@ -157,7 +162,7 @@ class Engine:
             payload = blitter.encode(
                 np.asarray(rgb), None if glyphs is None else np.asarray(glyphs)
             )
-        dt = max(sum(self.timers._frame_times) / max(len(self.timers._frame_times), 1), 1e-9)
+        dt = max(self.timers.median_frame_time, 1e-9)
         mray = float(rays) / dt / 1e6 if self.timers._frame_times else 0.0
         status = self.timers.status_line(
             self.frame_count,

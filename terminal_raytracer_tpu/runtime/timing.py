@@ -45,9 +45,19 @@ class FrameTimers:
 
     @property
     def fps(self) -> float:
+        """Rolling FPS over the window, robust to one-off stalls (first-use
+        compiles of the heat-map view etc.): median frame time."""
         if not self._frame_times:
             return 0.0
-        return len(self._frame_times) / sum(self._frame_times)
+        times = sorted(self._frame_times)
+        return 1.0 / max(times[len(times) // 2], 1e-9)
+
+    @property
+    def median_frame_time(self) -> float:
+        if not self._frame_times:
+            return 0.0
+        times = sorted(self._frame_times)
+        return times[len(times) // 2]
 
     def status_line(self, frame_count: int, frames_to_accumulate: int,
                     mray_s: float = 0.0, samples: float = 0.0) -> str:
