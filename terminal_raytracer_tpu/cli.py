@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="(ext) resume from a saved state")
     p.add_argument("--no-clamp", action="store_true",
                    help="(ext) don't clamp resolution to the terminal size")
+    p.add_argument("--unbiased", action="store_true",
+                   help="(ext) physically-correct direct lighting: skip "
+                        "re-adding emission on NEE-sampled diffuse hits "
+                        "(the reference double-counts; see PARITY.md)")
     p.add_argument("--scan", action="store_true",
                    help="(ext) with --frames: compile the whole frame "
                         "sequence as one lax.scan program (offline mode)")
@@ -102,6 +106,7 @@ def main(argv=None) -> int:
         verbose=args.verbose,
         deterministic=args.deterministic,
         pipeline=not args.no_pipeline,
+        unbiased=args.unbiased,
     )
 
     if args.load_state:

@@ -92,13 +92,14 @@ def make_render_frame(
     tile_w: int = TILE_W,
     interpret: str = "auto",
     mode: str = "regen",
+    unbiased: bool = False,
 ):
     """Build `render_frame(pose, seed, frame_number)` backed by the Pallas
     megakernel. Same signature/returns as PathTracer.render_frame."""
     # Mosaic cannot legalize while-loops with vector carries; the lockstep
     # path uses fixed-trip fori loops (PathTracer.loop_mode='fori') and the
     # regen path keeps its vectors in scratch refs.
-    tracer = tracer_mod.PathTracer(scene, loop_mode="fori")
+    tracer = tracer_mod.PathTracer(scene, loop_mode="fori", unbiased=unbiased)
     h, w = scene.height, scene.width
     grid = (_cdiv(h, tile_h), _cdiv(w, tile_w))
 

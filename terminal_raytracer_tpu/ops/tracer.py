@@ -112,15 +112,27 @@ class PathTracer:
     but never actually change (src/lib.rs:418-430).
     """
 
-    def __init__(self, scene: scene_mod.Scene, loop_mode: str = "while"):
+    def __init__(self, scene: scene_mod.Scene, loop_mode: str = "while",
+                 unbiased: bool = False):
         """loop_mode: 'while' uses lax.while_loop for the bounce and
         adaptive-sampling loops (early exit once every lane is dead — the
         oracle/XLA path); 'fori' uses fixed-trip lax.fori_loop (Mosaic
         cannot legalize while loops with vector carries, so the Pallas
         kernel uses this). Identical results either way — dead lanes are
-        fully masked."""
+        fully masked.
+
+        unbiased=False (default) reproduces the reference exactly —
+        including its double counting of direct light: emission is added on
+        every hit *and* lights are NEE-sampled every bounce with no MIS
+        (shader.wgsl:455,458). unbiased=True adds hit emission only when
+        the path could not have NEE-sampled it — at the camera hit or after
+        a perfect-mirror scatter — removing the double count (the
+        `--unbiased` capability extension of SURVEY.md §7). RNG chains are
+        untouched (the emission add draws nothing), so the two modes render
+        the exact same paths."""
         assert loop_mode in ("while", "fori")
         self.loop_mode = loop_mode
+        self.unbiased = unbiased
         self.scene = scene
         self.prims = geom.ScenePrims(scene)
         self.width = scene.width
@@ -210,7 +222,7 @@ class PathTracer:
     # ------------------------------------------------------------------
 
     def bounce_step(self, state, o: V3, d: V3, att: V3, acc: V3, alive,
-                    bounce_idx, rays):
+                    bounce_idx, rays, emit_ok):
         """Advance every live lane by one bounce.
 
         `bounce_idx` is the bounce counter — a traced scalar in the lockstep
@@ -218,8 +230,12 @@ class PathTracer:
         driver (identical semantics; it only feeds the Russian-roulette
         `i > 3` condition, shader.wgsl:485).
 
-        Returns (state, o', d', att', acc', alive', rays') where alive'
-        excludes lanes that missed (sky added) or were RR-killed this
+        `emit_ok` (bool lanes): whether a hit's emission may be added —
+        always true in reference mode; in unbiased mode true only at the
+        camera hit / after a mirror scatter (see __init__).
+
+        Returns (state, o', d', att', acc', alive', rays', emit_ok') where
+        alive' excludes lanes that missed (sky added) or were RR-killed this
         bounce. Depth termination is the caller's loop bound.
         """
         zeros = jnp.zeros_like(o.x)
@@ -231,8 +247,10 @@ class PathTracer:
         acc = acc + vm.where(miss_now, sky_color(d) * att, vm.splat(zeros))
         live = alive & hit.found
 
-        # Emission on direct hit (wgsl:455) — every bounce, no MIS.
-        acc = acc + vm.where(live, hit.emission * att, vm.splat(zeros))
+        # Emission on direct hit (wgsl:455) — every bounce, no MIS, in
+        # reference mode; NEE-aware gating in unbiased mode.
+        emit_gate = (live & emit_ok) if self.unbiased else live
+        acc = acc + vm.where(emit_gate, hit.emission * att, vm.splat(zeros))
 
         # NEE (wgsl:458-459). Shadow sweeps count as rays for live lanes.
         state, direct = self.direct_light(
@@ -264,7 +282,9 @@ class PathTracer:
         # Sanitize dead lanes so NaNs can't leak into the next sweep.
         d = vm.where(alive, new_d, V3(zeros, zeros, zeros + 1.0))
         o = vm.where(alive, new_o, vm.splat(zeros))
-        return state, o, d, att, acc, alive, rays
+        # Next hit may re-emit only after a mirror scatter (unbiased mode).
+        emit_ok = is_refl
+        return state, o, d, att, acc, alive, rays, emit_ok
 
     # ------------------------------------------------------------------
     # ray_color: the masked wavefront bounce loop (shader.wgsl:439-495)
@@ -293,18 +313,20 @@ class PathTracer:
             vm.splat(zeros),  # accumulated color
             jnp.where(alive0, 1.0, 0.0),  # alive mask (f32 carry)
             zeros,  # ray counter
+            jnp.ones_like(lanes),  # emission-allowed mask (f32 carry)
         )
 
         def cond(carry):
-            i, _, _, _, _, _, alive_f, _ = carry
+            i, _, _, _, _, _, alive_f, _, _ = carry
             return (i < self.max_depth) & jnp.any(alive_f != 0.0)
 
         def body(carry):
-            i, state, o, d, att, acc, alive_f, rays = carry
-            state, o, d, att, acc, alive, rays = self.bounce_step(
-                state, o, d, att, acc, alive_f != 0.0, i, rays
+            i, state, o, d, att, acc, alive_f, rays, emit_f = carry
+            state, o, d, att, acc, alive, rays, emit_ok = self.bounce_step(
+                state, o, d, att, acc, alive_f != 0.0, i, rays, emit_f != 0.0
             )
-            return (i + 1, state, o, d, att, acc, jnp.where(alive, 1.0, 0.0), rays)
+            return (i + 1, state, o, d, att, acc, jnp.where(alive, 1.0, 0.0),
+                    rays, jnp.where(emit_ok, 1.0, 0.0))
 
         if self.loop_mode == "while":
             out = jax.lax.while_loop(cond, body, init)
@@ -312,7 +334,7 @@ class PathTracer:
             out = jax.lax.fori_loop(
                 0, self.max_depth, lambda _, c: body(c), init
             )
-        _, state, _, _, _, acc, _, rays = out
+        _, state, _, _, _, acc, _, rays, _ = out
         return state, acc, rays
 
     # ------------------------------------------------------------------
@@ -460,11 +482,12 @@ class PathTracer:
             vm.splat(zeros),  # csum
             vm.splat(zeros),  # csumsq
             zeros,  # rays
+            zeros,  # emission-allowed mask (f32; refreshed at regen)
         )
 
     def regen_pending(self, carry):
         """Scalar count of lanes still owing work (drives the while cond)."""
-        _, samp, quota, _, _, _, _, _, alive_f, _, _, _ = carry
+        samp, quota, alive_f = carry[1], carry[2], carry[8]
         pending = (alive_f != 0.0) | (samp.astype(jnp.float32) < quota)
         return jnp.sum(jnp.where(pending, 1, 0)).astype(jnp.int32)
 
@@ -473,7 +496,7 @@ class PathTracer:
         live lane one bounce, fold finished samples into the accumulators.
         Returns the updated carry."""
         (state, samp, quota, o, d, att, acc, bounce, alive_f, csum, csumsq,
-         rays) = carry
+         rays, emit_f) = carry
         zeros = jnp.zeros_like(xf)
         alive = alive_f != 0.0
 
@@ -489,11 +512,12 @@ class PathTracer:
         acc = vm.where(need, vm.splat(zeros), acc)
         bounce = jnp.where(need, 0, bounce)
         alive = alive | need
+        emit_ok = jnp.where(need, True, emit_f != 0.0)  # fresh camera ray
 
         # One bounce for all live lanes.
         executed = alive
-        state, o, d, att, acc, alive, rays = self.bounce_step(
-            state, o, d, att, acc, alive, bounce, rays
+        state, o, d, att, acc, alive, rays, emit_ok = self.bounce_step(
+            state, o, d, att, acc, alive, bounce, rays, emit_ok
         )
 
         # Termination bookkeeping: miss/RR-kill (alive dropped) or depth
@@ -507,7 +531,8 @@ class PathTracer:
         alive = alive & (~at_depth)
 
         return (state, samp, quota, o, d, att, acc, bounce,
-                jnp.where(alive, 1.0, 0.0), csum, csumsq, rays)
+                jnp.where(alive, 1.0, 0.0), csum, csumsq, rays,
+                jnp.where(emit_ok, 1.0, 0.0))
 
     def _run_regen_jnp(self, cam, xf, yf, carry):
         """XLA driver: vector-carry while loop (oracle / CPU / tests)."""
@@ -546,7 +571,7 @@ class PathTracer:
         if active is not None:
             quota1 = jnp.where(active, quota1, 0.0)
         carry = run(self.regen_carry0(cam, xf, yf, state0, quota1))
-        (state, _, _, _, _, _, _, _, _, csum, csumsq, rays) = carry
+        (state, _, _, _, _, _, _, _, _, csum, csumsq, rays, _) = carry
 
         mean = csum * (1.0 / base)
         var = vm.sum_components(csumsq * (1.0 / base) - mean * mean)
@@ -572,7 +597,7 @@ class PathTracer:
         carry2[2] = additional + float(base)  # quota in absolute samples
         carry2[11] = rays
         carry = run(tuple(carry2))
-        (state, _, _, _, _, _, _, _, _, esum, _, rays) = carry
+        (state, _, _, _, _, _, _, _, _, esum, _, rays, _) = carry
 
         total = float(base) + additional
         current = vm.where(

@@ -47,13 +47,15 @@ class Engine:
         deterministic: Optional[int] = None,
         pipeline: bool = True,
         camera: Optional[Camera] = None,
+        unbiased: bool = False,
     ):
         self.scene = scene
         self.full_color = full_color
         self.verbose = verbose
         self.pipeline = pipeline
         self.camera = camera if camera is not None else Camera()
-        self.step = make_render_step(scene, full_color=full_color, backend=backend)
+        self.step = make_render_step(scene, full_color=full_color, backend=backend,
+                                     unbiased=unbiased)
         self.state = init_state(scene)
         self.blitter = Blitter(scene.height, scene.width, full_color, threads)
         # The variance heat map is always drawn as truecolor blocks.

@@ -63,6 +63,7 @@ def make_render_step(
     full_color: bool = True,
     backend: str = "auto",
     jit: bool = True,
+    unbiased: bool = False,
 ):
     """Build `step(state, pose16, seed, frame_number) -> FrameOutput`.
 
@@ -73,12 +74,12 @@ def make_render_step(
         backend = "pallas" if jax.default_backend().startswith("tpu") else "jnp"
 
     if backend == "jnp":
-        tracer = tracer_mod.PathTracer(scene)
+        tracer = tracer_mod.PathTracer(scene, unbiased=unbiased)
         render_frame = tracer.render_frame
     elif backend == "pallas":
         from ..ops import pallas_kernel
 
-        render_frame = pallas_kernel.make_render_frame(scene)
+        render_frame = pallas_kernel.make_render_frame(scene, unbiased=unbiased)
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
