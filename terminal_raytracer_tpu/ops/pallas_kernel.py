@@ -93,30 +93,41 @@ def make_render_frame(
     interpret: str = "auto",
     mode: str = "regen",
     unbiased: bool = False,
+    shard_rows: int = None,
 ):
-    """Build `render_frame(pose, seed, frame_number)` backed by the Pallas
-    megakernel. Same signature/returns as PathTracer.render_frame."""
+    """Build `render_frame(pose, seed, frame_number[, y0])` backed by the
+    Pallas megakernel. Same signature/returns as PathTracer.render_frame.
+
+    `shard_rows`: when set, the kernel renders a `shard_rows x width` row
+    block of the (globally-sized) image starting at runtime row offset `y0`
+    — the per-device body of the shard_map multi-chip step
+    (parallel/mesh.py). Pixel seeds and camera rays use global coordinates,
+    so shards tile seamlessly."""
     # Mosaic cannot legalize while-loops with vector carries; the lockstep
     # path uses fixed-trip fori loops (PathTracer.loop_mode='fori') and the
     # regen path keeps its vectors in scratch refs.
     tracer = tracer_mod.PathTracer(scene, loop_mode="fori", unbiased=unbiased)
     h, w = scene.height, scene.width
-    grid = (_cdiv(h, tile_h), _cdiv(w, tile_w))
+    h_out = shard_rows if shard_rows is not None else h
+    grid = (_cdiv(h_out, tile_h), _cdiv(w, tile_w))
 
     if interpret == "auto":
         interp = not jax.default_backend().startswith("tpu")
     else:
         interp = bool(interpret)
 
-    def _tile_coords():
+    def _tile_coords(y0):
         ti = pl.program_id(0)
         tj = pl.program_id(1)
-        ys = ti * tile_h + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+        local_y = ti * tile_h + jax.lax.broadcasted_iota(
+            jnp.int32, (tile_h, tile_w), 0
+        )
+        ys = y0 + local_y
         xs = tj * tile_w + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
-        # Edge tiles: lanes past the image are ballast — they must not draw
-        # RNG, trace, or count rays (the reference's bounds check,
-        # shader.wgsl:503).
-        active = (xs < w) & (ys < h)
+        # Edge tiles: lanes past the image (or past this shard's row block)
+        # are ballast — they must not draw RNG, trace, or count rays (the
+        # reference's bounds check, shader.wgsl:503).
+        active = (xs < w) & (ys < h) & (local_y < h_out)
         return xs, ys, active
 
     def _write_outputs(refs, cur, var, tot, rays):
@@ -128,8 +139,8 @@ def make_render_frame(
         tot_ref[:, :] = tot
         rays_ref[:, :] = rays
 
-    def kernel_lockstep(pose_ref, seed_ref, frame_ref, *out_refs):
-        xs, ys, active = _tile_coords()
+    def kernel_lockstep(pose_ref, seed_ref, frame_ref, y0_ref, *out_refs):
+        xs, ys, active = _tile_coords(y0_ref[0])
         cam = tracer_mod.cam_from_pose(pose_ref)
         out = tracer.render_lanes(
             cam, xs, ys, seed_ref[0], frame_ref[0], active=active
@@ -153,9 +164,9 @@ def make_render_frame(
             idx[d] += 1
         return jax.tree_util.tree_unflatten(treedef, out)
 
-    def kernel_regen(pose_ref, seed_ref, frame_ref, r_ref, g_ref, b_ref,
-                     var_ref, tot_ref, rays_ref, u32_s, i32_s, f32_s):
-        xs, ys, active = _tile_coords()
+    def kernel_regen(pose_ref, seed_ref, frame_ref, y0_ref, r_ref, g_ref,
+                     b_ref, var_ref, tot_ref, rays_ref, u32_s, i32_s, f32_s):
+        xs, ys, active = _tile_coords(y0_ref[0])
         cam = tracer_mod.cam_from_pose(pose_ref)
         xf = xs.astype(jnp.float32)
         yf = ys.astype(jnp.float32)
@@ -195,7 +206,7 @@ def make_render_frame(
     else:  # pragma: no cover
         vmem = smem = {}
     tile_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), **vmem)
-    plane = jax.ShapeDtypeStruct((h, w), jnp.float32)
+    plane = jax.ShapeDtypeStruct((h_out, w), jnp.float32)
 
     if mode == "regen":
         counts = _carry_dtype_counts(tracer, tile_h, tile_w)
@@ -225,6 +236,7 @@ def make_render_frame(
             pl.BlockSpec(**smem),  # pose (16,)
             pl.BlockSpec(**smem),  # seed (1,)
             pl.BlockSpec(**smem),  # frame (1,)
+            pl.BlockSpec(**smem),  # y0 row offset (1,)
         ],
         out_specs=[tile_spec] * 6,
         # r, g, b, variance, total samples, per-pixel ray counts
@@ -233,11 +245,12 @@ def make_render_frame(
         interpret=interp,
     )
 
-    def render_frame(pose, seed, frame_number):
+    def render_frame(pose, seed, frame_number, y0=0):
         pose = jnp.asarray(pose, jnp.float32)
         seed = jnp.asarray(seed, jnp.uint32).reshape((1,))
         frame = jnp.asarray(frame_number, jnp.int32).reshape((1,))
-        r, g, b, var, tot, rays = call(pose, seed, frame)
+        y0 = jnp.asarray(y0, jnp.int32).reshape((1,))
+        r, g, b, var, tot, rays = call(pose, seed, frame, y0)
         return V3(r, g, b), var, tot, jnp.sum(rays)
 
     return render_frame

@@ -83,29 +83,42 @@ def make_sharded_render_step(
     # Each shard traces its sample share of its row block. The tracer is
     # built at the *shard* spp so base/adaptive math follows the reference
     # formulas on the shard's own budget; width/height stay global so pixel
-    # indices, seeds and ray gen are exact.
+    # indices, seeds and ray gen are exact. backend='pallas' runs the
+    # row-offset-aware megakernel per shard (the TPU path); 'jnp' runs the
+    # XLA tracer (CPU tests / dryrun).
     shard_scene = scene.with_overrides(samples_per_pixel=shard_spp)
 
-    # The sharded path drives the XLA-compiled tracer core per shard (the
-    # Pallas kernel inside shard_map — with per-shard row offsets — is a
-    # planned optimization; the math and shardings are identical).
-    del backend
-    tracer = tracer_mod.PathTracer(shard_scene, loop_mode="while")
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend().startswith("tpu") else "jnp"
+    if backend == "pallas":
+        from ..ops import pallas_kernel
+
+        shard_kernel = pallas_kernel.make_render_frame(
+            shard_scene, shard_rows=rows
+        )
+    else:
+        shard_kernel = None
+        tracer = tracer_mod.PathTracer(shard_scene, loop_mode="while")
 
     def shard_render(pose, seed, frame_number):
         """Runs per device under shard_map; lane grid = (rows, W) block."""
         px_i = jax.lax.axis_index("px")
         sp_i = jax.lax.axis_index("sp")
         y0 = px_i.astype(jnp.int32) * rows
-        y = y0 + jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0)
-        x = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
-        cam = tracer_mod.cam_from_pose(pose)
         # Decorrelate sample shards exactly like frames decorrelate: bump
         # the seed by shard index (host seeds are random u32 anyway).
         seed_l = jnp.asarray(seed, jnp.uint32) + sp_i.astype(jnp.uint32) * jnp.uint32(
             2654435761
         )
-        cur, var, tot, rays = tracer.render_lanes(cam, x, y, seed_l, frame_number)
+        if shard_kernel is not None:
+            cur, var, tot, rays = shard_kernel(pose, seed_l, frame_number, y0)
+        else:
+            y = y0 + jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0)
+            x = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
+            cam = tracer_mod.cam_from_pose(pose)
+            cur, var, tot, rays = tracer.render_lanes(
+                cam, x, y, seed_l, frame_number
+            )
         # Merge the sample axis: mean of shard estimates; variance/samples
         # and ray counts reduce additively or by mean as appropriate.
         if n_sp > 1:

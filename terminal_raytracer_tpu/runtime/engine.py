@@ -67,6 +67,7 @@ class Engine:
         self.timers = FrameTimers()
         self.frame_count = 0
         self.variance_view = False
+        self._shot_idx = 0
         self._rng = np.random.RandomState(deterministic)
         self._deterministic = deterministic is not None
         # Tiny jitted postprocessors for the debug view / stats scalars.
@@ -129,6 +130,8 @@ class Engine:
                     break
                 if key == "v":
                     self.variance_view = not self.variance_view
+                if key == "p":
+                    self._screenshot()
                 moved = self.camera.apply_key(key) if key else False
                 if moved:
                     cam_moved = True
@@ -156,6 +159,17 @@ class Engine:
                         pending = None
                     time.sleep(IDLE_SLEEP)
         print("Exiting.")
+
+    def _screenshot(self):
+        """'p' key: dump the current accumulation as a PNG in the cwd."""
+        from ..ops.vecmath import V3
+        from ..utils import imageio
+
+        acc = self.state.acc
+        rgb = jax.device_get(tm.tonemap_fullcolor(V3(acc[0], acc[1], acc[2])))
+        path = f"screenshot_{self._shot_idx}.png"
+        self._shot_idx += 1
+        imageio.write_png(path, np.asarray(rgb))
 
     def _display(self, term, fetched):
         rgb, glyphs, rays, mean_samples, heatmap = fetched

@@ -96,3 +96,18 @@ def test_indivisible_spp_raises():
     mesh = make_mesh(n_px=2, n_sp=4)
     with pytest.raises(ValueError, match="not divisible"):
         make_sharded_render_step(scene, mesh)
+
+
+def test_pallas_sharded_matches_jnp_sharded():
+    """The row-offset-aware Pallas kernel inside shard_map (interpret mode
+    on the CPU mesh) agrees with the XLA tracer shard path."""
+    scene = _scene(width=128, height=16, samples_per_pixel=4, max_depth=2)
+    mesh = make_mesh(n_px=2, n_sp=1)
+    step_p, mk_p = make_sharded_render_step(scene, mesh, backend="pallas")
+    step_j, mk_j = make_sharded_render_step(scene, mesh, backend="jnp")
+    a = step_p(mk_p(), POSE, np.uint32(5), np.int32(0))
+    b = step_j(mk_j(), POSE, np.uint32(5), np.int32(0))
+    assert float(a.rays) == float(b.rays)
+    np.testing.assert_allclose(
+        np.asarray(a.state.acc), np.asarray(b.state.acc), atol=1e-6
+    )
