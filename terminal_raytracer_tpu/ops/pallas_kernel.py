@@ -17,17 +17,21 @@ code the jnp oracle runs — so this module is memory orchestration only:
 * per-tile outputs (current-sample color planes, variance, sample counts,
   per-pixel ray counts) stream back to HBM through the grid pipeline.
 
-Two schedulers (`mode`):
+Three schedulers (`mode`), in increasing occupancy (north-star Mray/s on
+v5e: 329 / 816 / 924):
 
-* 'regen' (default) — path regeneration: per-lane path state lives in VMEM
-  scratch; a lax.while_loop with scalar-only carries (Mosaic cannot
-  legalize vector while carries — mutating scratch refs from the body
-  sidesteps that) keeps every lane busy on its own sample stream and exits
-  the moment no lane in the tile owes work. Occupancy stays near 100%
-  until the tile's last samples drain.
 * 'lockstep' — fixed-trip fori loops, every lane executes max_depth bounces
   per sample (the straightforward port of the reference's loop nest; kept
   for benchmarking and as a fallback).
+* 'regen' — path regeneration: per-lane path state lives in VMEM scratch;
+  a lax.while_loop with scalar-only carries (Mosaic cannot legalize vector
+  while carries — mutating scratch refs from the body sidesteps that)
+  keeps every lane busy on its own sample stream and exits the moment no
+  lane in the tile owes work.
+* 'sorted' (default) — the two-kernel pipeline: base phase, then an
+  on-device XLA argsort compacts pixels by adaptive extra-sample budget so
+  the extra phase runs over workload-homogeneous tiles (see the section
+  at the bottom of this file).
 
 On non-TPU backends the kernel runs in interpreter mode (tests); the oracle
 backend remains the fast path off-TPU.
@@ -91,7 +95,7 @@ def make_render_frame(
     tile_h: int = TILE_H,
     tile_w: int = TILE_W,
     interpret: str = "auto",
-    mode: str = "regen",
+    mode: str = "sorted",
     unbiased: bool = False,
     shard_rows: int = None,
 ):
@@ -103,6 +107,15 @@ def make_render_frame(
     — the per-device body of the shard_map multi-chip step
     (parallel/mesh.py). Pixel seeds and camera rays use global coordinates,
     so shards tile seamlessly."""
+    if mode == "sorted" and shard_rows is not None:
+        # The sorted pipeline's XLA glue is per-chip-image for now; shards
+        # use the single-kernel regen scheduler.
+        mode = "regen"
+    if mode == "sorted":
+        return make_sorted_render_frame(
+            scene, tile_h=tile_h, tile_w=tile_w, interpret=interpret,
+            unbiased=unbiased,
+        )
     # Mosaic cannot legalize while-loops with vector carries; the lockstep
     # path uses fixed-trip fori loops (PathTracer.loop_mode='fori') and the
     # regen path keeps its vectors in scratch refs.
@@ -252,5 +265,233 @@ def make_render_frame(
         y0 = jnp.asarray(y0, jnp.int32).reshape((1,))
         r, g, b, var, tot, rays = call(pose, seed, frame, y0)
         return V3(r, g, b), var, tot, jnp.sum(rays)
+
+    return render_frame
+
+
+# ---------------------------------------------------------------------------
+# The two-kernel sorted pipeline (mode='sorted')
+# ---------------------------------------------------------------------------
+#
+# The single-kernel regen scheduler is bounded by its slowest lane per tile:
+# adaptive sampling hands isolated pixels up to (spp - base) extra samples of
+# long paths while their tile neighbors idle (~21% occupancy bound measured
+# at the north-star config). This pipeline restores occupancy by sorting the
+# *work*, entirely on device:
+#
+#   kernel A   render the uniform base-sample phase (+ variance, RNG state)
+#   XLA        compute each pixel's extra-sample budget (shader.wgsl:561-562),
+#              argsort pixels by budget, gather (coords, state, budget) into
+#              a compact sorted stream
+#   kernel B   run the extra phase over the sorted stream — tiles are
+#              workload-homogeneous, and the (many) zero-budget tiles exit
+#              after a single scheduler iteration
+#   XLA        scatter the extra sums back and apply the reference's
+#              normalization (tracer.combine_phases)
+#
+# RNG chains are untouched (each pixel's phase-2 draws continue from its
+# phase-1 state with the same per-sample re-hash), so results remain
+# bit-compatible with the single-kernel scheduler.
+
+
+def _regen_driver(tracer, cam, xf, yf, refs, max_iters):
+    """Scratch-ref scalar-carry while driver, shared by regen kernels."""
+
+    def driver(carry0):
+        leaves, treedef = jax.tree_util.tree_flatten(carry0)
+        leaf_dtypes = [str(l.dtype) for l in leaves]
+        idx = {"uint32": 0, "int32": 0, "float32": 0}
+        for leaf in leaves:
+            d = str(leaf.dtype)
+            refs[d][idx[d]] = leaf
+            idx[d] += 1
+
+        def read():
+            i = {"uint32": 0, "int32": 0, "float32": 0}
+            out = []
+            for d in leaf_dtypes:
+                out.append(refs[d][i[d]])
+                i[d] += 1
+            return jax.tree_util.tree_unflatten(treedef, out)
+
+        def write(carry):
+            i = {"uint32": 0, "int32": 0, "float32": 0}
+            for leaf in jax.tree_util.tree_leaves(carry):
+                d = str(leaf.dtype)
+                refs[d][i[d]] = leaf
+                i[d] += 1
+
+        def cond(c):
+            it, n = c
+            return (it < max_iters) & (n > 0)
+
+        def body(c):
+            it, _ = c
+            carry = tracer.regen_step(cam, xf, yf, read())
+            write(carry)
+            return (it + 1, tracer.regen_pending(carry))
+
+        jax.lax.while_loop(
+            cond, body, (jnp.int32(0), tracer.regen_pending(carry0))
+        )
+        return read()
+
+    return driver
+
+
+def make_sorted_render_frame(
+    scene: scene_mod.Scene,
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
+    interpret: str = "auto",
+    unbiased: bool = False,
+):
+    tracer = tracer_mod.PathTracer(scene, loop_mode="fori", unbiased=unbiased)
+    h, w = scene.height, scene.width
+    base, spp = tracer.base_samples, tracer.spp
+
+    if interpret == "auto":
+        interp = not jax.default_backend().startswith("tpu")
+    else:
+        interp = bool(interpret)
+
+    if _HAS_PLTPU:
+        vmem = {"memory_space": pltpu.VMEM}
+        smem = {"memory_space": pltpu.SMEM}
+    else:  # pragma: no cover
+        vmem = smem = {}
+    tile_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), **vmem)
+    counts = _carry_dtype_counts(tracer, tile_h, tile_w)
+    mk_scratch = pltpu.VMEM if _HAS_PLTPU else pl.MemoryRef
+    scratch_shapes = [
+        mk_scratch((counts["uint32"], tile_h, tile_w), jnp.uint32),
+        mk_scratch((counts["int32"], tile_h, tile_w), jnp.int32),
+        mk_scratch((counts["float32"], tile_h, tile_w), jnp.float32),
+    ]
+
+    # ---- kernel A: base phase over the image grid --------------------------
+
+    def kernel_base(pose_ref, seed_ref, frame_ref, cr_ref, cg_ref, cb_ref,
+                    var_ref, state_ref, rays_ref, u32_s, i32_s, f32_s):
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
+        ys = ti * tile_h + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+        xs = tj * tile_w + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+        active = (xs < w) & (ys < h)
+        cam = tracer_mod.cam_from_pose(pose_ref)
+        xf = xs.astype(jnp.float32)
+        yf = ys.astype(jnp.float32)
+        refs = {"uint32": u32_s, "int32": i32_s, "float32": f32_s}
+        run = _regen_driver(tracer, cam, xf, yf, refs,
+                            (base + 1) * scene.max_depth + 4)
+        state0 = tracer.seed_lanes(xs, ys, seed_ref[0], frame_ref[0])
+        state, csum, csumsq, rays = tracer.base_phase(
+            cam, xf, yf, state0, active, run
+        )
+        cr_ref[:, :] = csum.x
+        cg_ref[:, :] = csum.y
+        cb_ref[:, :] = csum.z
+        var_ref[:, :] = tracer.variance_of(csum, csumsq)
+        state_ref[:, :] = state
+        rays_ref[:, :] = rays
+
+    grid_a = (_cdiv(h, tile_h), _cdiv(w, tile_w))
+    plane = jax.ShapeDtypeStruct((h, w), jnp.float32)
+    call_a = pl.pallas_call(
+        kernel_base,
+        grid=grid_a,
+        in_specs=[pl.BlockSpec(**smem)] * 3,  # pose, seed, frame
+        out_specs=[tile_spec] * 6,
+        out_shape=[plane, plane, plane, plane,
+                   jax.ShapeDtypeStruct((h, w), jnp.uint32), plane],
+        scratch_shapes=scratch_shapes,
+        interpret=interp,
+    )
+
+    # ---- kernel B: extra phase over the sorted pixel stream ----------------
+
+    # Sorted-stream view: (rows_b, cols_b) tile-aligned, >= H*W lanes; the
+    # tail is sentinel lanes with zero budget (their tiles exit instantly).
+    cols_b = 4 * tile_w
+    rows_b = _cdiv(_cdiv(h * w, cols_b), tile_h) * tile_h
+    n_pad = rows_b * cols_b - h * w
+
+    def kernel_extra(pose_ref, xs_ref, ys_ref, state_ref, add_ref,
+                     er_ref, eg_ref, eb_ref, rays_ref, u32_s, i32_s, f32_s):
+        cam = tracer_mod.cam_from_pose(pose_ref)
+        xf = xs_ref[:, :].astype(jnp.float32)
+        yf = ys_ref[:, :].astype(jnp.float32)
+        refs = {"uint32": u32_s, "int32": i32_s, "float32": f32_s}
+        run = _regen_driver(tracer, cam, xf, yf, refs,
+                            (spp - base + 1) * scene.max_depth + 4)
+        zeros = jnp.zeros_like(xf)
+        esum, rays = tracer.extra_phase(
+            cam, xf, yf, state_ref[:, :], add_ref[:, :], zeros, run
+        )
+        er_ref[:, :] = esum.x
+        eg_ref[:, :] = esum.y
+        eb_ref[:, :] = esum.z
+        rays_ref[:, :] = rays
+
+    grid_b = (rows_b // tile_h, cols_b // tile_w)
+    plane_b = jax.ShapeDtypeStruct((rows_b, cols_b), jnp.float32)
+    call_b = pl.pallas_call(
+        kernel_extra,
+        grid=grid_b,
+        in_specs=[
+            pl.BlockSpec(**smem),  # pose
+            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), **vmem),  # xs
+            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), **vmem),  # ys
+            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), **vmem),  # state
+            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), **vmem),  # add
+        ],
+        out_specs=[pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), **vmem)] * 4,
+        out_shape=[plane_b, plane_b, plane_b, plane_b],
+        scratch_shapes=scratch_shapes,
+        interpret=interp,
+    )
+
+    def render_frame(pose, seed, frame_number, y0=0):
+        del y0
+        pose = jnp.asarray(pose, jnp.float32)
+        seed_a = jnp.asarray(seed, jnp.uint32).reshape((1,))
+        frame_a = jnp.asarray(frame_number, jnp.int32).reshape((1,))
+        cr, cg, cb, var, state, rays_a = call_a(pose, seed_a, frame_a)
+        csum = V3(cr, cg, cb)
+
+        if base >= spp:
+            current = csum * (1.0 / spp)
+            total = jnp.zeros_like(var) + float(base)
+            return current, var, total, jnp.sum(rays_a)
+
+        needs, additional = tracer.extra_quota(var)
+
+        # Compact: pixels in descending extra-budget order.
+        add_flat = additional.reshape(-1)
+        order = jnp.argsort(-add_flat)
+        ys_img = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).reshape(-1)
+        xs_img = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).reshape(-1)
+
+        def sort_pad(a, fill):
+            g = a[order]
+            return jnp.concatenate(
+                [g, jnp.full((n_pad,), fill, a.dtype)]
+            ).reshape(rows_b, cols_b)
+
+        xs_s = sort_pad(xs_img, 0)
+        ys_s = sort_pad(ys_img, 0)
+        st_s = sort_pad(state.reshape(-1), 0)
+        add_s = sort_pad(add_flat, 0.0)
+
+        er, eg, eb, rays_b = call_b(pose, xs_s, ys_s, st_s, add_s)
+
+        def unsort(plane_sorted):
+            flat = plane_sorted.reshape(-1)[: h * w]
+            return jnp.zeros((h * w,), flat.dtype).at[order].set(flat).reshape(h, w)
+
+        esum = V3(unsort(er), unsort(eg), unsort(eb))
+        current, total = tracer.combine_phases(csum, esum, needs, additional)
+        rays = jnp.sum(rays_a) + jnp.sum(rays_b)
+        return current, var, total, rays
 
     return render_frame

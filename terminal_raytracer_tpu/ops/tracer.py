@@ -550,6 +550,74 @@ class PathTracer:
         _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
         return carry
 
+    # The regeneration pipeline decomposes into three pieces so schedulers
+    # can be composed around them — in particular the two-kernel sorted
+    # pipeline (ops/pallas_kernel.py mode='sorted'), which runs base_phase
+    # as one kernel, compacts pixels by extra-sample budget with an XLA
+    # sort between kernels, and runs extra_phase over the sorted stream.
+
+    def seed_lanes(self, x, y, seed, frame_number):
+        pix = y.astype(jnp.uint32) * jnp.uint32(self.width) + x.astype(jnp.uint32)
+        return prng.seed_pixel(pix, jnp.asarray(seed), jnp.asarray(frame_number))
+
+    def base_phase(self, cam: Cam, xf, yf, state0, active, run):
+        """Phase 1: `base` samples per (active) pixel. Returns
+        (state_after, csum V3, csumsq V3, rays)."""
+        zeros = jnp.zeros_like(xf)
+        quota1 = zeros + float(self.base_samples)
+        if active is not None:
+            quota1 = jnp.where(active, quota1, 0.0)
+        carry = run(self.regen_carry0(cam, xf, yf, state0, quota1))
+        (state, _, _, _, _, _, _, _, _, csum, csumsq, rays, _) = carry
+        return state, csum, csumsq, rays
+
+    def variance_of(self, csum: V3, csumsq: V3):
+        """Luminance-sum variance of the base samples (wgsl:555-558)."""
+        base = self.base_samples
+        mean = csum * (1.0 / base)
+        return vm.sum_components(csumsq * (1.0 / base) - mean * mean)
+
+    def extra_quota(self, var, active=None):
+        """needs mask + per-pixel extra-sample budget (wgsl:561-562)."""
+        needs = var > ADAPTIVE_VAR_THRESHOLD
+        if active is not None:
+            needs = needs & active
+        additional = jnp.where(
+            needs,
+            jnp.minimum(
+                float(self.spp - self.base_samples),
+                jnp.floor(var * ADAPTIVE_VAR_SCALE),
+            ),
+            0.0,
+        )
+        return needs, additional
+
+    def extra_phase(self, cam: Cam, xf, yf, state, additional, rays0, run):
+        """Phase 2: per-lane extra quota; sample indices continue at `base`
+        so the per-sample re-hash matches shader.wgsl:565. Returns
+        (esum V3, rays)."""
+        base = self.base_samples
+        carry2 = list(self.regen_carry0(cam, xf, yf, state, additional))
+        carry2[1] = jnp.zeros_like(xf, dtype=jnp.int32) + base  # sample idx
+        carry2[2] = additional + float(base)  # quota in absolute samples
+        carry2[11] = rays0
+        carry = run(tuple(carry2))
+        (_, _, _, _, _, _, _, _, _, esum, _, rays, _) = carry
+        return esum, rays
+
+    def combine_phases(self, csum: V3, esum: V3, needs, additional):
+        """The reference's normalization (wgsl:600-610): adaptive pixels
+        average over samples actually taken; everyone else divides the base
+        sum by spp. Returns (current V3, total_samples)."""
+        base, spp = self.base_samples, self.spp
+        total = float(base) + additional
+        current = vm.where(
+            needs,
+            (csum + esum) * (1.0 / total),
+            csum * (1.0 / spp),
+        )
+        return current, total
+
     def render_lanes_regen(self, cam: Cam, x, y, seed, frame_number,
                            active=None, driver=None):
         """render_lanes with the path-regeneration scheduler. Bit-identical
@@ -557,54 +625,24 @@ class PathTracer:
         loop driver (the Pallas kernel supplies a scratch-ref-based one)."""
         xf = x.astype(jnp.float32)
         yf = y.astype(jnp.float32)
-        pix = y.astype(jnp.uint32) * jnp.uint32(self.width) + x.astype(jnp.uint32)
-        state0 = prng.seed_pixel(pix, jnp.asarray(seed), jnp.asarray(frame_number))
+        state0 = self.seed_lanes(x, y, seed, frame_number)
         zeros = jnp.zeros_like(xf)
-        base = self.base_samples
-        spp = self.spp
         run = driver if driver is not None else (
             lambda c: self._run_regen_jnp(cam, xf, yf, c)
         )
 
-        # Phase 1: base samples (quota = base on real pixels).
-        quota1 = zeros + float(base)
-        if active is not None:
-            quota1 = jnp.where(active, quota1, 0.0)
-        carry = run(self.regen_carry0(cam, xf, yf, state0, quota1))
-        (state, _, _, _, _, _, _, _, _, csum, csumsq, rays, _) = carry
+        state, csum, csumsq, rays = self.base_phase(cam, xf, yf, state0,
+                                                    active, run)
+        var = self.variance_of(csum, csumsq)
 
-        mean = csum * (1.0 / base)
-        var = vm.sum_components(csumsq * (1.0 / base) - mean * mean)
-
-        if base >= spp:
-            current = csum * (1.0 / spp)
-            total = zeros + float(base)
+        if self.base_samples >= self.spp:
+            current = csum * (1.0 / self.spp)
+            total = zeros + float(self.base_samples)
             return current, var, total, rays
 
-        needs = var > ADAPTIVE_VAR_THRESHOLD
-        if active is not None:
-            needs = needs & active
-        additional = jnp.where(
-            needs,
-            jnp.minimum(float(spp - base), jnp.floor(var * ADAPTIVE_VAR_SCALE)),
-            0.0,
-        )
-
-        # Phase 2: per-lane extra quota; sample indices continue at `base`
-        # so the per-sample re-hash matches shader.wgsl:565.
-        carry2 = list(self.regen_carry0(cam, xf, yf, state, additional))
-        carry2[1] = jnp.zeros_like(x, dtype=jnp.int32) + base  # sample idx
-        carry2[2] = additional + float(base)  # quota in absolute samples
-        carry2[11] = rays
-        carry = run(tuple(carry2))
-        (state, _, _, _, _, _, _, _, _, esum, _, rays, _) = carry
-
-        total = float(base) + additional
-        current = vm.where(
-            needs,
-            (csum + esum) * (1.0 / total),
-            csum * (1.0 / spp),
-        )
+        needs, additional = self.extra_quota(var, active)
+        esum, rays = self.extra_phase(cam, xf, yf, state, additional, rays, run)
+        current, total = self.combine_phases(csum, esum, needs, additional)
         return current, var, total, rays
 
     # ------------------------------------------------------------------

@@ -22,7 +22,7 @@ POSE = Camera().pose()
 # scheduler makes the same RNG draws with the same gates, so every
 # *decision* output (ray counts, per-pixel sample totals) is bit-equal;
 # radiance values differ only by float fusion/association (~1e-5).
-MODES = ["lockstep", "regen"]
+MODES = ["lockstep", "regen", "sorted"]
 
 
 def _compare(scene, seed=42, frame=0):
