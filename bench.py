@@ -96,7 +96,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="north_star", choices=sorted(CONFIGS))
     ap.add_argument("--backend", default="auto", choices=["auto", "pallas", "jnp"])
-    ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--all", action="store_true", help="run every config (verbose table)")
     args = ap.parse_args()

@@ -345,10 +345,20 @@ def make_sorted_render_frame(
     tile_w: int = TILE_W,
     interpret: str = "auto",
     unbiased: bool = False,
+    chunk: int = None,
 ):
+    """`chunk`: split each pixel's extra budget into independent entries of
+    <= chunk samples, each seeded with its own sub-chain
+    (pcg_hash(state + c*golden)) — equalizes per-lane work in kernel B at
+    the cost of exact per-pixel RNG-chain parity (still the reference's
+    estimator and decorrelation structure: "parity modulo RNG",
+    BASELINE.md). chunk=None keeps the bit-parity sequential chain."""
     tracer = tracer_mod.PathTracer(scene, loop_mode="fori", unbiased=unbiased)
     h, w = scene.height, scene.width
     base, spp = tracer.base_samples, tracer.spp
+    max_extra = max(spp - base, 0)
+    n_chunks = 1 if not chunk else _cdiv(max_extra, chunk)
+    chunk_sz = max_extra if not chunk else chunk
 
     if interpret == "auto":
         interp = not jax.default_backend().startswith("tpu")
@@ -410,23 +420,26 @@ def make_sorted_render_frame(
 
     # ---- kernel B: extra phase over the sorted pixel stream ----------------
 
-    # Sorted-stream view: (rows_b, cols_b) tile-aligned, >= H*W lanes; the
-    # tail is sentinel lanes with zero budget (their tiles exit instantly).
+    # Sorted-stream view: (rows_b, cols_b) tile-aligned, >= n_entries
+    # lanes; the tail is sentinel lanes with zero budget (their tiles exit
+    # instantly).
+    n_entries = n_chunks * h * w
     cols_b = 4 * tile_w
-    rows_b = _cdiv(_cdiv(h * w, cols_b), tile_h) * tile_h
-    n_pad = rows_b * cols_b - h * w
+    rows_b = _cdiv(_cdiv(n_entries, cols_b), tile_h) * tile_h
+    n_pad = rows_b * cols_b - n_entries
 
-    def kernel_extra(pose_ref, xs_ref, ys_ref, state_ref, add_ref,
+    def kernel_extra(pose_ref, xs_ref, ys_ref, state_ref, add_ref, samp0_ref,
                      er_ref, eg_ref, eb_ref, rays_ref, u32_s, i32_s, f32_s):
         cam = tracer_mod.cam_from_pose(pose_ref)
         xf = xs_ref[:, :].astype(jnp.float32)
         yf = ys_ref[:, :].astype(jnp.float32)
         refs = {"uint32": u32_s, "int32": i32_s, "float32": f32_s}
         run = _regen_driver(tracer, cam, xf, yf, refs,
-                            (spp - base + 1) * scene.max_depth + 4)
+                            (chunk_sz + 1) * scene.max_depth + 4)
         zeros = jnp.zeros_like(xf)
         esum, rays = tracer.extra_phase(
-            cam, xf, yf, state_ref[:, :], add_ref[:, :], zeros, run
+            cam, xf, yf, state_ref[:, :], add_ref[:, :], zeros, run,
+            samp0=samp0_ref[:, :],
         )
         er_ref[:, :] = esum.x
         eg_ref[:, :] = esum.y
@@ -444,6 +457,7 @@ def make_sorted_render_frame(
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), **vmem),  # ys
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), **vmem),  # state
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), **vmem),  # add
+            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), **vmem),  # samp0
         ],
         out_specs=[pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), **vmem)] * 4,
         out_shape=[plane_b, plane_b, plane_b, plane_b],
@@ -466,11 +480,36 @@ def make_sorted_render_frame(
 
         needs, additional = tracer.extra_quota(var)
 
-        # Compact: pixels in descending extra-budget order.
+        # Build the (possibly chunk-split) entry stream. Entry e = c*HW + p
+        # handles samples [base + c*chunk, ...) of pixel p, up to its
+        # budget slice. Chunk c > 0 entries get independent RNG sub-chains.
         add_flat = additional.reshape(-1)
-        order = jnp.argsort(-add_flat)
+        st_flat = state.reshape(-1)
         ys_img = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).reshape(-1)
         xs_img = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).reshape(-1)
+        budgets, samp0s, states, xs_l, ys_l = [], [], [], [], []
+        golden = jnp.uint32(0x9E3779B9)
+        for c in range(n_chunks):
+            budgets.append(
+                jnp.clip(add_flat - float(c * chunk_sz), 0.0, float(chunk_sz))
+            )
+            samp0s.append(
+                jnp.full_like(ys_img, base + c * chunk_sz, dtype=jnp.int32)
+            )
+            states.append(
+                st_flat if c == 0
+                else st_flat + jnp.uint32(c) * golden
+            )
+            xs_l.append(xs_img)
+            ys_l.append(ys_img)
+        budget_e = jnp.concatenate(budgets)
+        samp0_e = jnp.concatenate(samp0s)
+        state_e = jnp.concatenate(states)
+        xs_e = jnp.concatenate(xs_l)
+        ys_e = jnp.concatenate(ys_l)
+
+        # Compact: entries in descending budget order.
+        order = jnp.argsort(-budget_e)
 
         def sort_pad(a, fill):
             g = a[order]
@@ -478,16 +517,24 @@ def make_sorted_render_frame(
                 [g, jnp.full((n_pad,), fill, a.dtype)]
             ).reshape(rows_b, cols_b)
 
-        xs_s = sort_pad(xs_img, 0)
-        ys_s = sort_pad(ys_img, 0)
-        st_s = sort_pad(state.reshape(-1), 0)
-        add_s = sort_pad(add_flat, 0.0)
+        xs_s = sort_pad(xs_e, 0)
+        ys_s = sort_pad(ys_e, 0)
+        st_s = sort_pad(state_e, 0)
+        add_s = sort_pad(budget_e, 0.0)
+        s0_s = sort_pad(samp0_e, 0)
 
-        er, eg, eb, rays_b = call_b(pose, xs_s, ys_s, st_s, add_s)
+        er, eg, eb, rays_b = call_b(pose, xs_s, ys_s, st_s, add_s, s0_s)
+
+        pix_of_entry = order % (h * w)
 
         def unsort(plane_sorted):
-            flat = plane_sorted.reshape(-1)[: h * w]
-            return jnp.zeros((h * w,), flat.dtype).at[order].set(flat).reshape(h, w)
+            flat = plane_sorted.reshape(-1)[: n_entries]
+            return (
+                jnp.zeros((h * w,), flat.dtype)
+                .at[pix_of_entry]
+                .add(flat)
+                .reshape(h, w)
+            )
 
         esum = V3(unsort(er), unsort(eg), unsort(eb))
         current, total = tracer.combine_phases(csum, esum, needs, additional)

@@ -592,14 +592,19 @@ class PathTracer:
         )
         return needs, additional
 
-    def extra_phase(self, cam: Cam, xf, yf, state, additional, rays0, run):
+    def extra_phase(self, cam: Cam, xf, yf, state, additional, rays0, run,
+                    samp0=None):
         """Phase 2: per-lane extra quota; sample indices continue at `base`
-        so the per-sample re-hash matches shader.wgsl:565. Returns
-        (esum V3, rays)."""
+        so the per-sample re-hash matches shader.wgsl:565. `samp0` (i32
+        lanes, default base) sets each lane's starting sample index — the
+        chunk-split turbo pipeline hands each entry its own sub-range.
+        Returns (esum V3, rays)."""
         base = self.base_samples
+        if samp0 is None:
+            samp0 = jnp.zeros_like(xf, dtype=jnp.int32) + base
         carry2 = list(self.regen_carry0(cam, xf, yf, state, additional))
-        carry2[1] = jnp.zeros_like(xf, dtype=jnp.int32) + base  # sample idx
-        carry2[2] = additional + float(base)  # quota in absolute samples
+        carry2[1] = samp0  # starting sample index
+        carry2[2] = additional + samp0.astype(jnp.float32)  # absolute quota
         carry2[11] = rays0
         carry = run(tuple(carry2))
         (_, _, _, _, _, _, _, _, _, esum, _, rays, _) = carry
