@@ -74,13 +74,18 @@ class Engine:
         self._heatmap = jax.jit(tm.variance_heatmap)
         self._mean = jax.jit(jnp.mean)
         if verbose:
+            # device + runtime info (the reference prints workgroup limits
+            # and rayon thread count under --verbose, lib.rs:263-267,
+            # main.rs:33-35)
             dev = jax.devices()[0]
             print(
                 f"device: {dev.platform} {getattr(dev, 'device_kind', '')} | "
                 f"backend={backend} | blitter="
-                f"{'native' if self.blitter.native else 'python'} | "
+                f"{'native' if self.blitter.native else 'python'} "
+                f"({self.blitter.threads} threads) | "
                 f"{scene.width}x{scene.height} spp={scene.samples_per_pixel} "
-                f"depth={scene.max_depth}",
+                f"depth={scene.max_depth} | "
+                f"{scene.primitive_count} primitives, {len(scene.lights)} lights",
                 file=sys.stderr,
             )
 
