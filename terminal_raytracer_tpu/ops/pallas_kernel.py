@@ -346,8 +346,15 @@ def make_sorted_render_frame(
     interpret: str = "auto",
     unbiased: bool = False,
     chunk: int = None,
+    pair: "int | str" = "auto",
 ):
-    """`chunk`: split each pixel's extra budget into independent entries of
+    """`pair`: number of vertically-strided pixels each lane works through
+    in the base phase (k-pixel pairing — sums k independent workloads per
+    lane to tighten the per-lane work distribution; bit-compatible, each
+    pixel's RNG chain is unchanged). 'auto' picks the largest of {8,4,2,1}
+    dividing the image height.
+
+    `chunk`: split each pixel's extra budget into independent entries of
     <= chunk samples, each seeded with its own sub-chain
     (pcg_hash(state + c*golden)) — equalizes per-lane work in kernel B at
     the cost of exact per-pixel RNG-chain parity (still the reference's
@@ -359,6 +366,18 @@ def make_sorted_render_frame(
     max_extra = max(spp - base, 0)
     n_chunks = 1 if not chunk else _cdiv(max_extra, chunk)
     chunk_sz = max_extra if not chunk else chunk
+    if pair == "auto":
+        # Pairing pays when each lane's base workload is a short sum (low
+        # spp): measured +8.5% at base=4 (north star), -10% at base=32
+        # (shipped 128 spp) where per-lane work is already concentrated.
+        if base <= 8:
+            pair = next((k for k in (8, 4, 2) if h % k == 0), 1)
+        else:
+            pair = 1
+    pair = int(pair)
+    if h % pair:
+        raise ValueError(f"height={h} not divisible by pair={pair}")
+    band_h = h // pair
 
     if interpret == "auto":
         interp = not jax.default_backend().startswith("tpu")
@@ -379,42 +398,104 @@ def make_sorted_render_frame(
         mk_scratch((counts["float32"], tile_h, tile_w), jnp.float32),
     ]
 
-    # ---- kernel A: base phase over the image grid --------------------------
+    # ---- kernel A: paired base phase over the first image band -------------
+    # Each lane works through `pair` pixels, one per band of rows
+    # (tracer.paired_step); per-entry results stream out as separate
+    # (band_h, w) planes the caller concatenates.
 
-    def kernel_base(pose_ref, seed_ref, frame_ref, cr_ref, cg_ref, cb_ref,
-                    var_ref, state_ref, rays_ref, u32_s, i32_s, f32_s):
+    paired_dummy = jax.eval_shape(
+        lambda: tracer.paired_carry0(
+            jnp.zeros((tile_h, tile_w), jnp.float32), pair
+        )
+    )
+    pcounts = {"uint32": 0, "int32": 0, "float32": 0}
+    for leaf in jax.tree_util.tree_leaves(paired_dummy):
+        pcounts[str(leaf.dtype)] += 1
+    paired_scratch = [
+        mk_scratch((pcounts["uint32"], tile_h, tile_w), jnp.uint32),
+        mk_scratch((pcounts["int32"], tile_h, tile_w), jnp.int32),
+        mk_scratch((pcounts["float32"], tile_h, tile_w), jnp.float32),
+    ]
+
+    def kernel_base(pose_ref, seed_ref, frame_ref, *rest):
+        out_refs = rest[:-3]
+        u32_s, i32_s, f32_s = rest[-3:]
         ti = pl.program_id(0)
         tj = pl.program_id(1)
-        ys = ti * tile_h + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
-        xs = tj * tile_w + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
-        active = (xs < w) & (ys < h)
-        cam = tracer_mod.cam_from_pose(pose_ref)
-        xf = xs.astype(jnp.float32)
-        yf = ys.astype(jnp.float32)
-        refs = {"uint32": u32_s, "int32": i32_s, "float32": f32_s}
-        run = _regen_driver(tracer, cam, xf, yf, refs,
-                            (base + 1) * scene.max_depth + 4)
-        state0 = tracer.seed_lanes(xs, ys, seed_ref[0], frame_ref[0])
-        state, csum, csumsq, rays = tracer.base_phase(
-            cam, xf, yf, state0, active, run
+        y_local = ti * tile_h + jax.lax.broadcasted_iota(
+            jnp.int32, (tile_h, tile_w), 0
         )
-        cr_ref[:, :] = csum.x
-        cg_ref[:, :] = csum.y
-        cb_ref[:, :] = csum.z
-        var_ref[:, :] = tracer.variance_of(csum, csumsq)
-        state_ref[:, :] = state
-        rays_ref[:, :] = rays
+        xs = tj * tile_w + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+        active = (xs < w) & (y_local < band_h)
+        cam = tracer_mod.cam_from_pose(pose_ref)
+        refs = {"uint32": u32_s, "int32": i32_s, "float32": f32_s}
+        seed = seed_ref[0]
+        frame = frame_ref[0]
+        max_iters = pair * ((base + 1) * scene.max_depth + 4)
 
-    grid_a = (_cdiv(h, tile_h), _cdiv(w, tile_w))
-    plane = jax.ShapeDtypeStruct((h, w), jnp.float32)
+        carry0 = tracer.paired_carry0(xs.astype(jnp.float32), pair, active)
+        leaves, treedef = jax.tree_util.tree_flatten(carry0)
+        leaf_dtypes = [str(l.dtype) for l in leaves]
+
+        def write(carry):
+            i = {"uint32": 0, "int32": 0, "float32": 0}
+            for leaf in jax.tree_util.tree_leaves(carry):
+                d = str(leaf.dtype)
+                refs[d][i[d]] = leaf
+                i[d] += 1
+
+        def read():
+            i = {"uint32": 0, "int32": 0, "float32": 0}
+            out = []
+            for d in leaf_dtypes:
+                out.append(refs[d][i[d]])
+                i[d] += 1
+            return jax.tree_util.tree_unflatten(treedef, out)
+
+        write(carry0)
+
+        def cond(c):
+            it, n = c
+            return (it < max_iters) & (n > 0)
+
+        def body(c):
+            it, _ = c
+            carry = tracer.paired_step(
+                cam, xs, y_local, band_h, pair, seed, frame, read()
+            )
+            write(carry)
+            return (it + 1, tracer.paired_pending(carry, pair))
+
+        jax.lax.while_loop(
+            cond, body, (jnp.int32(0), tracer.paired_pending(carry0, pair))
+        )
+        parked = read()[-1]
+        for e in range(pair):
+            cs = parked[4 * e + 0]
+            cq = parked[4 * e + 1]
+            st = parked[4 * e + 2]
+            ry = parked[4 * e + 3]
+            cr_ref, cg_ref, cb_ref, var_ref, state_ref, rays_ref = (
+                out_refs[6 * e: 6 * e + 6]
+            )
+            cr_ref[:, :] = cs.x
+            cg_ref[:, :] = cs.y
+            cb_ref[:, :] = cs.z
+            var_ref[:, :] = tracer.variance_of(cs, cq)
+            state_ref[:, :] = st
+            rays_ref[:, :] = ry
+
+    grid_a = (_cdiv(band_h, tile_h), _cdiv(w, tile_w))
+    band_f32 = jax.ShapeDtypeStruct((band_h, w), jnp.float32)
+    band_u32 = jax.ShapeDtypeStruct((band_h, w), jnp.uint32)
     call_a = pl.pallas_call(
         kernel_base,
         grid=grid_a,
         in_specs=[pl.BlockSpec(**smem)] * 3,  # pose, seed, frame
-        out_specs=[tile_spec] * 6,
-        out_shape=[plane, plane, plane, plane,
-                   jax.ShapeDtypeStruct((h, w), jnp.uint32), plane],
-        scratch_shapes=scratch_shapes,
+        out_specs=[tile_spec] * (6 * pair),
+        out_shape=[band_f32, band_f32, band_f32, band_f32, band_u32,
+                   band_f32] * pair,
+        scratch_shapes=paired_scratch,
         interpret=interp,
     )
 
@@ -470,8 +551,16 @@ def make_sorted_render_frame(
         pose = jnp.asarray(pose, jnp.float32)
         seed_a = jnp.asarray(seed, jnp.uint32).reshape((1,))
         frame_a = jnp.asarray(frame_number, jnp.int32).reshape((1,))
-        cr, cg, cb, var, state, rays_a = call_a(pose, seed_a, frame_a)
-        csum = V3(cr, cg, cb)
+        bands = call_a(pose, seed_a, frame_a)
+
+        def assemble(q):  # concat quantity q across the pair bands
+            return jnp.concatenate([bands[6 * e + q] for e in range(pair)],
+                                   axis=0)
+
+        csum = V3(assemble(0), assemble(1), assemble(2))
+        var = assemble(3)
+        state = assemble(4)
+        rays_a = assemble(5)
 
         if base >= spp:
             current = csum * (1.0 / spp)
