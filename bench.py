@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Benchmark harness. Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 Headline metric: Mray/s on one chip at the BASELINE north-star config —
 Cornell_Box.json at 400x200, 16 spp, max_depth 32, Pallas megakernel.
@@ -8,20 +8,31 @@ A ray = one scene-traversal sweep (primary/bounce closest-hit or NEE shadow
 any-hit), counted on device per lane (only for lanes whose reference thread
 would traverse — masked/ballast work is *not* counted).
 
-vs_baseline is value / 500 (the BASELINE.json target of >= 500 Mray/s/chip;
-the reference itself publishes no numbers — BASELINE.md).
+vs_baseline is value / 500 — the ratio to the BASELINE.json *target* of
+>= 500 Mray/s/chip (the reference itself publishes no numbers, BASELINE.md);
+it is a target ratio, not a measured-reference ratio.
 
-Extra diagnostics (fps, per-config table) go to stderr with --verbose; the
-single stdout line stays machine-readable.
+Protocol: 48 chained frames x 3 reps, report the MEDIAN rep (BASELINE.md
+quotes these medians). Rays are summed over the timed frames themselves
+(adaptive scenes draw different budgets per frame, so the warm-up frame's
+count is not representative).
 
-Usage: python bench.py [--config north_star|cornell_shipped|demo|scene2]
-                       [--backend pallas|jnp] [--frames N] [--verbose]
+Correctness gate: unless --no-check, a small config is rendered with both
+backend=pallas and backend=jnp on the same seeds and compared (ray-count
+equality + radiance tolerance) — the on-hardware kernel-vs-oracle check; the
+verdict is embedded in the JSON line as "check".
+
+Usage: python bench.py [--config north_star|cornell_shipped|demo|scene2|
+                                 cornell_80x40|scan100]
+                       [--backend pallas|jnp] [--frames N] [--reps N]
+                       [--verbose] [--all] [--no-check] [--check-only]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import statistics
 import sys
 import time
 
@@ -32,18 +43,19 @@ TARGET_MRAY_S = 500.0
 CONFIGS = {
     # BASELINE.json configs
     "north_star": dict(scene="Cornell_Box", spp=16, depth=32),  # config 2
-    "cornell_80x40": dict(scene="Cornell_Box", width=80, height=40, spp=1, depth=4),
+    "cornell_80x40": dict(  # config 1: tiny ASCII
+        scene="Cornell_Box", width=80, height=40, spp=1, depth=4
+    ),
     "cornell_shipped": dict(scene="Cornell_Box"),  # 400x200, 128 spp, depth 3
     "demo": dict(scene="demo"),  # adaptive-sampling many-sphere scene
     "scene2": dict(scene="scene2"),
+    # config 3: 100-frame temporal accumulation compiled as one lax.scan
+    "scan100": dict(scene="Cornell_Box", spp=16, depth=32, scan=100),
 }
 
 
-def build(cfg, backend):
-    import jax
-
+def _load(cfg):
     from terminal_raytracer_tpu.models import Camera, load_scene
-    from terminal_raytracer_tpu.runtime import init_state, make_render_step
 
     scene = load_scene(cfg["scene"]).with_overrides(
         width=cfg.get("width"),
@@ -51,74 +63,213 @@ def build(cfg, backend):
         samples_per_pixel=cfg.get("spp"),
         max_depth=cfg.get("depth"),
     )
-    step = make_render_step(scene, full_color=True, backend=backend)
-    return scene, step, init_state(scene), Camera()
+    return scene, Camera()
 
 
-def run_bench(config_name: str, backend: str, frames: int, verbose: bool):
+def run_bench(config_name: str, backend: str, frames: int, reps: int,
+              verbose: bool):
+    """Returns (median Mray/s, median fps) over `reps` timed repetitions."""
     import jax
 
+    from terminal_raytracer_tpu.runtime import init_state, make_render_step
+
     cfg = CONFIGS[config_name]
-    scene, step, state, cam = build(cfg, backend)
+    scene, cam = _load(cfg)
     pose = cam.pose()
+
+    if cfg.get("scan"):
+        return _run_bench_scan(scene, pose, cfg["scan"], backend, reps,
+                               verbose, config_name)
+
+    step = make_render_step(scene, full_color=True, backend=backend)
+    state = init_state(scene)
 
     # Warm-up / compile (also forces the first, slow, tunnel transfer).
     out = step(state, pose, np.uint32(1), np.int32(0))
-    rays_per_frame = float(jax.device_get(out.rays))
+    jax.device_get(out.rays)
     state = out.state
 
-    # Throughput protocol: submit `frames` chained steps (state donation
-    # keeps accumulation on-device, like the interactive loop), force
-    # completion once at the end via a host transfer.
-    t0 = time.perf_counter()
-    for f in range(1, frames + 1):
-        out = step(state, pose, np.uint32(1 + f), np.int32(f))
-        state = out.state
-    jax.device_get(out.rays)
-    dt = (time.perf_counter() - t0) / frames
+    mrays, fpss = [], []
+    frame = 1
+    for _ in range(reps):
+        # Submit `frames` chained steps (state donation keeps accumulation
+        # on-device, like the interactive loop); keep each frame's on-device
+        # ray count and sync once at the end. Rays are summed over exactly
+        # the timed frames (adaptive budgets differ per frame/seed).
+        ray_counts = []
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            out = step(state, pose, np.uint32(1 + frame), np.int32(frame))
+            state = out.state
+            ray_counts.append(out.rays)
+            frame += 1
+        total_rays = float(sum(jax.device_get(ray_counts)))
+        dt = (time.perf_counter() - t0) / frames
+        mrays.append(total_rays / frames / dt / 1e6)
+        fpss.append(1.0 / dt)
 
-    mray_s = rays_per_frame / dt / 1e6
-    fps = 1.0 / dt
+    mray_s = statistics.median(mrays)
+    fps = statistics.median(fpss)
     if verbose:
         px = scene.width * scene.height
+        rpf = total_rays / frames
         print(
-            f"[bench] {config_name} backend={backend} {scene.width}x{scene.height} "
-            f"spp={scene.samples_per_pixel} depth={scene.max_depth} | "
-            f"{dt * 1e3:.2f} ms/frame = {fps:.1f} fps | "
-            f"{rays_per_frame:.3e} rays/frame -> {mray_s:.1f} Mray/s | "
-            f"{rays_per_frame / px:.1f} rays/px",
+            f"[bench] {config_name} backend={backend} "
+            f"{scene.width}x{scene.height} spp={scene.samples_per_pixel} "
+            f"depth={scene.max_depth} | protocol {frames}f x {reps} reps | "
+            f"median {1e3 / fps:.2f} ms/frame = {fps:.1f} fps | "
+            f"{rpf:.3e} rays/frame -> {mray_s:.1f} Mray/s "
+            f"(reps: {', '.join(f'{m:.0f}' for m in mrays)}) | "
+            f"{rpf / px:.1f} rays/px",
             file=sys.stderr,
         )
     return mray_s, fps
 
 
+def _run_bench_scan(scene, pose, n_frames, backend, reps, verbose,
+                    config_name):
+    """BASELINE config 3: the whole accumulation compiled as one lax.scan."""
+    import jax
+
+    from terminal_raytracer_tpu.runtime import init_state
+    from terminal_raytracer_tpu.runtime.offline import make_scan_renderer
+
+    render = make_scan_renderer(scene, n_frames, full_color=True,
+                                backend=backend)
+    rng = np.random.RandomState(0)
+
+    def seeds():
+        return (
+            rng.randint(0, 2**32, size=n_frames, dtype=np.uint64)
+            + np.arange(n_frames, dtype=np.uint64)
+        ).astype(np.uint32)
+
+    # Warm-up / compile.
+    state, rgb, glyphs, rays = render(init_state(scene), pose, seeds())
+    jax.device_get(rays)
+
+    mrays, fpss = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, rgb, glyphs, rays = render(init_state(scene), pose, seeds())
+        total_rays = float(jax.device_get(rays))
+        dt = time.perf_counter() - t0
+        mrays.append(total_rays / dt / 1e6)
+        fpss.append(n_frames / dt)
+
+    mray_s = statistics.median(mrays)
+    fps = statistics.median(fpss)
+    if verbose:
+        print(
+            f"[bench] {config_name} backend={backend} "
+            f"{scene.width}x{scene.height} spp={scene.samples_per_pixel} "
+            f"depth={scene.max_depth} | {n_frames}-frame scan x {reps} reps | "
+            f"median {fps:.1f} fps | {mray_s:.1f} Mray/s "
+            f"(reps: {', '.join(f'{m:.0f}' for m in mrays)})",
+            file=sys.stderr,
+        )
+    return mray_s, fps
+
+
+def run_check(verbose: bool) -> str:
+    """On-hardware kernel-vs-oracle gate: render a small config with
+    backend=pallas and backend=jnp on the same seeds; assert exact ray-count
+    equality and radiance tolerance. Returns a 'pass(...)' / 'FAIL(...)'
+    string (kernel semantics: reference shader.wgsl:439-622)."""
+    import jax
+
+    from terminal_raytracer_tpu.models import Camera, load_scene
+    from terminal_raytracer_tpu.runtime import init_state, make_render_step
+
+    scene = load_scene("Cornell_Box").with_overrides(
+        width=128, height=16, samples_per_pixel=16, max_depth=8
+    )
+    cam = Camera()
+    outs = {}
+    for backend in ("pallas", "jnp"):
+        step = make_render_step(scene, full_color=True, backend=backend)
+        state = init_state(scene)
+        for f in range(3):
+            out = step(state, cam.pose(), np.uint32(42 + f), np.int32(f))
+            state = out.state
+        outs[backend] = jax.device_get(
+            (out.rays, out.state.acc, out.state.samples)
+        )
+    rays_p, acc_p, samp_p = outs["pallas"]
+    rays_j, acc_j, samp_j = outs["jnp"]
+    ray_eq = float(rays_p) == float(rays_j)
+    samp_eq = bool(np.array_equal(samp_p, samp_j))
+    max_abs = float(np.max(np.abs(acc_p - acc_j)))
+    denom = np.maximum(np.abs(acc_j), 1e-3)
+    max_rel = float(np.max(np.abs(acc_p - acc_j) / denom))
+    ok = ray_eq and samp_eq and max_rel < 5e-3
+    verdict = (
+        f"{'pass' if ok else 'FAIL'}(rays {'==' if ray_eq else '!='}, "
+        f"budgets {'==' if samp_eq else '!='}, "
+        f"maxabs={max_abs:.2e}, maxrel={max_rel:.2e})"
+    )
+    if verbose or not ok:
+        print(f"[check] pallas-vs-jnp on {jax.default_backend()}: {verdict}",
+              file=sys.stderr)
+    return verdict
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="north_star", choices=sorted(CONFIGS))
-    ap.add_argument("--backend", default="auto", choices=["auto", "pallas", "jnp"])
-    ap.add_argument("--frames", type=int, default=32)
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "pallas", "jnp"])
+    ap.add_argument("--frames", type=int, default=48)
+    ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--verbose", action="store_true")
-    ap.add_argument("--all", action="store_true", help="run every config (verbose table)")
+    ap.add_argument("--all", action="store_true",
+                    help="run every config (verbose table)")
+    ap.add_argument("--no-check", action="store_true",
+                    help="skip the pallas-vs-jnp correctness gate")
+    ap.add_argument("--check-only", action="store_true",
+                    help="run only the correctness gate, then exit")
     args = ap.parse_args()
+
+    import jax
+
+    on_tpu = jax.default_backend().startswith("tpu")
+
+    if args.check_only:
+        verdict = run_check(verbose=True)
+        print(json.dumps({"metric": "pallas-vs-jnp check", "value": 1.0 if
+                          verdict.startswith("pass") else 0.0, "unit": "bool",
+                          "vs_baseline": 1.0, "check": verdict}))
+        return 0 if verdict.startswith("pass") else 1
 
     if args.all:
         for name in CONFIGS:
-            run_bench(name, args.backend, args.frames, verbose=True)
+            if name == args.config:
+                continue
+            run_bench(name, args.backend, args.frames, args.reps,
+                      verbose=True)
 
-    mray_s, fps = run_bench(args.config, args.backend, args.frames, args.verbose)
-    print(
-        json.dumps(
-            {
-                "metric": "Mray/s/chip @ Cornell 400x200 16spp depth32"
-                if args.config == "north_star"
-                else f"Mray/s/chip @ {args.config}",
-                "value": round(mray_s, 2),
-                "unit": "Mray/s",
-                "vs_baseline": round(mray_s / TARGET_MRAY_S, 4),
-            }
-        )
-    )
+    mray_s, fps = run_bench(args.config, args.backend, args.frames,
+                            args.reps, args.verbose)
+
+    record = {
+        "metric": "Mray/s/chip @ Cornell 400x200 16spp depth32"
+        if args.config == "north_star"
+        else f"Mray/s/chip @ {args.config}",
+        "value": round(mray_s, 2),
+        "unit": "Mray/s",
+        "vs_baseline": round(mray_s / TARGET_MRAY_S, 4),
+        "fps": round(fps, 2),
+        "protocol": f"median of {args.reps} reps x {args.frames} frames",
+        "vs_baseline_is": "ratio to the 500 Mray/s target (no published "
+                          "reference numbers)",
+    }
+    # The on-hardware correctness gate rides along in the same record so the
+    # driver's BENCH_r{N}.json carries the kernel-vs-oracle verdict.
+    if not args.no_check and on_tpu:
+        record["check"] = run_check(args.verbose)
+    print(json.dumps(record))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

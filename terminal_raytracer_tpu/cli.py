@@ -77,16 +77,19 @@ def main(argv=None) -> int:
     if args.path and args.scene:
         print("error: --path and --scene are mutually exclusive", file=sys.stderr)
         return 2
+    if args.frames is not None and args.frames < 1:
+        print(f"error: --frames must be >= 1 (got {args.frames})",
+              file=sys.stderr)
+        return 2
     try:
         scene = load_scene(args.path or args.scene)
+        scene = scene.with_overrides(
+            width=args.width, height=args.height,
+            samples_per_pixel=args.spp, max_depth=args.depth,
+        )
     except (FileNotFoundError, ValueError, KeyError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
-
-    scene = scene.with_overrides(
-        width=args.width, height=args.height,
-        samples_per_pixel=args.spp, max_depth=args.depth,
-    )
 
     interactive = args.frames is None
     if interactive and not args.no_clamp:
@@ -141,15 +144,17 @@ def main(argv=None) -> int:
                 scene, args.frames, full_color=args.full_color,
                 backend=args.backend,
             )
+            start = engine.frame_count  # continues a --load-state resume
             rng = np.random.RandomState(args.deterministic)
             seeds = (
                 rng.randint(0, 2**32, size=args.frames, dtype=np.uint64)
-                + np.arange(args.frames, dtype=np.uint64)
+                + np.arange(start, start + args.frames, dtype=np.uint64)
             ).astype(np.uint32)
             engine.state, rgb, glyphs, rays = render(
-                engine.state, engine.camera.pose(), jnp.asarray(seeds)
+                engine.state, engine.camera.pose(), jnp.asarray(seeds),
+                np.int32(start),
             )
-            engine.frame_count = args.frames
+            engine.frame_count = start + args.frames
             rgb, glyphs, rays = jax.device_get((rgb, glyphs, rays))
             mean_spp = float("nan")
         else:

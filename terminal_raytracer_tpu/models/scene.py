@@ -106,6 +106,40 @@ class Scene:
     planes: Tuple[Plane, ...]
     triangles: Tuple[Triangle, ...]
 
+    def __post_init__(self):
+        """Validate on every construction (incl. with_overrides / CLI
+        overrides). The reference accepts anything serde parses and then
+        misbehaves silently; here bad configs fail loudly. width/height must
+        be >= 2 because ray gen divides by (width-1)/(height-1)
+        (shader.wgsl:524-527; ops/tracer.py gen_ray)."""
+        for name, lo in (("width", 2), ("height", 2), ("samples_per_pixel", 1),
+                         ("max_depth", 1), ("frames_to_accumulate", 1)):
+            v = getattr(self, name)
+            if not isinstance(v, int) or v < lo:
+                raise ValueError(
+                    f"scene {name} must be an integer >= {lo}, got {v!r}"
+                )
+        if not (0.0 < self.camera.fov_degrees < 180.0):
+            raise ValueError(
+                f"camera fov_degrees must be in (0, 180), got "
+                f"{self.camera.fov_degrees!r}"
+            )
+        if not self.camera.char_aspect_ratio > 0.0:
+            raise ValueError(
+                f"camera char_aspect_ratio must be > 0, got "
+                f"{self.camera.char_aspect_ratio!r}"
+            )
+        for i, p in enumerate(self.planes):
+            if sum(c * c for c in p.normal) == 0.0:
+                raise ValueError(
+                    f"planes[{i}] normal must be nonzero, got {p.normal!r}"
+                )
+        for i, s in enumerate(self.spheres):
+            if not s.radius > 0.0:
+                raise ValueError(
+                    f"spheres[{i}] radius must be > 0, got {s.radius!r}"
+                )
+
     # ---- derived views ----------------------------------------------------
 
     @property
@@ -164,10 +198,11 @@ class Scene:
 
     def clamp_to_terminal(self, term_width: int, term_height: int) -> "Scene":
         """Resolution clamp: width <= terminal width, height <= terminal
-        height - 2 (two status rows), as in lib.rs:113-115."""
+        height - 2 (two status rows), as in lib.rs:113-115. Floors at 2x2
+        so a degenerate terminal can't produce an invalid scene."""
         return self.with_overrides(
-            width=min(self.width, int(term_width)),
-            height=min(self.height, int(term_height) - 2),
+            width=max(2, min(self.width, int(term_width))),
+            height=max(2, min(self.height, int(term_height) - 2)),
         )
 
     # ---- SoA array export --------------------------------------------------

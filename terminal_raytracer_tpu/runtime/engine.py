@@ -125,7 +125,9 @@ class Engine:
 
     def run_interactive(self):
         scene = self.scene
-        cam_moved = True
+        # A restored state (--load-state) continues refinement from its
+        # saved frame counter; only a fresh engine starts with a reset.
+        cam_moved = self.frame_count == 0
         pending = None  # dispatched-but-not-displayed FrameOutput
         with TerminalSession() as term:
             while True:
@@ -198,8 +200,12 @@ class Engine:
 
     def run_headless(self, n_frames: int):
         """Render n accumulated frames without a terminal; returns the final
-        fetched (rgb, glyphs, rays, mean_samples)."""
+        fetched (rgb, glyphs, rays, mean_samples). Frame numbering continues
+        from self.frame_count so a --load-state resume keeps accumulating
+        instead of overwriting the restored buffer at alpha=1."""
+        if n_frames < 1:
+            raise ValueError(f"n_frames must be >= 1, got {n_frames}")
         out = None
-        for f in range(n_frames):
-            out = self.render_one(f)
+        for _ in range(n_frames):
+            out = self.render_one(self.frame_count)
         return self._fetch(out)

@@ -31,22 +31,26 @@ def make_scan_renderer(
     full_color: bool = True,
     backend: str = "auto",
 ):
-    """Build `render(state0, pose, seeds) -> (state, rgb, glyphs, rays)`.
+    """Build `render(state0, pose, seeds, frame0=0) -> (state, rgb, glyphs,
+    rays)`.
 
     `seeds` is a (n_frames,) uint32 array (one per frame, like the host
-    reseeding at lib.rs:423). Accumulation starts at frame_number 0 (reset)
-    and runs to n_frames-1.
+    reseeding at lib.rs:423). Accumulation runs frame_number frame0 ..
+    frame0+n_frames-1; frame0=0 starts with a reset, frame0>0 continues a
+    restored accumulation (--load-state resume).
     """
     step = make_render_step(scene, full_color=full_color, backend=backend,
                             jit=False)
 
-    def render(state: FrameState, pose, seeds):
+    def render(state: FrameState, pose, seeds, frame0=jnp.int32(0)):
         def body(state, inp):
             seed, frame_number = inp
             out = step(state, pose, seed, frame_number)
             return out.state, out.rays
 
-        frames = jnp.arange(n_frames, dtype=jnp.int32)
+        frames = jnp.asarray(frame0, jnp.int32) + jnp.arange(
+            n_frames, dtype=jnp.int32
+        )
         state, rays = jax.lax.scan(body, state, (seeds, frames))
 
         acc_v = V3(state.acc[0], state.acc[1], state.acc[2])

@@ -13,6 +13,7 @@ import os
 import select
 import signal
 import sys
+import time
 from typing import Optional
 
 HIDE_CURSOR = b"\x1b[?25l"
@@ -102,11 +103,22 @@ class TerminalSession:
             return None
         ch = os.read(self._fd, 1)
         if ch == b"\x1b":
-            # Arrow = ESC [ A..D; a lone ESC (no follow-up) = exit.
-            r, _, _ = select.select([self._fd], [], [], 0.001)
-            if not r:
+            # Arrow = ESC [ A..D; a lone ESC (no follow-up) = exit. Over a
+            # slow ssh/pty the continuation bytes can straggle, so wait up
+            # to ~30 ms and read incrementally until the 2-byte sequence
+            # completes (a 1 ms window misreads arrows as ESC).
+            seq = b""
+            deadline = time.monotonic() + 0.030
+            while len(seq) < 2:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                r, _, _ = select.select([self._fd], [], [], remaining)
+                if not r:
+                    break
+                seq += os.read(self._fd, 2 - len(seq))
+            if not seq:
                 return "esc"
-            seq = os.read(self._fd, 2)
             return _ARROWS.get(seq, None)
         try:
             return ch.decode("ascii").lower()

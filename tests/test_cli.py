@@ -78,7 +78,18 @@ def test_flag_errors():
     out = run_cli(["--path", "/a.json", "--scene", "demo", "--frames", "1"])
     assert out.returncode == 2
     assert "mutually exclusive" in out.stderr.decode()
-    out = run_cli(TINY + ["--frames", "1", "--spp", "0"]) if False else None
+    # config validation: nonsense render params are rejected with clear
+    # messages (scene.__post_init__), not rendered as garbage
+    out = run_cli(TINY + ["--frames", "1", "--spp", "0"])
+    assert out.returncode == 2
+    assert "samples_per_pixel" in out.stderr.decode()
+    out = run_cli(TINY + ["--frames", "1", "--width", "1"])
+    assert out.returncode == 2
+    assert "width" in out.stderr.decode()
+    # --frames 0 is a clean usage error, not an AttributeError crash
+    out = run_cli(TINY + ["--frames", "0"])
+    assert out.returncode == 2
+    assert "--frames" in out.stderr.decode()
 
 
 def test_interactive_pty():

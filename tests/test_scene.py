@@ -55,7 +55,7 @@ def test_triangles_optional():
 
 def test_f32_narrowing():
     cfg = {
-        "width": 1, "height": 1, "samples_per_pixel": 1, "max_depth": 1,
+        "width": 2, "height": 2, "samples_per_pixel": 1, "max_depth": 1,
         "frames_to_accumulate": 1,
         "camera": {"fov_degrees": 45.0, "char_aspect_ratio": 0.55},
         "spheres": [{"center": [0.1, 0.2, 0.3], "radius": 0.7,
@@ -112,3 +112,38 @@ def test_malformed_json_error(tmp_path):
 def test_default_scene_is_cornell():
     assert sm.load_scene() == sm.load_scene("Cornell_Box")
     assert sorted(sm.list_scenes()) == ["Cornell_Box", "demo", "scene2"]
+
+
+def test_scene_validation_rejects_nonsense():
+    import pytest
+
+    base = {
+        "width": 10, "height": 5, "samples_per_pixel": 1, "max_depth": 1,
+        "frames_to_accumulate": 1,
+        "camera": {"fov_degrees": 45.0, "char_aspect_ratio": 0.55},
+        "spheres": [], "planes": [],
+    }
+
+    def bad(**kw):
+        cfg = dict(base, **kw)
+        with pytest.raises(ValueError):
+            sm.scene_from_dict(cfg)
+
+    bad(width=1)          # gen_ray divides by width-1
+    bad(height=0)
+    bad(samples_per_pixel=0)
+    bad(max_depth=-3)
+    bad(frames_to_accumulate=0)
+    bad(camera={"fov_degrees": 0.0, "char_aspect_ratio": 0.55})
+    bad(camera={"fov_degrees": 200.0, "char_aspect_ratio": 0.55})
+    bad(camera={"fov_degrees": 45.0, "char_aspect_ratio": 0.0})
+    mat = {"color": [1, 1, 1], "emission": [0, 0, 0], "reflectivity": 0.0}
+    bad(planes=[dict(point=[0, 0, 0], normal=[0, 0, 0], **mat)])
+    bad(spheres=[dict(center=[0, 0, 0], radius=0.0, **mat)])
+    # with_overrides validates too (CLI --spp 0 etc.)
+    s = sm.scene_from_dict(base)
+    with pytest.raises(ValueError):
+        s.with_overrides(samples_per_pixel=0)
+    # clamp_to_terminal floors at 2x2 instead of erroring
+    tiny = s.clamp_to_terminal(1, 1)
+    assert (tiny.width, tiny.height) == (2, 2)
