@@ -140,6 +140,11 @@ class ScenePrims:
         # Per primitive, in reference flatten order:
         #   (intersect(o, d, t_min, t_max) -> t, normal(p) -> V3, material)
         self._prims: List[Tuple[Callable, Callable, scene_mod.Material]] = []
+        # Per primitive: the compile-time unit normal (plane/triangle), or
+        # None for spheres whose normal is runtime math. Used by the
+        # grouped-select sweep below.
+        self._const_normal: List = []
+        self._sphere_geom: List = []  # (center V3, inv_r) or None
         for tag, prim in scene.primitives:
             if tag == scene_mod.SPHERE:
                 c, r = _c3(prim.center), float(prim.radius)
@@ -152,6 +157,9 @@ class ScenePrims:
                     # (p - center)/radius, then normalize (shader.wgsl:236)
                     return vm.normalize((p - c) * inv_r)
 
+                self._const_normal.append(None)
+                self._sphere_geom.append((c, inv_r))
+
             elif tag == scene_mod.PLANE:
                 pt, n = _c3(prim.point), np.asarray(prim.normal, np.float32)
                 n_unit = _c3(n / np.sqrt(np.dot(n, n)))
@@ -163,6 +171,9 @@ class ScenePrims:
                 def norm(p, n_unit=n_unit):
                     return n_unit
 
+                self._const_normal.append((n_unit.x, n_unit.y, n_unit.z))
+                self._sphere_geom.append(None)
+
             else:  # TRIANGLE
                 e1, e2, n, _ = _tri_edges_f32(prim)
                 v0, e1c, e2c, n_unit = _c3(prim.v0), _c3(e1), _c3(e2), _c3(n)
@@ -173,36 +184,101 @@ class ScenePrims:
                 def norm(p, n_unit=n_unit):
                     return n_unit
 
+                self._const_normal.append((n_unit.x, n_unit.y, n_unit.z))
+                self._sphere_geom.append(None)
+
             self._prims.append((isect, norm, prim.material))
 
     def closest_hit(self, o: V3, d: V3, t_min=RAY_EPS, t_max=T_FAR) -> Hit:
-        """Brute-force linear closest-hit sweep (shader.wgsl:248-294)."""
-        lanes = o.x
-        closest = jnp.zeros_like(lanes) + t_max
-        found = jnp.zeros_like(lanes, dtype=bool)
-        normal = vm.splat(jnp.zeros_like(lanes))
-        col = vm.splat(jnp.zeros_like(lanes))
-        emi = vm.splat(jnp.zeros_like(lanes))
-        refl = jnp.zeros_like(lanes)
+        """Brute-force linear closest-hit sweep (shader.wgsl:248-294).
 
-        for isect, norm_fn, mat in self._prims:
+        Op-lean formulation: the sweep tracks only the running `closest` and
+        each primitive's win mask; materials and normals resolve *after* the
+        sweep via one-hot winner masks with constants grouped by value — one
+        select per distinct channel value instead of eleven selects per
+        primitive. Bit-identical to the naive overwrite chain (the winner's
+        t equals `closest`, so its hit point / normal math sees the same
+        inputs; selected constants are the same constants)."""
+        lanes = o.x
+        zeros = jnp.zeros_like(lanes)
+        closest = zeros + t_max
+        betters = []
+        for isect, _, _ in self._prims:
             t = isect(o, d, t_min, closest)
             better = (t > 0.0) & (t < closest)  # shader.wgsl:279
             closest = jnp.where(better, t, closest)
-            p = o + d * t
-            n = norm_fn(p)
-            # Constant normals / materials broadcast against the lane-shaped
-            # mask inside where; XLA folds the splat.
-            normal = vm.where(better, n, normal)
-            col = vm.where(better, V3(*mat.color), col)
-            emi = vm.where(better, V3(*mat.emission), emi)
-            refl = jnp.where(better, mat.reflectivity, refl)
-            found = found | better
+            betters.append(better)
+
+        n_prims = len(self._prims)
+        # One-hot winner masks: the overwrite chain means the *last* better
+        # in sweep order won (each better is strictly closer than all
+        # predecessors, shader.wgsl:279).
+        winner = [None] * n_prims
+        taken = jnp.zeros_like(lanes, dtype=bool)
+        for k in range(n_prims - 1, -1, -1):
+            winner[k] = betters[k] & ~taken
+            taken = taken | betters[k]
+        found = taken
+
+        def grouped(values):
+            """Select among compile-time channel values: one masked select
+            per distinct nonzero value (winner masks are disjoint, so adds
+            compose exactly)."""
+            groups = {}
+            for k, v in enumerate(values):
+                groups.setdefault(float(v), []).append(k)
+            out = zeros
+            for v, ks in groups.items():
+                if v == 0.0:
+                    continue
+                mask = winner[ks[0]]
+                for k in ks[1:]:
+                    mask = mask | winner[k]
+                out = out + jnp.where(mask, jnp.float32(v), 0.0)
+            return out
+
+        mats = [m for _, _, m in self._prims]
+        col = V3(
+            grouped([m.color[0] for m in mats]),
+            grouped([m.color[1] for m in mats]),
+            grouped([m.color[2] for m in mats]),
+        )
+        emi = V3(
+            grouped([m.emission[0] for m in mats]),
+            grouped([m.emission[1] for m in mats]),
+            grouped([m.emission[2] for m in mats]),
+        )
+        refl = grouped([m.reflectivity for m in mats])
+
+        p = o + d * closest
+
+        # Normals: constant normals (planes/triangles) group by value like
+        # materials; sphere normals need runtime math for their own winners.
+        const_ks = [k for k in range(n_prims) if self._const_normal[k] is not None]
+        normal = V3(
+            grouped([
+                self._const_normal[k][0] if self._const_normal[k] else 0.0
+                for k in range(n_prims)
+            ]),
+            grouped([
+                self._const_normal[k][1] if self._const_normal[k] else 0.0
+                for k in range(n_prims)
+            ]),
+            grouped([
+                self._const_normal[k][2] if self._const_normal[k] else 0.0
+                for k in range(n_prims)
+            ]),
+        ) if const_ks else vm.splat(zeros)
+        for k, geom in enumerate(self._sphere_geom):
+            if geom is None:
+                continue
+            c, inv_r = geom
+            n_k = vm.normalize((p - c) * inv_r)
+            normal = vm.where(winner[k], n_k, normal)
 
         # Front-face flip (shader.wgsl:284-287).
         front = vm.dot(d, normal) < 0.0
         normal = vm.where(front, normal, -normal)
-        p = o + d * closest
         return Hit(found, closest, p, normal, col, emi, refl)
 
     def occluded(self, o: V3, d: V3, t_min, t_max) -> jnp.ndarray:

@@ -107,14 +107,10 @@ def make_render_frame(
     — the per-device body of the shard_map multi-chip step
     (parallel/mesh.py). Pixel seeds and camera rays use global coordinates,
     so shards tile seamlessly."""
-    if mode == "sorted" and shard_rows is not None:
-        # The sorted pipeline's XLA glue is per-chip-image for now; shards
-        # use the single-kernel regen scheduler.
-        mode = "regen"
     if mode == "sorted":
         return make_sorted_render_frame(
             scene, tile_h=tile_h, tile_w=tile_w, interpret=interpret,
-            unbiased=unbiased,
+            unbiased=unbiased, shard_rows=shard_rows,
         )
     # Mosaic cannot legalize while-loops with vector carries; the lockstep
     # path uses fixed-trip fori loops (PathTracer.loop_mode='fori') and the
@@ -339,69 +335,69 @@ def _regen_driver(tracer, cam, xf, yf, refs, max_iters):
     return driver
 
 
-def make_sorted_render_frame(
+def _memspaces():
+    if _HAS_PLTPU:
+        return {"memory_space": pltpu.VMEM}, {"memory_space": pltpu.SMEM}
+    return {}, {}  # pragma: no cover
+
+
+def _interp(interpret) -> bool:
+    if interpret == "auto":
+        return not jax.default_backend().startswith("tpu")
+    return bool(interpret)
+
+
+def make_base_kernel(
     scene: scene_mod.Scene,
     tile_h: int = TILE_H,
     tile_w: int = TILE_W,
     interpret: str = "auto",
     unbiased: bool = False,
-    chunk: int = None,
+    shard_rows: int = None,
+    base_quota: int = None,
     pair: "int | str" = "auto",
 ):
-    """`pair`: number of vertically-strided pixels each lane works through
-    in the base phase (k-pixel pairing — sums k independent workloads per
-    lane to tighten the per-lane work distribution; bit-compatible, each
-    pixel's RNG chain is unchanged). 'auto' picks the largest of {8,4,2,1}
-    dividing the image height.
+    """Kernel A builder: the paired base phase as a standalone callable.
 
-    `chunk`: split each pixel's extra budget into independent entries of
-    <= chunk samples, each seeded with its own sub-chain
-    (pcg_hash(state + c*golden)) — equalizes per-lane work in kernel B at
-    the cost of exact per-pixel RNG-chain parity (still the reference's
-    estimator and decorrelation structure: "parity modulo RNG",
-    BASELINE.md). chunk=None keeps the bit-parity sequential chain."""
-    tracer = tracer_mod.PathTracer(scene, loop_mode="fori", unbiased=unbiased)
+    Returns ``(base_fn, tracer, pair)`` where
+    ``base_fn(pose, seed, frame_number, y0) -> (csum V3, csumsq V3,
+    state u32, rays)`` as ``(h_out, w)`` planes; ``h_out`` is
+    ``shard_rows`` (the per-device row block under shard_map) or the full
+    image height, and ``y0`` is the block's global row offset (pixel seeds
+    and camera rays use global coordinates, so shards tile seamlessly).
+
+    ``base_quota``: base samples actually rendered per pixel — the
+    sample-split multi-chip path gives each 'sp' shard its share of the
+    global max(4, spp/4) budget (parallel/mesh.py); default is the full
+    reference budget.
+
+    ``pair``: number of vertically-strided pixels each lane works through
+    (k-pixel pairing — sums k independent workloads per lane to tighten the
+    per-lane work distribution; bit-compatible, each pixel's RNG chain is
+    unchanged). 'auto' picks the largest of {8,4,2,1} dividing the rows.
+    """
+    tracer = tracer_mod.PathTracer(scene, loop_mode="fori", unbiased=unbiased,
+                                   base_quota=base_quota)
     h, w = scene.height, scene.width
-    base, spp = tracer.base_samples, tracer.spp
-    max_extra = max(spp - base, 0)
-    n_chunks = 1 if not chunk else _cdiv(max_extra, chunk)
-    chunk_sz = max_extra if not chunk else chunk
+    h_out = shard_rows if shard_rows is not None else h
+    base = tracer.base_samples
     if pair == "auto":
         # Pairing pays when each lane's base workload is a short sum (low
         # spp): measured +8.5% at base=4 (north star), -10% at base=32
         # (shipped 128 spp) where per-lane work is already concentrated.
         if base <= 8:
-            pair = next((k for k in (8, 4, 2) if h % k == 0), 1)
+            pair = next((k for k in (8, 4, 2) if h_out % k == 0), 1)
         else:
             pair = 1
     pair = int(pair)
-    if h % pair:
-        raise ValueError(f"height={h} not divisible by pair={pair}")
-    band_h = h // pair
+    if h_out % pair:
+        raise ValueError(f"rows={h_out} not divisible by pair={pair}")
+    band_h = h_out // pair
 
-    if interpret == "auto":
-        interp = not jax.default_backend().startswith("tpu")
-    else:
-        interp = bool(interpret)
-
-    if _HAS_PLTPU:
-        vmem = {"memory_space": pltpu.VMEM}
-        smem = {"memory_space": pltpu.SMEM}
-    else:  # pragma: no cover
-        vmem = smem = {}
+    interp = _interp(interpret)
+    vmem, smem = _memspaces()
     tile_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), **vmem)
-    counts = _carry_dtype_counts(tracer, tile_h, tile_w)
     mk_scratch = pltpu.VMEM if _HAS_PLTPU else pl.MemoryRef
-    scratch_shapes = [
-        mk_scratch((counts["uint32"], tile_h, tile_w), jnp.uint32),
-        mk_scratch((counts["int32"], tile_h, tile_w), jnp.int32),
-        mk_scratch((counts["float32"], tile_h, tile_w), jnp.float32),
-    ]
-
-    # ---- kernel A: paired base phase over the first image band -------------
-    # Each lane works through `pair` pixels, one per band of rows
-    # (tracer.paired_step); per-entry results stream out as separate
-    # (band_h, w) planes the caller concatenates.
 
     paired_dummy = jax.eval_shape(
         lambda: tracer.paired_carry0(
@@ -417,16 +413,19 @@ def make_sorted_render_frame(
         mk_scratch((pcounts["float32"], tile_h, tile_w), jnp.float32),
     ]
 
-    def kernel_base(pose_ref, seed_ref, frame_ref, *rest):
+    def kernel_base(pose_ref, seed_ref, frame_ref, y0_ref, *rest):
         out_refs = rest[:-3]
         u32_s, i32_s, f32_s = rest[-3:]
         ti = pl.program_id(0)
         tj = pl.program_id(1)
-        y_local = ti * tile_h + jax.lax.broadcasted_iota(
+        local_y = ti * tile_h + jax.lax.broadcasted_iota(
             jnp.int32, (tile_h, tile_w), 0
         )
         xs = tj * tile_w + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
-        active = (xs < w) & (y_local < band_h)
+        active = (xs < w) & (local_y < band_h)
+        # Global row of this lane's band-0 pixel; paired entry e adds
+        # e * band_h on top (tracer.paired_step).
+        y_g = y0_ref[0] + local_y
         cam = tracer_mod.cam_from_pose(pose_ref)
         refs = {"uint32": u32_s, "int32": i32_s, "float32": f32_s}
         seed = seed_ref[0]
@@ -461,7 +460,7 @@ def make_sorted_render_frame(
         def body(c):
             it, _ = c
             carry = tracer.paired_step(
-                cam, xs, y_local, band_h, pair, seed, frame, read()
+                cam, xs, y_g, band_h, pair, seed, frame, read()
             )
             write(carry)
             return (it + 1, tracer.paired_pending(carry, pair))
@@ -471,17 +470,19 @@ def make_sorted_render_frame(
         )
         parked = read()[-1]
         for e in range(pair):
-            cs = parked[4 * e + 0]
+            cs_x, cs_y, cs_z = (parked[4 * e + 0].x, parked[4 * e + 0].y,
+                                parked[4 * e + 0].z)
             cq = parked[4 * e + 1]
             st = parked[4 * e + 2]
             ry = parked[4 * e + 3]
-            cr_ref, cg_ref, cb_ref, var_ref, state_ref, rays_ref = (
-                out_refs[6 * e: 6 * e + 6]
-            )
-            cr_ref[:, :] = cs.x
-            cg_ref[:, :] = cs.y
-            cb_ref[:, :] = cs.z
-            var_ref[:, :] = tracer.variance_of(cs, cq)
+            (cr_ref, cg_ref, cb_ref, qr_ref, qg_ref, qb_ref, state_ref,
+             rays_ref) = out_refs[8 * e: 8 * e + 8]
+            cr_ref[:, :] = cs_x
+            cg_ref[:, :] = cs_y
+            cb_ref[:, :] = cs_z
+            qr_ref[:, :] = cq.x
+            qg_ref[:, :] = cq.y
+            qb_ref[:, :] = cq.z
             state_ref[:, :] = st
             rays_ref[:, :] = ry
 
@@ -491,23 +492,60 @@ def make_sorted_render_frame(
     call_a = pl.pallas_call(
         kernel_base,
         grid=grid_a,
-        in_specs=[pl.BlockSpec(**smem)] * 3,  # pose, seed, frame
-        out_specs=[tile_spec] * (6 * pair),
-        out_shape=[band_f32, band_f32, band_f32, band_f32, band_u32,
-                   band_f32] * pair,
+        in_specs=[pl.BlockSpec(**smem)] * 4,  # pose, seed, frame, y0
+        out_specs=[tile_spec] * (8 * pair),
+        out_shape=([band_f32] * 6 + [band_u32, band_f32]) * pair,
         scratch_shapes=paired_scratch,
         interpret=interp,
     )
 
-    # ---- kernel B: extra phase over the sorted pixel stream ----------------
+    def base_fn(pose, seed, frame_number, y0=0):
+        pose = jnp.asarray(pose, jnp.float32)
+        seed_a = jnp.asarray(seed, jnp.uint32).reshape((1,))
+        frame_a = jnp.asarray(frame_number, jnp.int32).reshape((1,))
+        y0_a = jnp.asarray(y0, jnp.int32).reshape((1,))
+        bands = call_a(pose, seed_a, frame_a, y0_a)
 
-    # Sorted-stream view: (rows_b, cols_b) tile-aligned, >= n_entries
-    # lanes; the tail is sentinel lanes with zero budget (their tiles exit
-    # instantly).
-    n_entries = n_chunks * h * w
-    cols_b = 4 * tile_w
-    rows_b = _cdiv(_cdiv(n_entries, cols_b), tile_h) * tile_h
-    n_pad = rows_b * cols_b - n_entries
+        def assemble(q):  # concat quantity q across the pair bands
+            if pair == 1:
+                return bands[q]
+            return jnp.concatenate([bands[8 * e + q] for e in range(pair)],
+                                   axis=0)
+
+        csum = V3(assemble(0), assemble(1), assemble(2))
+        csumsq = V3(assemble(3), assemble(4), assemble(5))
+        state = assemble(6)
+        rays = assemble(7)
+        return csum, csumsq, state, rays
+
+    return base_fn, tracer, pair
+
+
+def make_extra_kernel(
+    scene: scene_mod.Scene,
+    rows_b: int,
+    cols_b: int,
+    max_quota: int,
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
+    interpret: str = "auto",
+    unbiased: bool = False,
+):
+    """Kernel B builder: the adaptive extra phase over a compacted entry
+    stream. Returns ``extra_fn(pose, xs, ys, state, add, samp0) ->
+    (esum V3, rays)`` on ``(rows_b, cols_b)`` lane planes; each lane renders
+    ``add`` extra samples of pixel (xs, ys) continuing RNG state ``state``
+    at sample index ``samp0``."""
+    tracer = tracer_mod.PathTracer(scene, loop_mode="fori", unbiased=unbiased)
+    interp = _interp(interpret)
+    vmem, smem = _memspaces()
+    mk_scratch = pltpu.VMEM if _HAS_PLTPU else pl.MemoryRef
+    counts = _carry_dtype_counts(tracer, tile_h, tile_w)
+    scratch_shapes = [
+        mk_scratch((counts["uint32"], tile_h, tile_w), jnp.uint32),
+        mk_scratch((counts["int32"], tile_h, tile_w), jnp.int32),
+        mk_scratch((counts["float32"], tile_h, tile_w), jnp.float32),
+    ]
 
     def kernel_extra(pose_ref, xs_ref, ys_ref, state_ref, add_ref, samp0_ref,
                      er_ref, eg_ref, eb_ref, rays_ref, u32_s, i32_s, f32_s):
@@ -516,7 +554,7 @@ def make_sorted_render_frame(
         yf = ys_ref[:, :].astype(jnp.float32)
         refs = {"uint32": u32_s, "int32": i32_s, "float32": f32_s}
         run = _regen_driver(tracer, cam, xf, yf, refs,
-                            (chunk_sz + 1) * scene.max_depth + 4)
+                            (max_quota + 1) * scene.max_depth + 4)
         zeros = jnp.zeros_like(xf)
         esum, rays = tracer.extra_phase(
             cam, xf, yf, state_ref[:, :], add_ref[:, :], zeros, run,
@@ -529,53 +567,83 @@ def make_sorted_render_frame(
 
     grid_b = (rows_b // tile_h, cols_b // tile_w)
     plane_b = jax.ShapeDtypeStruct((rows_b, cols_b), jnp.float32)
+    lane_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), **vmem)
     call_b = pl.pallas_call(
         kernel_extra,
         grid=grid_b,
-        in_specs=[
-            pl.BlockSpec(**smem),  # pose
-            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), **vmem),  # xs
-            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), **vmem),  # ys
-            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), **vmem),  # state
-            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), **vmem),  # add
-            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), **vmem),  # samp0
-        ],
-        out_specs=[pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), **vmem)] * 4,
+        in_specs=[pl.BlockSpec(**smem)] + [lane_spec] * 5,
+        out_specs=[lane_spec] * 4,
         out_shape=[plane_b, plane_b, plane_b, plane_b],
         scratch_shapes=scratch_shapes,
         interpret=interp,
     )
 
-    def render_frame(pose, seed, frame_number, y0=0):
-        del y0
+    def extra_fn(pose, xs, ys, state, add, samp0):
         pose = jnp.asarray(pose, jnp.float32)
-        seed_a = jnp.asarray(seed, jnp.uint32).reshape((1,))
-        frame_a = jnp.asarray(frame_number, jnp.int32).reshape((1,))
-        bands = call_a(pose, seed_a, frame_a)
+        er, eg, eb, rays = call_b(pose, xs, ys, state, add, samp0)
+        return V3(er, eg, eb), rays
 
-        def assemble(q):  # concat quantity q across the pair bands
-            return jnp.concatenate([bands[6 * e + q] for e in range(pair)],
-                                   axis=0)
+    return extra_fn
 
-        csum = V3(assemble(0), assemble(1), assemble(2))
-        var = assemble(3)
-        state = assemble(4)
-        rays_a = assemble(5)
 
-        if base >= spp:
-            current = csum * (1.0 / spp)
-            total = jnp.zeros_like(var) + float(base)
-            return current, var, total, jnp.sum(rays_a)
+def make_sorted_extra_phase(
+    scene: scene_mod.Scene,
+    h_out: int = None,
+    samp0_base: int = None,
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
+    interpret: str = "auto",
+    unbiased: bool = False,
+    chunk: int = None,
+):
+    """The XLA glue + kernel B of the sorted pipeline, as a standalone
+    phase (usable per shard under shard_map — all glue ops are local to the
+    shard's row block).
 
-        needs, additional = tracer.extra_quota(var)
+    Returns ``extra_phase(pose, state, additional, y0) -> (esum V3, rays)``
+    over ``(h_out, w)`` planes: compacts pixels into a stream sorted by
+    descending extra budget, runs kernel B over workload-homogeneous tiles,
+    scatters the extra sums back. ``samp0_base`` is the sample index the
+    extra chain continues at (the per-pixel base-phase quota).
 
+    ``chunk``: split each pixel's budget into independent entries of <=
+    chunk samples, each seeded with its own sub-chain
+    (pcg_hash-decorrelated) — equalizes per-lane work in kernel B at the
+    cost of exact per-pixel RNG-chain parity (still the reference's
+    estimator: "parity modulo RNG", BASELINE.md). chunk=None keeps the
+    bit-parity sequential chain."""
+    h, w = scene.height, scene.width
+    h_out = h if h_out is None else h_out
+    base = (samp0_base if samp0_base is not None
+            else tracer_mod.base_sample_count(scene.samples_per_pixel))
+    spp = scene.samples_per_pixel
+    max_extra = max(spp - base, 0)
+    n_chunks = 1 if not chunk else _cdiv(max_extra, chunk)
+    chunk_sz = max_extra if not chunk else chunk
+
+    # Sorted-stream view: (rows_b, cols_b) tile-aligned, >= n_entries
+    # lanes; the tail is sentinel lanes with zero budget (their tiles exit
+    # instantly).
+    n_entries = n_chunks * h_out * w
+    cols_b = 4 * tile_w
+    rows_b = _cdiv(_cdiv(n_entries, cols_b), tile_h) * tile_h
+    n_pad = rows_b * cols_b - n_entries
+
+    extra_fn = make_extra_kernel(
+        scene, rows_b, cols_b, max_quota=chunk_sz, tile_h=tile_h,
+        tile_w=tile_w, interpret=interpret, unbiased=unbiased,
+    )
+
+    def extra_phase(pose, state, additional, y0=0):
         # Build the (possibly chunk-split) entry stream. Entry e = c*HW + p
         # handles samples [base + c*chunk, ...) of pixel p, up to its
         # budget slice. Chunk c > 0 entries get independent RNG sub-chains.
         add_flat = additional.reshape(-1)
         st_flat = state.reshape(-1)
-        ys_img = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).reshape(-1)
-        xs_img = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).reshape(-1)
+        ys_img = (jnp.asarray(y0, jnp.int32) + jax.lax.broadcasted_iota(
+            jnp.int32, (h_out, w), 0
+        )).reshape(-1)
+        xs_img = jax.lax.broadcasted_iota(jnp.int32, (h_out, w), 1).reshape(-1)
         budgets, samp0s, states, xs_l, ys_l = [], [], [], [], []
         golden = jnp.uint32(0x9E3779B9)
         for c in range(n_chunks):
@@ -612,22 +680,67 @@ def make_sorted_render_frame(
         add_s = sort_pad(budget_e, 0.0)
         s0_s = sort_pad(samp0_e, 0)
 
-        er, eg, eb, rays_b = call_b(pose, xs_s, ys_s, st_s, add_s, s0_s)
+        esum_s, rays_b = extra_fn(pose, xs_s, ys_s, st_s, add_s, s0_s)
 
-        pix_of_entry = order % (h * w)
+        pix_of_entry = order % (h_out * w)
 
         def unsort(plane_sorted):
             flat = plane_sorted.reshape(-1)[: n_entries]
             return (
-                jnp.zeros((h * w,), flat.dtype)
+                jnp.zeros((h_out * w,), flat.dtype)
                 .at[pix_of_entry]
                 .add(flat)
-                .reshape(h, w)
+                .reshape(h_out, w)
             )
 
-        esum = V3(unsort(er), unsort(eg), unsort(eb))
+        esum = V3(unsort(esum_s.x), unsort(esum_s.y), unsort(esum_s.z))
+        return esum, jnp.sum(rays_b)
+
+    return extra_phase
+
+
+def make_sorted_render_frame(
+    scene: scene_mod.Scene,
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
+    interpret: str = "auto",
+    unbiased: bool = False,
+    chunk: int = None,
+    pair: "int | str" = "auto",
+    shard_rows: int = None,
+):
+    """The two-kernel sorted pipeline, composed from make_base_kernel +
+    make_sorted_extra_phase. With `shard_rows`, renders a row block at
+    runtime offset y0 — the per-device body under shard_map (the glue ops
+    between the kernels are all shard-local)."""
+    base_fn, tracer, _pair = make_base_kernel(
+        scene, tile_h=tile_h, tile_w=tile_w, interpret=interpret,
+        unbiased=unbiased, shard_rows=shard_rows, pair=pair,
+    )
+    base, spp = tracer.base_samples, tracer.spp
+    h_out = shard_rows if shard_rows is not None else scene.height
+
+    extra_phase = None
+    if base < spp:
+        extra_phase = make_sorted_extra_phase(
+            scene, h_out=h_out, samp0_base=base, tile_h=tile_h,
+            tile_w=tile_w, interpret=interpret, unbiased=unbiased,
+            chunk=chunk,
+        )
+
+    def render_frame(pose, seed, frame_number, y0=0):
+        csum, csumsq, state, rays_a = base_fn(pose, seed, frame_number, y0)
+        var = tracer.variance_of(csum, csumsq)
+
+        if base >= spp:
+            current = csum * (1.0 / spp)
+            total = jnp.zeros_like(var) + float(base)
+            return current, var, total, jnp.sum(rays_a)
+
+        needs, additional = tracer.extra_quota(var)
+        esum, rays_b = extra_phase(pose, state, additional, y0)
         current, total = tracer.combine_phases(csum, esum, needs, additional)
-        rays = jnp.sum(rays_a) + jnp.sum(rays_b)
+        rays = jnp.sum(rays_a) + rays_b
         return current, var, total, rays
 
     return render_frame

@@ -36,7 +36,7 @@ Faithfully replicated reference behaviors (SURVEY.md §7 fidelity list):
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -113,7 +113,7 @@ class PathTracer:
     """
 
     def __init__(self, scene: scene_mod.Scene, loop_mode: str = "while",
-                 unbiased: bool = False):
+                 unbiased: bool = False, base_quota: Optional[int] = None):
         """loop_mode: 'while' uses lax.while_loop for the bounce and
         adaptive-sampling loops (early exit once every lane is dead — the
         oracle/XLA path); 'fori' uses fixed-trip lax.fori_loop (Mosaic
@@ -129,7 +129,15 @@ class PathTracer:
         a perfect-mirror scatter — removing the double count (the
         `--unbiased` capability extension of SURVEY.md §7). RNG chains are
         untouched (the emission add draws nothing), so the two modes render
-        the exact same paths."""
+        the exact same paths.
+
+        base_quota (optional): the number of base-phase samples this tracer
+        actually renders per pixel, when it differs from the reference's
+        max(4, spp/4) — the sample-split multi-chip path renders each
+        shard's share of the global base budget (parallel/mesh.py). NOTE:
+        self.base_samples feeds variance_of / extra_quota / combine_phases
+        too; a caller overriding it must normalize with the *global* base
+        count externally (mesh.py does)."""
         assert loop_mode in ("while", "fori")
         self.loop_mode = loop_mode
         self.unbiased = unbiased
@@ -139,7 +147,9 @@ class PathTracer:
         self.height = scene.height
         self.spp = scene.samples_per_pixel
         self.max_depth = scene.max_depth
-        self.base_samples = base_sample_count(self.spp)
+        self.base_samples = (
+            base_quota if base_quota is not None else base_sample_count(self.spp)
+        )
 
         # Static f32 camera intrinsics (shader.wgsl:522-527). Computed in
         # f32 like the shader does per-sample.

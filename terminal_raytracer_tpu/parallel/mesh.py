@@ -9,18 +9,23 @@ Two orthogonal parallel axes — both ride ICI only:
 
 * ``px`` — pixel-row data parallelism. The image (and all frame state) is
   sharded along H. Embarrassingly parallel: zero collectives until the host
-  gathers the final uint8 frame.
-* ``sp`` — sample parallelism. Each shard renders ``spp / n_sp`` samples of
-  *every* pixel with a decorrelated seed, merged by one ``jax.lax.pmean``
-  over ICI per frame. Use when a single frame must go faster than one
-  chip's pixel throughput allows (latency-bound interactive rendering).
+  gathers the final uint8 frame. Each shard runs the full two-kernel sorted
+  Pallas pipeline on its own row block (the compaction/sort glue is
+  shard-local), so multi-chip keeps the single-chip scheduler wins.
 
-With ``n_sp == 1`` output is bit-identical to the single-chip renderer.
-With ``n_sp > 1`` the adaptive-sampling control loop (variance -> extra
-samples, shader.wgsl:561) runs *per shard* on its own sample subset and the
-shards' (quirkily normalized) means are averaged — a documented statistical
-deviation; disable adaptive effects by choosing spp so that
-``spp/n_sp <= 4`` if exactness across sp matters.
+* ``sp`` — sample parallelism, with *reference-exact* adaptive-sampling
+  statistics. The global base budget max(4, spp/4) (shader.wgsl:513) is
+  split evenly across the 'sp' shards; their per-channel sample sums and
+  sums-of-squares are merged with one ``psum`` over ICI, so the
+  variance -> extra-budget decision (shader.wgsl:555-562) is computed from
+  *all* base samples exactly as a single chip would. The extra budget is
+  then partitioned across the shards (remainder to the lowest indices),
+  each renders its share, and a second ``psum`` merges the extra sums
+  before the reference's normalization (shader.wgsl:600-610). The only
+  deviation from single-chip output is RNG: shards draw from decorrelated
+  seed chains — the same "parity modulo RNG" the reference's own
+  nondeterministic host seeding implies (lib.rs:423). Requires
+  max(4, spp/4) divisible by n_sp.
 """
 
 from __future__ import annotations
@@ -36,8 +41,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models import scene as scene_mod
 from ..ops import tonemap as tm
 from ..ops import tracer as tracer_mod
+from ..ops import vecmath as vm
 from ..ops.vecmath import V3
 from ..runtime.state import FrameOutput, FrameState
+
+SEED_STRIDE = 2654435761  # Knuth multiplicative-hash odd constant
 
 
 def make_mesh(n_px: Optional[int] = None, n_sp: int = 1, devices=None) -> Mesh:
@@ -51,12 +59,12 @@ def make_mesh(n_px: Optional[int] = None, n_sp: int = 1, devices=None) -> Mesh:
     return Mesh(arr, ("px", "sp"))
 
 
-def _split_spp(spp: int, n_sp: int) -> int:
-    if n_sp == 1:
-        return spp
-    if spp % n_sp:
-        raise ValueError(f"samples_per_pixel={spp} not divisible by sp={n_sp}")
-    return spp // n_sp
+def _psum_v3(v: V3, axis: str) -> V3:
+    return V3(
+        jax.lax.psum(v.x, axis),
+        jax.lax.psum(v.y, axis),
+        jax.lax.psum(v.z, axis),
+    )
 
 
 def make_sharded_render_step(
@@ -78,59 +86,151 @@ def make_sharded_render_step(
     if h % n_px:
         raise ValueError(f"height={h} not divisible by px={n_px}")
     rows = h // n_px
-    shard_spp = _split_spp(scene.samples_per_pixel, n_sp)
-
-    # Each shard traces its sample share of its row block. The tracer is
-    # built at the *shard* spp so base/adaptive math follows the reference
-    # formulas on the shard's own budget; width/height stay global so pixel
-    # indices, seeds and ray gen are exact. backend='pallas' runs the
-    # row-offset-aware megakernel per shard (the TPU path); 'jnp' runs the
-    # XLA tracer (CPU tests / dryrun).
-    shard_scene = scene.with_overrides(samples_per_pixel=shard_spp)
+    spp = scene.samples_per_pixel
+    base_full = tracer_mod.base_sample_count(spp)
+    if n_sp > 1 and base_full % n_sp:
+        raise ValueError(
+            f"base sample budget max(4, spp/4)={base_full} not divisible by "
+            f"sp={n_sp}; pick spp so that max(4, spp//4) %% {n_sp} == 0"
+        )
+    base_sh = base_full // n_sp
 
     if backend == "auto":
         backend = "pallas" if jax.default_backend().startswith("tpu") else "jnp"
-    if backend == "pallas":
-        from ..ops import pallas_kernel
 
-        shard_kernel = pallas_kernel.make_render_frame(
-            shard_scene, shard_rows=rows
-        )
-    else:
-        shard_kernel = None
-        tracer = tracer_mod.PathTracer(shard_scene, loop_mode="while")
+    # ---- per-shard renderers -------------------------------------------------
 
-    def shard_render(pose, seed, frame_number):
-        """Runs per device under shard_map; lane grid = (rows, W) block."""
-        px_i = jax.lax.axis_index("px")
-        sp_i = jax.lax.axis_index("sp")
-        y0 = px_i.astype(jnp.int32) * rows
-        # Decorrelate sample shards exactly like frames decorrelate: bump
-        # the seed by shard index (host seeds are random u32 anyway).
-        seed_l = jnp.asarray(seed, jnp.uint32) + sp_i.astype(jnp.uint32) * jnp.uint32(
-            2654435761
-        )
-        if shard_kernel is not None:
-            cur, var, tot, rays = shard_kernel(pose, seed_l, frame_number, y0)
+    if n_sp == 1:
+        # Pure pixel-row DP: each shard runs the full single-chip pipeline
+        # on its row block (Pallas: the sorted two-kernel scheduler with
+        # shard-local compaction glue; jnp: the XLA oracle).
+        if backend == "pallas":
+            from ..ops import pallas_kernel
+
+            shard_kernel = pallas_kernel.make_render_frame(scene,
+                                                           shard_rows=rows)
         else:
+            tracer = tracer_mod.PathTracer(scene, loop_mode="while")
+
+        def shard_render(pose, seed, frame_number):
+            px_i = jax.lax.axis_index("px")
+            y0 = px_i.astype(jnp.int32) * rows
+            if backend == "pallas":
+                cur, var, tot, rays = shard_kernel(pose, seed, frame_number,
+                                                   y0)
+            else:
+                y = y0 + jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0)
+                x = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
+                cam = tracer_mod.cam_from_pose(pose)
+                cur, var, tot, rays = tracer.render_lanes(
+                    cam, x, y, seed, frame_number
+                )
+                rays = jnp.sum(rays)
+            return cur, var, tot, rays
+
+    else:
+        # Sample-split with reference-exact adaptive statistics (module
+        # docstring). Both backends decompose into base phase -> psum ->
+        # budget -> extra phase -> psum -> global normalization.
+        tracer = tracer_mod.PathTracer(scene, loop_mode="while",
+                                       base_quota=base_sh)
+        if backend == "pallas":
+            from ..ops import pallas_kernel
+
+            base_fn, _ktracer, _pair = pallas_kernel.make_base_kernel(
+                scene, shard_rows=rows, base_quota=base_sh
+            )
+            extra_fn = (
+                pallas_kernel.make_sorted_extra_phase(
+                    scene, h_out=rows, samp0_base=base_sh
+                )
+                if base_full < spp
+                else None
+            )
+
+        def shard_render(pose, seed, frame_number):
+            px_i = jax.lax.axis_index("px")
+            sp_i = jax.lax.axis_index("sp")
+            y0 = px_i.astype(jnp.int32) * rows
+            # Decorrelate sample shards exactly like frames decorrelate:
+            # bump the seed by shard index (host seeds are random u32).
+            seed_l = jnp.asarray(seed, jnp.uint32) + sp_i.astype(
+                jnp.uint32
+            ) * jnp.uint32(SEED_STRIDE)
+
+            cam = tracer_mod.cam_from_pose(pose)
             y = y0 + jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0)
             x = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
-            cam = tracer_mod.cam_from_pose(pose)
-            cur, var, tot, rays = tracer.render_lanes(
-                cam, x, y, seed_l, frame_number
-            )
-        # Merge the sample axis: mean of shard estimates; variance/samples
-        # and ray counts reduce additively or by mean as appropriate.
-        if n_sp > 1:
-            cur = V3(
-                jax.lax.pmean(cur.x, "sp"),
-                jax.lax.pmean(cur.y, "sp"),
-                jax.lax.pmean(cur.z, "sp"),
-            )
-            var = jax.lax.pmean(var, "sp")
-            tot = jax.lax.psum(tot, "sp")
+            xf = x.astype(jnp.float32)
+            yf = y.astype(jnp.float32)
+
+            if backend == "pallas":
+                csum, csumsq, state, rays_l = base_fn(pose, seed_l,
+                                                      frame_number, y0)
+                rays = jnp.sum(rays_l)
+            else:
+                state0 = tracer.seed_lanes(x, y, seed_l, frame_number)
+                run = lambda c: tracer._run_regen_jnp(cam, xf, yf, c)
+                state, csum, csumsq, rays_l = tracer.base_phase(
+                    cam, xf, yf, state0, None, run
+                )
+                rays = jnp.sum(rays_l)
+
+            # Merge base statistics across 'sp': variance over ALL
+            # base_full samples, as on a single chip (shader.wgsl:555-558).
+            csum_g = _psum_v3(csum, "sp")
+            csumsq_g = _psum_v3(csumsq, "sp")
             rays = jax.lax.psum(rays, "sp")
-        return cur, var, tot, jnp.sum(rays)
+            mean = csum_g * (1.0 / base_full)
+            var = (
+                (csumsq_g.x * (1.0 / base_full) - mean.x * mean.x)
+                + (csumsq_g.y * (1.0 / base_full) - mean.y * mean.y)
+                + (csumsq_g.z * (1.0 / base_full) - mean.z * mean.z)
+            )
+
+            if base_full >= spp:
+                current = csum_g * (1.0 / spp)
+                total = jnp.zeros_like(var) + float(base_full)
+                return current, var, total, rays
+
+            # Global extra budget (shader.wgsl:561-562), partitioned across
+            # the 'sp' shards (remainder to the lowest shard indices).
+            needs = var > tracer_mod.ADAPTIVE_VAR_THRESHOLD
+            additional = jnp.where(
+                needs,
+                jnp.minimum(
+                    float(spp - base_full),
+                    jnp.floor(var * tracer_mod.ADAPTIVE_VAR_SCALE),
+                ),
+                0.0,
+            )
+            share_q = jnp.floor(additional / n_sp)
+            share_rem = additional - share_q * n_sp
+            my_extra = share_q + jnp.where(
+                sp_i.astype(jnp.float32) < share_rem, 1.0, 0.0
+            )
+
+            if backend == "pallas":
+                esum, rays_b = extra_fn(pose, state, my_extra, y0)
+            else:
+                zeros = jnp.zeros_like(xf)
+                esum, rays_b_l = tracer.extra_phase(
+                    cam, xf, yf, state, my_extra, zeros, run
+                )
+                rays_b = jnp.sum(rays_b_l)
+            esum_g = _psum_v3(esum, "sp")
+            rays = rays + jax.lax.psum(rays_b, "sp")
+
+            # Single-chip normalization (shader.wgsl:600-610) on the merged
+            # sums: adaptive pixels average over all samples actually taken;
+            # everyone else divides the base sum by spp.
+            total = float(base_full) + additional
+            current = vm.where(
+                needs,
+                (csum_g + esum_g) * (1.0 / total),
+                csum_g * (1.0 / spp),
+            )
+            return current, var, total, rays
 
     def step(state: FrameState, pose, seed, frame_number) -> FrameOutput:
         cur, variance, samples, rays = shard_render(pose, seed, frame_number)

@@ -48,26 +48,55 @@ def test_pixel_sharding_lays_out_rows():
     assert out.rgb.shape == (32, 64, 3)
 
 
-def test_sample_split_psum():
-    # 2x4 mesh: 2-way sample split on top of 4-way pixel rows.
+def test_sample_split_matches_single_chip_semantics():
+    """sp=2 now reproduces single-chip adaptive-sampling statistics exactly
+    (VERDICT r1 #3): variance/budget from ALL base samples via psum, global
+    normalization. The comparison target is therefore the single-chip
+    FULL-spp render (same estimator incl. the sum(base)/spp quirk), equal up
+    to RNG decorrelation."""
     scene = _scene(samples_per_pixel=8)
     mesh = make_mesh(n_px=4, n_sp=2)
     step, mk_state = make_sharded_render_step(scene, mesh, backend="jnp")
     out = step(mk_state(), POSE, np.uint32(5), np.int32(0))
     acc = np.asarray(out.state.acc)
     assert np.isfinite(acc).all() and acc.shape == (3, 32, 64)
-    # Each sp shard renders spp/2 = 4 samples (base=4): totals sum to 8.
-    assert np.asarray(out.state.samples).max() == 8
-    # Statistical agreement: each sp shard renders spp/2=4 samples with
-    # clean sum/4 normalization, so the right reference is the single-chip
-    # spp=4 render (a full-spp=8 single-chip render is darkened by the
-    # reference's sum(base)/spp quirk on non-adaptive pixels and is NOT
-    # comparable — see module docstring of parallel/mesh.py).
-    ref_scene = scene.with_overrides(samples_per_pixel=4)
-    ref = make_render_step(ref_scene, backend="jnp")(
-        init_state(ref_scene), POSE, np.uint32(5), np.int32(0)
+
+    # Per-pixel sample totals follow the single-chip budget formula applied
+    # to the *merged* variance: total = base + min(spp-base, floor(var*50))
+    # iff var > 10 (shader.wgsl:561-562).
+    var = np.asarray(out.state.variance)
+    samples = np.asarray(out.state.samples)
+    base, spp = 4.0, 8.0
+    expect = base + np.where(
+        var > 10.0, np.minimum(spp - base, np.floor(var * 50.0)), 0.0
+    )
+    np.testing.assert_array_equal(samples, expect)
+
+    # Statistical agreement with the single-chip full-spp render (same
+    # estimator, decorrelated RNG).
+    ref = make_render_step(scene, backend="jnp")(
+        init_state(scene), POSE, np.uint32(5), np.int32(0)
     )
     assert abs(acc.mean() - np.asarray(ref.state.acc).mean()) < 0.05
+
+
+def test_sample_split_pallas_matches_jnp():
+    """The Pallas base/extra kernels under ('px','sp') shard_map (interpret
+    mode) are bit-compatible with the jnp decomposition: same RNG chains,
+    same merged statistics."""
+    scene = _scene(width=128, height=8, samples_per_pixel=8, max_depth=2)
+    mesh = make_mesh(n_px=2, n_sp=2)
+    step_p, mk_p = make_sharded_render_step(scene, mesh, backend="pallas")
+    step_j, mk_j = make_sharded_render_step(scene, mesh, backend="jnp")
+    a = step_p(mk_p(), POSE, np.uint32(9), np.int32(0))
+    b = step_j(mk_j(), POSE, np.uint32(9), np.int32(0))
+    assert float(a.rays) == float(b.rays)
+    np.testing.assert_allclose(
+        np.asarray(a.state.acc), np.asarray(b.state.acc), atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.state.samples), np.asarray(b.state.samples)
+    )
 
 
 def test_accumulation_across_frames_sharded():
@@ -91,17 +120,20 @@ def test_indivisible_height_raises():
         make_sharded_render_step(scene, mesh)
 
 
-def test_indivisible_spp_raises():
-    scene = _scene(samples_per_pixel=5)
+def test_indivisible_base_budget_raises():
+    # spp=24 -> base = max(4, 24//4) = 6, not divisible by sp=4.
+    scene = _scene(samples_per_pixel=24)
     mesh = make_mesh(n_px=2, n_sp=4)
     with pytest.raises(ValueError, match="not divisible"):
         make_sharded_render_step(scene, mesh)
 
 
 def test_pallas_sharded_matches_jnp_sharded():
-    """The row-offset-aware Pallas kernel inside shard_map (interpret mode
-    on the CPU mesh) agrees with the XLA tracer shard path."""
-    scene = _scene(width=128, height=16, samples_per_pixel=4, max_depth=2)
+    """The row-offset-aware sorted Pallas pipeline inside shard_map
+    (interpret mode on the CPU mesh) agrees with the XLA tracer shard path.
+    spp=8 > base=4 so the shard-local compaction/sort glue + extra kernel
+    run too (VERDICT r1 #4: no more silent regen fallback)."""
+    scene = _scene(width=128, height=16, samples_per_pixel=8, max_depth=2)
     mesh = make_mesh(n_px=2, n_sp=1)
     step_p, mk_p = make_sharded_render_step(scene, mesh, backend="pallas")
     step_j, mk_j = make_sharded_render_step(scene, mesh, backend="jnp")
