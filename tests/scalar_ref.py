@@ -265,16 +265,36 @@ def ray_color(prims, rng, o, d, max_depth):
     return acc
 
 
-def render_pixel(scene, x, y, seed, frame_number, n_samples=None):
+def camera_basis(yaw, pitch):
+    """Yaw/pitch fly-camera basis (reference: src/camera.rs:17-26):
+    forward = (cos yaw * cos pitch, sin pitch, sin yaw * cos pitch),
+    right = (-sin yaw, 0, cos yaw), up = right x forward. f64 trig narrowed
+    to f32 components, matching models/camera.py's order so same-seed
+    parity at moved poses stays exact."""
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    forward = np.array([cy * cp, sp, sy * cp], F)
+    right = np.array([-sy, 0.0, cy], F)
+    up = np.cross(right, forward).astype(F)
+    return forward, right, up
+
+
+def render_pixel(scene, x, y, seed, frame_number, n_samples=None,
+                 position=(0.0, 0.0, 0.0), yaw=-np.pi / 2.0, pitch=0.0):
     """Mean radiance of `n_samples` *proper* samples of pixel (x, y) — i.e.
     sum/n, without the reference's adaptive normalization quirks, for
-    statistical comparison against the wavefront tracer's raw sample mean."""
+    statistical comparison against the wavefront tracer's raw sample mean.
+
+    position/yaw/pitch: the camera pose (defaults: the reference's initial
+    pose — origin, looking down -z, lib.rs:118)."""
     prims = prims_from_scene(scene)
     w, h = scene.width, scene.height
     half_h = np.tan(F(scene.fov_rad) / F(2.0))
     half_w = F(w) / F(h) * half_h
     inv_char = F(1.0) / F(scene.camera.char_aspect_ratio)
     n = n_samples if n_samples is not None else scene.samples_per_pixel
+    forward, right, up = camera_basis(yaw, pitch)
+    pos = np.asarray(position, F)
     with np.errstate(over="ignore"):
         state = U(U(y * w + x) * U(1973) + U(seed) * U(9277) + U(frame_number) * U(12345))
     rng = Rng(state)
@@ -287,9 +307,7 @@ def render_pixel(scene, x, y, seed, frame_number, n_samples=None):
         ndc_x = 2.0 * u - 1.0
         ndc_y = (2.0 * v - 1.0) * inv_char
         vx, vy = half_w * ndc_x, half_h * ndc_y
-        # camera at origin looking -z (yaw -pi/2): forward (0,0,-1),
-        # right (1,0,0), up (0,1,0)
-        d = norm(np.array([1.0, 0.0, 0.0], F) * F(vx) + np.array([0.0, 1.0, 0.0], F) * F(vy) + np.array([0.0, 0.0, -1.0], F))
-        o = np.zeros(3, F)
+        d = norm(right * F(vx) + up * F(vy) + forward)
+        o = pos.copy()
         total += ray_color(prims, rng, o, d, scene.max_depth)
     return (total / n).astype(F)

@@ -22,12 +22,12 @@ from terminal_raytracer_tpu.ops.tracer import PathTracer, cam_from_pose
 CAM = cam_from_pose(Camera().pose())
 
 
-def _vec_pixels(scene, pixels, seed, frame):
+def _vec_pixels(scene, pixels, seed, frame, cam=CAM):
     tracer = PathTracer(scene)
     xs = jnp.asarray(np.array([[x for x, _ in pixels]], np.int32))
     ys = jnp.asarray(np.array([[y for _, y in pixels]], np.int32))
     cur, var, total, rays = jax.jit(
-        lambda s, f: tracer.render_lanes(CAM, xs, ys, s, f)
+        lambda s, f: tracer.render_lanes(cam, xs, ys, s, f)
     )(np.uint32(seed), np.int32(frame))
     return (
         np.stack([np.asarray(cur.x)[0], np.asarray(cur.y)[0], np.asarray(cur.z)[0]], -1),
@@ -81,3 +81,33 @@ def test_seed_and_frame_decorrelate():
     assert not np.allclose(a, c)
     a2, _, _ = _vec_pixels(scene, PIXELS, seed=1, frame=0)
     np.testing.assert_array_equal(a, a2)  # deterministic given (seed, frame)
+
+
+@pytest.mark.parametrize("keys", [
+    ("w", "w", "left"),
+    ("a", "up", "up", "d"),
+    ("s", "right", "down", "w", "left", "left"),
+])
+def test_same_seed_parity_at_moved_poses(keys):
+    """Parity after WASD/arrow movement: the interactive camera's
+    yaw/pitch basis (reference camera.rs:17-26, key steps lib.rs:393-405)
+    feeds both tracers; same-seed renders still agree to float rounding at
+    non-default poses."""
+    scene = load_scene("Cornell_Box").with_overrides(
+        width=100, height=50, samples_per_pixel=4, max_depth=3
+    )
+    cam = Camera()
+    for k in keys:
+        assert cam.apply_key(k)
+    vec, _, _ = _vec_pixels(
+        scene, PIXELS, seed=321, frame=1, cam=cam_from_pose(cam.pose())
+    )
+    for i, (px, py) in enumerate(PIXELS):
+        ref = render_pixel(
+            scene, px, py, seed=321, frame_number=1, n_samples=4,
+            position=cam.position, yaw=cam.yaw, pitch=cam.pitch,
+        )
+        np.testing.assert_allclose(
+            vec[i], ref, rtol=2e-4, atol=2e-6,
+            err_msg=f"pixel ({px},{py}) after keys={keys}",
+        )
