@@ -51,12 +51,20 @@ CONFIGS = {
     "scene2": dict(scene="scene2"),
     # config 3: 100-frame temporal accumulation compiled as one lax.scan
     "scan100": dict(scene="Cornell_Box", spp=16, depth=32, scan=100),
+    # many-primitive scene: exercises the block-culled traversal
+    # (ops/accel.py; auto-enabled at >= 64 primitives)
+    "stress256": dict(scene="stress:256"),
 }
 
 
 def _load(cfg):
     from terminal_raytracer_tpu.models import Camera, load_scene
 
+    if cfg["scene"].startswith("stress:"):
+        from terminal_raytracer_tpu.models.gen import stress_scene
+
+        n = int(cfg["scene"].split(":")[1])
+        return stress_scene(n, seed=0), Camera()
     scene = load_scene(cfg["scene"]).with_overrides(
         width=cfg.get("width"),
         height=cfg.get("height"),

@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", default="auto",
                    choices=["auto", "pallas", "jnp"],
                    help="(ext) compute backend (default: pallas on TPU)")
+    p.add_argument("--accel", default="auto",
+                   choices=["auto", "baked", "grid"],
+                   help="(ext) traversal: brute-force baked sweep (auto/"
+                        "baked; measured fastest at every shipped scale) "
+                        "or the experimental block-culled grid")
     p.add_argument("--frames", type=int, default=None, metavar="N",
                    help="(ext) headless: render N accumulated frames and exit")
     p.add_argument("--width", type=int, default=None, help="(ext) override")
@@ -110,6 +115,7 @@ def main(argv=None) -> int:
         deterministic=args.deterministic,
         pipeline=not args.no_pipeline,
         unbiased=args.unbiased,
+        accel=args.accel,
     )
 
     if args.load_state:
@@ -142,7 +148,7 @@ def main(argv=None) -> int:
 
             render = make_scan_renderer(
                 scene, args.frames, full_color=args.full_color,
-                backend=args.backend,
+                backend=args.backend, accel=args.accel,
             )
             start = engine.frame_count  # continues a --load-state resume
             rng = np.random.RandomState(args.deterministic)

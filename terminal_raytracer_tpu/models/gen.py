@@ -1,0 +1,69 @@
+"""Procedural benchmark/test scenes.
+
+The three shipped scenes top out at ~30 primitives — too small for the
+block-culled traversal (ops/accel.py) to matter. `stress_scene` builds a
+many-sphere field with the same schema/material semantics as the JSON
+scenes, used by the accel tests and the `stress*` bench configs."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import scene as scene_mod
+
+
+def stress_scene(
+    n_spheres: int = 256,
+    seed: int = 0,
+    width: int = 200,
+    height: int = 100,
+    samples_per_pixel: int = 8,
+    max_depth: int = 6,
+) -> scene_mod.Scene:
+    """A field of diffuse/mirror spheres in a slab over a floor plane, lit
+    by one emissive sphere — spatially clustered so block culling has
+    structure to exploit (random clusters, like demo.json's layout but at
+    benchmark scale)."""
+    rng = np.random.RandomState(seed)
+
+    def f3(v):
+        return tuple(float(np.float32(x)) for x in v)
+
+    spheres = []
+    # Emissive sphere light first (light order is parity-relevant).
+    spheres.append(scene_mod.Sphere(
+        center=(0.0, 8.0, -10.0), radius=2.0,
+        material=scene_mod.Material(color=(1.0, 1.0, 1.0),
+                                    emission=(12.0, 12.0, 12.0),
+                                    reflectivity=0.0),
+    ))
+    n_clusters = max(1, n_spheres // 32)
+    centers = rng.uniform([-12, 0.5, -24], [12, 6.0, -4], size=(n_clusters, 3))
+    for i in range(n_spheres - 1):
+        c = centers[i % n_clusters] + rng.normal(0, 1.2, 3)
+        c[1] = max(0.25, c[1])
+        r = float(rng.uniform(0.15, 0.45))
+        col = rng.uniform(0.2, 0.95, 3)
+        refl = float(rng.rand() < 0.2) * float(rng.uniform(0.5, 1.0))
+        spheres.append(scene_mod.Sphere(
+            center=f3(c), radius=float(np.float32(r)),
+            material=scene_mod.Material(color=f3(col),
+                                        emission=(0.0, 0.0, 0.0),
+                                        reflectivity=float(np.float32(refl))),
+        ))
+    planes = (scene_mod.Plane(
+        point=(0.0, 0.0, 0.0), normal=(0.0, 1.0, 0.0),
+        material=scene_mod.Material(color=(0.55, 0.55, 0.6),
+                                    emission=(0.0, 0.0, 0.0),
+                                    reflectivity=0.0),
+    ),)
+    return scene_mod.Scene(
+        width=width, height=height,
+        samples_per_pixel=samples_per_pixel, max_depth=max_depth,
+        frames_to_accumulate=100,
+        camera=scene_mod.Camera_Config(fov_degrees=float(np.float32(55.0)),
+                                       char_aspect_ratio=float(np.float32(0.55))),
+        spheres=tuple(spheres),
+        planes=planes,
+        triangles=(),
+    )

@@ -133,10 +133,17 @@ def _tri_edges_f32(tri: scene_mod.Triangle):
 
 
 class ScenePrims:
-    """Compiled-constant traversal functions for one static scene."""
+    """Compiled-constant traversal functions for one static scene (or an
+    explicit (tag, primitive) list — the block-culled accelerator sweeps
+    per-block sublists, ops/accel.py)."""
 
-    def __init__(self, scene: scene_mod.Scene):
-        self.scene = scene
+    def __init__(self, scene):
+        if isinstance(scene, scene_mod.Scene):
+            self.scene = scene
+            prim_list = scene.primitives
+        else:
+            self.scene = None
+            prim_list = tuple(scene)
         # Per primitive, in reference flatten order:
         #   (intersect(o, d, t_min, t_max) -> t, normal(p) -> V3, material)
         self._prims: List[Tuple[Callable, Callable, scene_mod.Material]] = []
@@ -145,7 +152,7 @@ class ScenePrims:
         # grouped-select sweep below.
         self._const_normal: List = []
         self._sphere_geom: List = []  # (center V3, inv_r) or None
-        for tag, prim in scene.primitives:
+        for tag, prim in prim_list:
             if tag == scene_mod.SPHERE:
                 c, r = _c3(prim.center), float(prim.radius)
                 inv_r = float(np.float32(1.0) / np.float32(prim.radius))
@@ -189,8 +196,12 @@ class ScenePrims:
 
             self._prims.append((isect, norm, prim.material))
 
-    def closest_hit(self, o: V3, d: V3, t_min=RAY_EPS, t_max=T_FAR) -> Hit:
-        """Brute-force linear closest-hit sweep (shader.wgsl:248-294).
+    def raw_closest(self, o: V3, d: V3, t_min, t_max):
+        """Closest-hit sweep WITHOUT the front-face flip: returns
+        (t, found, p, normal_raw, col, emi, refl) with t == t_max where
+        nothing hit. Sweeping a sublist continues an outer chain exactly
+        when called with the outer running closest as t_max (the culled
+        accelerator does this per block, ops/accel.py).
 
         Op-lean formulation: the sweep tracks only the running `closest` and
         each primitive's win mask; materials and normals resolve *after* the
@@ -276,14 +287,28 @@ class ScenePrims:
             n_k = vm.normalize((p - c) * inv_r)
             normal = vm.where(winner[k], n_k, normal)
 
+        return closest, found, p, normal, col, emi, refl
+
+    def closest_hit(self, o: V3, d: V3, t_min=RAY_EPS, t_max=T_FAR,
+                    mask=None) -> Hit:
+        """Brute-force linear closest-hit sweep (shader.wgsl:248-294).
+        `mask` (live lanes) is accepted for interface parity with the
+        block-culled accelerator (ops/accel.py) and ignored here — every
+        lane sweeps everything, as the reference does."""
+        del mask
+        closest, found, p, normal, col, emi, refl = self.raw_closest(
+            o, d, t_min, t_max
+        )
         # Front-face flip (shader.wgsl:284-287).
         front = vm.dot(d, normal) < 0.0
         normal = vm.where(front, normal, -normal)
         return Hit(found, closest, p, normal, col, emi, refl)
 
-    def occluded(self, o: V3, d: V3, t_min, t_max) -> jnp.ndarray:
+    def occluded(self, o: V3, d: V3, t_min, t_max, mask=None) -> jnp.ndarray:
         """Any-hit visibility test for shadow rays (shader.wgsl:399-402:
-        a full hit_scene whose only consumed output is `hit.t < 0`)."""
+        a full hit_scene whose only consumed output is `hit.t < 0`).
+        `mask` ignored here (see closest_hit)."""
+        del mask
         blocked = jnp.zeros_like(o.x, dtype=bool)
         for isect, _, _ in self._prims:
             t = isect(o, d, t_min, t_max)

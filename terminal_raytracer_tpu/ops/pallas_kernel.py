@@ -69,6 +69,30 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _sweep_scratch_shapes(tracer, tile_h, tile_w):
+    """Extra VMEM scratch for the block-culled traversal (ops/accel.py):
+    the per-block pl.when sweeps carry their state through refs. Empty list
+    when the tracer uses the plain baked sweep."""
+    from . import accel as accel_mod
+
+    if not isinstance(tracer.prims, accel_mod.CulledPrims):
+        return []
+    mk = pltpu.VMEM if _HAS_PLTPU else pl.MemoryRef
+    return [mk((accel_mod.CulledPrims.N_SCRATCH, tile_h, tile_w),
+               jnp.float32)]
+
+
+def _maybe_bind_sweep(tracer, rest):
+    """Split (rest_without_sweep, ...) and bind the sweep scratch (the last
+    entry of `rest`) into the tracer's CulledPrims, if present."""
+    from . import accel as accel_mod
+
+    if isinstance(tracer.prims, accel_mod.CulledPrims):
+        tracer.prims.bind(rest[-1])
+        return rest[:-1]
+    return rest
+
+
 def _carry_dtype_counts(tracer, tile_h, tile_w):
     """Leaf dtypes of the regen carry, for sizing scratch buffers."""
     dummy = jax.eval_shape(
@@ -98,6 +122,7 @@ def make_render_frame(
     mode: str = "sorted",
     unbiased: bool = False,
     shard_rows: int = None,
+    accel: str = "auto",
 ):
     """Build `render_frame(pose, seed, frame_number[, y0])` backed by the
     Pallas megakernel. Same signature/returns as PathTracer.render_frame.
@@ -106,16 +131,20 @@ def make_render_frame(
     block of the (globally-sized) image starting at runtime row offset `y0`
     — the per-device body of the shard_map multi-chip step
     (parallel/mesh.py). Pixel seeds and camera rays use global coordinates,
-    so shards tile seamlessly."""
+    so shards tile seamlessly.
+
+    `accel`: traversal choice ('auto'/'baked'/'grid', see PathTracer)."""
     if mode == "sorted":
         return make_sorted_render_frame(
             scene, tile_h=tile_h, tile_w=tile_w, interpret=interpret,
-            unbiased=unbiased, shard_rows=shard_rows,
+            unbiased=unbiased, shard_rows=shard_rows, accel=accel,
         )
     # Mosaic cannot legalize while-loops with vector carries; the lockstep
     # path uses fixed-trip fori loops (PathTracer.loop_mode='fori') and the
     # regen path keeps its vectors in scratch refs.
-    tracer = tracer_mod.PathTracer(scene, loop_mode="fori", unbiased=unbiased)
+    tracer = tracer_mod.PathTracer(scene, loop_mode="fori", unbiased=unbiased,
+                                   accel=accel)
+    sweep_scratch = _sweep_scratch_shapes(tracer, tile_h, tile_w)
     h, w = scene.height, scene.width
     h_out = shard_rows if shard_rows is not None else h
     grid = (_cdiv(h_out, tile_h), _cdiv(w, tile_w))
@@ -148,7 +177,8 @@ def make_render_frame(
         tot_ref[:, :] = tot
         rays_ref[:, :] = rays
 
-    def kernel_lockstep(pose_ref, seed_ref, frame_ref, y0_ref, *out_refs):
+    def kernel_lockstep(pose_ref, seed_ref, frame_ref, y0_ref, *rest):
+        out_refs = _maybe_bind_sweep(tracer, rest)
         xs, ys, active = _tile_coords(y0_ref[0])
         cam = tracer_mod.cam_from_pose(pose_ref)
         out = tracer.render_lanes(
@@ -173,8 +203,10 @@ def make_render_frame(
             idx[d] += 1
         return jax.tree_util.tree_unflatten(treedef, out)
 
-    def kernel_regen(pose_ref, seed_ref, frame_ref, y0_ref, r_ref, g_ref,
-                     b_ref, var_ref, tot_ref, rays_ref, u32_s, i32_s, f32_s):
+    def kernel_regen(pose_ref, seed_ref, frame_ref, y0_ref, *rest):
+        rest = _maybe_bind_sweep(tracer, rest)
+        (r_ref, g_ref, b_ref, var_ref, tot_ref, rays_ref,
+         u32_s, i32_s, f32_s) = rest
         xs, ys, active = _tile_coords(y0_ref[0])
         cam = tracer_mod.cam_from_pose(pose_ref)
         xf = xs.astype(jnp.float32)
@@ -237,6 +269,7 @@ def make_render_frame(
         kernel = kernel_lockstep
     else:
         raise ValueError(f"unknown kernel mode {mode!r}")
+    scratch_shapes = scratch_shapes + sweep_scratch
 
     call = pl.pallas_call(
         kernel,
@@ -356,6 +389,7 @@ def make_base_kernel(
     shard_rows: int = None,
     base_quota: int = None,
     pair: "int | str" = "auto",
+    accel: str = "auto",
 ):
     """Kernel A builder: the paired base phase as a standalone callable.
 
@@ -377,7 +411,8 @@ def make_base_kernel(
     unchanged). 'auto' picks the largest of {8,4,2,1} dividing the rows.
     """
     tracer = tracer_mod.PathTracer(scene, loop_mode="fori", unbiased=unbiased,
-                                   base_quota=base_quota)
+                                   base_quota=base_quota, accel=accel)
+    sweep_scratch = _sweep_scratch_shapes(tracer, tile_h, tile_w)
     h, w = scene.height, scene.width
     h_out = shard_rows if shard_rows is not None else h
     base = tracer.base_samples
@@ -414,6 +449,7 @@ def make_base_kernel(
     ]
 
     def kernel_base(pose_ref, seed_ref, frame_ref, y0_ref, *rest):
+        rest = _maybe_bind_sweep(tracer, rest)
         out_refs = rest[:-3]
         u32_s, i32_s, f32_s = rest[-3:]
         ti = pl.program_id(0)
@@ -495,7 +531,7 @@ def make_base_kernel(
         in_specs=[pl.BlockSpec(**smem)] * 4,  # pose, seed, frame, y0
         out_specs=[tile_spec] * (8 * pair),
         out_shape=([band_f32] * 6 + [band_u32, band_f32]) * pair,
-        scratch_shapes=paired_scratch,
+        scratch_shapes=paired_scratch + sweep_scratch,
         interpret=interp,
     )
 
@@ -530,13 +566,16 @@ def make_extra_kernel(
     tile_w: int = TILE_W,
     interpret: str = "auto",
     unbiased: bool = False,
+    accel: str = "auto",
 ):
     """Kernel B builder: the adaptive extra phase over a compacted entry
     stream. Returns ``extra_fn(pose, xs, ys, state, add, samp0) ->
     (esum V3, rays)`` on ``(rows_b, cols_b)`` lane planes; each lane renders
     ``add`` extra samples of pixel (xs, ys) continuing RNG state ``state``
     at sample index ``samp0``."""
-    tracer = tracer_mod.PathTracer(scene, loop_mode="fori", unbiased=unbiased)
+    tracer = tracer_mod.PathTracer(scene, loop_mode="fori", unbiased=unbiased,
+                                   accel=accel)
+    sweep_scratch = _sweep_scratch_shapes(tracer, tile_h, tile_w)
     interp = _interp(interpret)
     vmem, smem = _memspaces()
     mk_scratch = pltpu.VMEM if _HAS_PLTPU else pl.MemoryRef
@@ -548,7 +587,9 @@ def make_extra_kernel(
     ]
 
     def kernel_extra(pose_ref, xs_ref, ys_ref, state_ref, add_ref, samp0_ref,
-                     er_ref, eg_ref, eb_ref, rays_ref, u32_s, i32_s, f32_s):
+                     *rest):
+        rest = _maybe_bind_sweep(tracer, rest)
+        er_ref, eg_ref, eb_ref, rays_ref, u32_s, i32_s, f32_s = rest
         cam = tracer_mod.cam_from_pose(pose_ref)
         xf = xs_ref[:, :].astype(jnp.float32)
         yf = ys_ref[:, :].astype(jnp.float32)
@@ -574,7 +615,7 @@ def make_extra_kernel(
         in_specs=[pl.BlockSpec(**smem)] + [lane_spec] * 5,
         out_specs=[lane_spec] * 4,
         out_shape=[plane_b, plane_b, plane_b, plane_b],
-        scratch_shapes=scratch_shapes,
+        scratch_shapes=scratch_shapes + sweep_scratch,
         interpret=interp,
     )
 
@@ -586,6 +627,32 @@ def make_extra_kernel(
     return extra_fn
 
 
+def _partition_order(budget_e, n_buckets: int, max_budget: float):
+    """Descending-budget counting partition: a permutation grouping entries
+    of similar extra budget, replacing the full XLA argsort. Kernel B only
+    needs workload-*homogeneous* tiles — the exact order within and between
+    nearby budgets is irrelevant — so bucketing budgets into `n_buckets`
+    classes and computing (class offset + stable rank within class) with
+    one-hot cumsums is enough, and much cheaper than an O(N log^2 N)
+    compare-exchange sort on TPU."""
+    n = budget_e.shape[0]
+    scale = float(n_buckets) / float(max_budget + 1.0)
+    b = jnp.floor(budget_e * scale).astype(jnp.int32)
+    b = (n_buckets - 1) - jnp.clip(b, 0, n_buckets - 1)  # 0 = largest
+    onehot = (b[:, None] == jnp.arange(n_buckets, dtype=jnp.int32)[None, :])
+    onehot = onehot.astype(jnp.int32)
+    counts = jnp.sum(onehot, axis=0)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
+    )
+    excl = jnp.cumsum(onehot, axis=0) - onehot
+    rank = jnp.sum(excl * onehot, axis=1)
+    pos = rank + jnp.sum(onehot * offsets[None, :], axis=1)
+    return jnp.zeros((n,), jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+
+
 def make_sorted_extra_phase(
     scene: scene_mod.Scene,
     h_out: int = None,
@@ -595,6 +662,8 @@ def make_sorted_extra_phase(
     interpret: str = "auto",
     unbiased: bool = False,
     chunk: int = None,
+    order_mode: str = "sort",
+    accel: str = "auto",
 ):
     """The XLA glue + kernel B of the sorted pipeline, as a standalone
     phase (usable per shard under shard_map — all glue ops are local to the
@@ -611,7 +680,12 @@ def make_sorted_extra_phase(
     (pcg_hash-decorrelated) — equalizes per-lane work in kernel B at the
     cost of exact per-pixel RNG-chain parity (still the reference's
     estimator: "parity modulo RNG", BASELINE.md). chunk=None keeps the
-    bit-parity sequential chain."""
+    bit-parity sequential chain.
+
+    ``order_mode``: 'sort' = exact descending argsort; 'partition' =
+    16-bucket counting partition (_partition_order — cheaper, tiles still
+    workload-homogeneous); 'none' = image order (for measuring the
+    compaction win itself)."""
     h, w = scene.height, scene.width
     h_out = h if h_out is None else h_out
     base = (samp0_base if samp0_base is not None
@@ -631,7 +705,7 @@ def make_sorted_extra_phase(
 
     extra_fn = make_extra_kernel(
         scene, rows_b, cols_b, max_quota=chunk_sz, tile_h=tile_h,
-        tile_w=tile_w, interpret=interpret, unbiased=unbiased,
+        tile_w=tile_w, interpret=interpret, unbiased=unbiased, accel=accel,
     )
 
     def extra_phase(pose, state, additional, y0=0):
@@ -665,8 +739,19 @@ def make_sorted_extra_phase(
         xs_e = jnp.concatenate(xs_l)
         ys_e = jnp.concatenate(ys_l)
 
-        # Compact: entries in descending budget order.
-        order = jnp.argsort(-budget_e)
+        # Compact: entries in (exactly or approximately) descending budget
+        # order.
+        if order_mode == "sort":
+            order = jnp.argsort(-budget_e)
+        elif order_mode == "partition":
+            order = _partition_order(
+                budget_e, n_buckets=min(16, int(chunk_sz) + 1),
+                max_budget=float(chunk_sz),
+            )
+        elif order_mode == "none":
+            order = jnp.arange(budget_e.shape[0], dtype=jnp.int32)
+        else:
+            raise ValueError(f"unknown order_mode {order_mode!r}")
 
         def sort_pad(a, fill):
             g = a[order]
@@ -708,6 +793,8 @@ def make_sorted_render_frame(
     chunk: int = None,
     pair: "int | str" = "auto",
     shard_rows: int = None,
+    order_mode: str = "sort",
+    accel: str = "auto",
 ):
     """The two-kernel sorted pipeline, composed from make_base_kernel +
     make_sorted_extra_phase. With `shard_rows`, renders a row block at
@@ -715,7 +802,7 @@ def make_sorted_render_frame(
     between the kernels are all shard-local)."""
     base_fn, tracer, _pair = make_base_kernel(
         scene, tile_h=tile_h, tile_w=tile_w, interpret=interpret,
-        unbiased=unbiased, shard_rows=shard_rows, pair=pair,
+        unbiased=unbiased, shard_rows=shard_rows, pair=pair, accel=accel,
     )
     base, spp = tracer.base_samples, tracer.spp
     h_out = shard_rows if shard_rows is not None else scene.height
@@ -725,7 +812,7 @@ def make_sorted_render_frame(
         extra_phase = make_sorted_extra_phase(
             scene, h_out=h_out, samp0_base=base, tile_h=tile_h,
             tile_w=tile_w, interpret=interpret, unbiased=unbiased,
-            chunk=chunk,
+            chunk=chunk, order_mode=order_mode, accel=accel,
         )
 
     def render_frame(pose, seed, frame_number, y0=0):

@@ -113,7 +113,8 @@ class PathTracer:
     """
 
     def __init__(self, scene: scene_mod.Scene, loop_mode: str = "while",
-                 unbiased: bool = False, base_quota: Optional[int] = None):
+                 unbiased: bool = False, base_quota: Optional[int] = None,
+                 accel: str = "auto"):
         """loop_mode: 'while' uses lax.while_loop for the bounce and
         adaptive-sampling loops (early exit once every lane is dead — the
         oracle/XLA path); 'fori' uses fixed-trip lax.fori_loop (Mosaic
@@ -142,7 +143,27 @@ class PathTracer:
         self.loop_mode = loop_mode
         self.unbiased = unbiased
         self.scene = scene
-        self.prims = geom.ScenePrims(scene)
+        # Traversal: the plain baked sweep ('baked'), or the block-culled
+        # accelerator ('grid', ops/accel.py). 'auto' resolves to 'baked':
+        # measured on v5e (round 2, tools/perf_probe3.py), the pl.when
+        # block-culled traversal loses to the brute VMEM sweep even at 256
+        # primitives (22 vs 30 Mray/s) — with ~2048 decorrelated wavefront
+        # rays per tile, nearly every block's AABB is hit by some lane, so
+        # the any()-reduced cull rarely fires and its slab+branch overhead
+        # is pure cost. Brute force is the TPU answer at every shipped
+        # scale — the same SIMD economics that left the reference's own
+        # grid dead code (SURVEY.md §2.4). 'grid' stays available
+        # (correctness-tested) for experimentation.
+        assert accel in ("auto", "baked", "grid")
+        if accel == "auto":
+            accel = "baked"
+        self.accel = accel
+        if accel == "grid":
+            from . import accel as accel_mod
+
+            self.prims = accel_mod.CulledPrims(scene)
+        else:
+            self.prims = geom.ScenePrims(scene)
         self.width = scene.width
         self.height = scene.height
         self.spp = scene.samples_per_pixel
@@ -213,7 +234,7 @@ class PathTracer:
 
             shadow_o = p + normal * geom.RAY_EPS  # offset along normal (wgsl:399)
             blocked = self.prims.occluded(
-                shadow_o, ldir, geom.RAY_EPS, ldist - geom.RAY_EPS
+                shadow_o, ldir, geom.RAY_EPS, ldist - geom.RAY_EPS, mask=gate
             )
 
             cos_s = jnp.maximum(0.0, vm.dot(normal, ldir))
@@ -249,7 +270,8 @@ class PathTracer:
         bounce. Depth termination is the caller's loop bound.
         """
         zeros = jnp.zeros_like(o.x)
-        hit = self.prims.closest_hit(o, d, geom.RAY_EPS, geom.T_FAR)
+        hit = self.prims.closest_hit(o, d, geom.RAY_EPS, geom.T_FAR,
+                                     mask=alive)
         rays = rays + jnp.where(alive, 1.0, 0.0)
 
         # Miss -> sky contribution, then the lane dies (wgsl:447-452).

@@ -30,6 +30,7 @@ def make_scan_renderer(
     n_frames: int,
     full_color: bool = True,
     backend: str = "auto",
+    accel: str = "auto",
 ):
     """Build `render(state0, pose, seeds, frame0=0) -> (state, rgb, glyphs,
     rays)`.
@@ -40,7 +41,7 @@ def make_scan_renderer(
     restored accumulation (--load-state resume).
     """
     step = make_render_step(scene, full_color=full_color, backend=backend,
-                            jit=False)
+                            jit=False, accel=accel)
 
     def render(state: FrameState, pose, seeds, frame0=jnp.int32(0)):
         def body(state, inp):

@@ -64,22 +64,26 @@ def make_render_step(
     backend: str = "auto",
     jit: bool = True,
     unbiased: bool = False,
+    accel: str = "auto",
 ):
     """Build `step(state, pose16, seed, frame_number) -> FrameOutput`.
 
     backend: 'jnp' (the oracle — runs on any JAX backend), 'pallas' (the TPU
     megakernel), or 'auto' (pallas on TPU, jnp elsewhere).
+    accel: traversal — 'baked' brute-force sweep, 'grid' block-culled
+    (ops/accel.py), 'auto' by primitive count.
     """
     if backend == "auto":
         backend = "pallas" if jax.default_backend().startswith("tpu") else "jnp"
 
     if backend == "jnp":
-        tracer = tracer_mod.PathTracer(scene, unbiased=unbiased)
+        tracer = tracer_mod.PathTracer(scene, unbiased=unbiased, accel=accel)
         render_frame = tracer.render_frame
     elif backend == "pallas":
         from ..ops import pallas_kernel
 
-        render_frame = pallas_kernel.make_render_frame(scene, unbiased=unbiased)
+        render_frame = pallas_kernel.make_render_frame(scene, unbiased=unbiased,
+                                                       accel=accel)
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
