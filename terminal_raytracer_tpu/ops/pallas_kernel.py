@@ -391,7 +391,8 @@ def make_base_kernel(
     pair: "int | str" = "auto",
     accel: str = "auto",
 ):
-    """Kernel A builder: the paired base phase as a standalone callable.
+    """Kernel A builder: the packed-stream base phase as a standalone
+    callable.
 
     Returns ``(base_fn, tracer, pair)`` where
     ``base_fn(pose, seed, frame_number, y0) -> (csum V3, csumsq V3,
@@ -400,15 +401,25 @@ def make_base_kernel(
     image height, and ``y0`` is the block's global row offset (pixel seeds
     and camera rays use global coordinates, so shards tile seamlessly).
 
+    Launch geometry is a 1-D grid over a *packed pixel stream* (like
+    kernel B): lane L of the n_lanes = tiles * tile_h * tile_w stream
+    handles row-major flat pixels L, L + n_lanes, ... — so every tile is
+    full of real pixels up to the single tail tile, independent of how the
+    image dims align to the (tile_h, tile_w) grid. (The previous 2-D band
+    layout left up to ~39% of lanes as edge ballast at the north-star
+    config: 25-row bands over 16-row tiles, 400 cols over 128-lane tiles.)
+
     ``base_quota``: base samples actually rendered per pixel — the
     sample-split multi-chip path gives each 'sp' shard its share of the
     global max(4, spp/4) budget (parallel/mesh.py); default is the full
     reference budget.
 
-    ``pair``: number of vertically-strided pixels each lane works through
-    (k-pixel pairing — sums k independent workloads per lane to tighten the
-    per-lane work distribution; bit-compatible, each pixel's RNG chain is
-    unchanged). 'auto' picks the largest of {8,4,2,1} dividing the rows.
+    ``pair``: k pixels per lane (work pairing — sums k independent
+    workloads per lane to tighten the per-lane work distribution;
+    bit-compatible, each pixel's RNG chain is unchanged). 'auto' picks k=8
+    for short base quotas (measured +8.5% at base=4; concentration no
+    longer pays at base>=~16), adjusted within [1, k0+4] to minimize the
+    tail tile's padding waste.
     """
     tracer = tracer_mod.PathTracer(scene, loop_mode="fori", unbiased=unbiased,
                                    base_quota=base_quota, accel=accel)
@@ -416,33 +427,38 @@ def make_base_kernel(
     h, w = scene.height, scene.width
     h_out = shard_rows if shard_rows is not None else h
     base = tracer.base_samples
+    n_pix = h_out * w
+    lpt = tile_h * tile_w  # lanes per tile
+
+    def _waste(k):
+        return _cdiv(n_pix, k * lpt) * k * lpt - n_pix
+
     if pair == "auto":
-        # Pairing pays when each lane's base workload is a short sum (low
-        # spp): measured +8.5% at base=4 (north star), -10% at base=32
-        # (shipped 128 spp) where per-lane work is already concentrated.
         if base <= 8:
-            pair = next((k for k in (8, 4, 2) if h_out % k == 0), 1)
+            k0 = 8
+            pair = min(range(1, k0 + 5),
+                       key=lambda k: (_waste(k), abs(k - k0)))
         else:
             pair = 1
     pair = int(pair)
-    if h_out % pair:
-        raise ValueError(f"rows={h_out} not divisible by pair={pair}")
-    band_h = h_out // pair
+    tiles = _cdiv(n_pix, pair * lpt)
+    n_lanes = tiles * lpt
 
     interp = _interp(interpret)
     vmem, smem = _memspaces()
-    tile_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), **vmem)
+    tile_spec = pl.BlockSpec((tile_h, tile_w), lambda i: (i, 0), **vmem)
     mk_scratch = pltpu.VMEM if _HAS_PLTPU else pl.MemoryRef
 
-    paired_dummy = jax.eval_shape(
-        lambda: tracer.paired_carry0(
-            jnp.zeros((tile_h, tile_w), jnp.float32), pair
+    i32_tile = jnp.zeros((tile_h, tile_w), jnp.int32)
+    stream_dummy = jax.eval_shape(
+        lambda: tracer.stream_carry0(
+            jnp.zeros((tile_h, tile_w), jnp.float32), pair, i32_tile, i32_tile
         )
     )
     pcounts = {"uint32": 0, "int32": 0, "float32": 0}
-    for leaf in jax.tree_util.tree_leaves(paired_dummy):
+    for leaf in jax.tree_util.tree_leaves(stream_dummy):
         pcounts[str(leaf.dtype)] += 1
-    paired_scratch = [
+    stream_scratch = [
         mk_scratch((pcounts["uint32"], tile_h, tile_w), jnp.uint32),
         mk_scratch((pcounts["int32"], tile_h, tile_w), jnp.int32),
         mk_scratch((pcounts["float32"], tile_h, tile_w), jnp.float32),
@@ -453,22 +469,24 @@ def make_base_kernel(
         out_refs = rest[:-3]
         u32_s, i32_s, f32_s = rest[-3:]
         ti = pl.program_id(0)
-        tj = pl.program_id(1)
-        local_y = ti * tile_h + jax.lax.broadcasted_iota(
-            jnp.int32, (tile_h, tile_w), 0
+        # Lane id in the packed stream; entry-0 pixel = flat pixel L.
+        lane = (
+            ti * lpt
+            + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0) * tile_w
+            + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
         )
-        xs = tj * tile_w + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
-        active = (xs < w) & (local_y < band_h)
-        # Global row of this lane's band-0 pixel; paired entry e adds
-        # e * band_h on top (tracer.paired_step).
-        y_g = y0_ref[0] + local_y
+        ys0 = lane // w
+        xs0 = lane - ys0 * w
         cam = tracer_mod.cam_from_pose(pose_ref)
         refs = {"uint32": u32_s, "int32": i32_s, "float32": f32_s}
         seed = seed_ref[0]
         frame = frame_ref[0]
-        max_iters = pair * ((base + 1) * scene.max_depth + 4)
+        y0 = y0_ref[0]
+        max_iters = pair * ((base + 1) * scene.max_depth + 5)
 
-        carry0 = tracer.paired_carry0(xs.astype(jnp.float32), pair, active)
+        carry0 = tracer.stream_carry0(
+            xs0.astype(jnp.float32), pair, xs0, ys0
+        )
         leaves, treedef = jax.tree_util.tree_flatten(carry0)
         leaf_dtypes = [str(l.dtype) for l in leaves]
 
@@ -495,14 +513,14 @@ def make_base_kernel(
 
         def body(c):
             it, _ = c
-            carry = tracer.paired_step(
-                cam, xs, y_g, band_h, pair, seed, frame, read()
+            carry = tracer.stream_step(
+                cam, y0, h_out, n_lanes, pair, seed, frame, read()
             )
             write(carry)
-            return (it + 1, tracer.paired_pending(carry, pair))
+            return (it + 1, tracer.stream_pending(carry, pair))
 
         jax.lax.while_loop(
-            cond, body, (jnp.int32(0), tracer.paired_pending(carry0, pair))
+            cond, body, (jnp.int32(0), tracer.stream_pending(carry0, pair))
         )
         parked = read()[-1]
         for e in range(pair):
@@ -522,16 +540,15 @@ def make_base_kernel(
             state_ref[:, :] = st
             rays_ref[:, :] = ry
 
-    grid_a = (_cdiv(band_h, tile_h), _cdiv(w, tile_w))
-    band_f32 = jax.ShapeDtypeStruct((band_h, w), jnp.float32)
-    band_u32 = jax.ShapeDtypeStruct((band_h, w), jnp.uint32)
+    stream_f32 = jax.ShapeDtypeStruct((tiles * tile_h, tile_w), jnp.float32)
+    stream_u32 = jax.ShapeDtypeStruct((tiles * tile_h, tile_w), jnp.uint32)
     call_a = pl.pallas_call(
         kernel_base,
-        grid=grid_a,
+        grid=(tiles,),
         in_specs=[pl.BlockSpec(**smem)] * 4,  # pose, seed, frame, y0
         out_specs=[tile_spec] * (8 * pair),
-        out_shape=([band_f32] * 6 + [band_u32, band_f32]) * pair,
-        scratch_shapes=paired_scratch + sweep_scratch,
+        out_shape=([stream_f32] * 6 + [stream_u32, stream_f32]) * pair,
+        scratch_shapes=stream_scratch + sweep_scratch,
         interpret=interp,
     )
 
@@ -542,11 +559,13 @@ def make_base_kernel(
         y0_a = jnp.asarray(y0, jnp.int32).reshape((1,))
         bands = call_a(pose, seed_a, frame_a, y0_a)
 
-        def assemble(q):  # concat quantity q across the pair bands
-            if pair == 1:
-                return bands[q]
-            return jnp.concatenate([bands[8 * e + q] for e in range(pair)],
-                                   axis=0)
+        def assemble(q):
+            # Entry e of lane L is flat pixel e*n_lanes + L, so
+            # concatenating the per-entry streams IS the row-major image
+            # (plus tail padding) — a pure reshape, no gather.
+            parts = [bands[8 * e + q].reshape(-1) for e in range(pair)]
+            flat = parts[0] if pair == 1 else jnp.concatenate(parts)
+            return flat[:n_pix].reshape(h_out, w)
 
         csum = V3(assemble(0), assemble(1), assemble(2))
         csumsq = V3(assemble(3), assemble(4), assemble(5))
@@ -554,6 +573,7 @@ def make_base_kernel(
         rays = assemble(7)
         return csum, csumsq, state, rays
 
+    base_fn.call = call_a  # raw kernel access (profiling/experiments)
     return base_fn, tracer, pair
 
 
@@ -590,21 +610,33 @@ def make_extra_kernel(
                      *rest):
         rest = _maybe_bind_sweep(tracer, rest)
         er_ref, eg_ref, eb_ref, rays_ref, u32_s, i32_s, f32_s = rest
-        cam = tracer_mod.cam_from_pose(pose_ref)
-        xf = xs_ref[:, :].astype(jnp.float32)
-        yf = ys_ref[:, :].astype(jnp.float32)
-        refs = {"uint32": u32_s, "int32": i32_s, "float32": f32_s}
-        run = _regen_driver(tracer, cam, xf, yf, refs,
-                            (max_quota + 1) * scene.max_depth + 4)
-        zeros = jnp.zeros_like(xf)
-        esum, rays = tracer.extra_phase(
-            cam, xf, yf, state_ref[:, :], add_ref[:, :], zeros, run,
-            samp0=samp0_ref[:, :],
-        )
-        er_ref[:, :] = esum.x
-        eg_ref[:, :] = esum.y
-        eb_ref[:, :] = esum.z
-        rays_ref[:, :] = rays
+        zeros_t = jnp.zeros((tile_h, tile_w), jnp.float32)
+        er_ref[:, :] = zeros_t
+        eg_ref[:, :] = zeros_t
+        eb_ref[:, :] = zeros_t
+        rays_ref[:, :] = zeros_t
+
+        # The entry stream is budget-sorted, so most tiles are all-zero
+        # quota; skip their entire carry-init/driver/readback (the fixed
+        # per-tile cost otherwise dominates the phase — measured 4.2 ms at
+        # the north-star config for a no-work stream of 40 tiles).
+        @pl.when(jnp.sum(add_ref[:, :]) > 0.0)
+        def _run_tile():
+            cam = tracer_mod.cam_from_pose(pose_ref)
+            xf = xs_ref[:, :].astype(jnp.float32)
+            yf = ys_ref[:, :].astype(jnp.float32)
+            refs = {"uint32": u32_s, "int32": i32_s, "float32": f32_s}
+            run = _regen_driver(tracer, cam, xf, yf, refs,
+                                (max_quota + 1) * scene.max_depth + 4)
+            zeros = jnp.zeros_like(xf)
+            esum, rays = tracer.extra_phase(
+                cam, xf, yf, state_ref[:, :], add_ref[:, :], zeros, run,
+                samp0=samp0_ref[:, :],
+            )
+            er_ref[:, :] = esum.x
+            eg_ref[:, :] = esum.y
+            eb_ref[:, :] = esum.z
+            rays_ref[:, :] = rays
 
     grid_b = (rows_b // tile_h, cols_b // tile_w)
     plane_b = jax.ShapeDtypeStruct((rows_b, cols_b), jnp.float32)
@@ -714,60 +746,63 @@ def make_sorted_extra_phase(
         # budget slice. Chunk c > 0 entries get independent RNG sub-chains.
         add_flat = additional.reshape(-1)
         st_flat = state.reshape(-1)
-        ys_img = (jnp.asarray(y0, jnp.int32) + jax.lax.broadcasted_iota(
-            jnp.int32, (h_out, w), 0
-        )).reshape(-1)
-        xs_img = jax.lax.broadcasted_iota(jnp.int32, (h_out, w), 1).reshape(-1)
-        budgets, samp0s, states, xs_l, ys_l = [], [], [], [], []
+        hw = h_out * w
+        budgets, states = [], []
         golden = jnp.uint32(0x9E3779B9)
         for c in range(n_chunks):
             budgets.append(
                 jnp.clip(add_flat - float(c * chunk_sz), 0.0, float(chunk_sz))
             )
-            samp0s.append(
-                jnp.full_like(ys_img, base + c * chunk_sz, dtype=jnp.int32)
-            )
             states.append(
                 st_flat if c == 0
                 else st_flat + jnp.uint32(c) * golden
             )
-            xs_l.append(xs_img)
-            ys_l.append(ys_img)
         budget_e = jnp.concatenate(budgets)
-        samp0_e = jnp.concatenate(samp0s)
         state_e = jnp.concatenate(states)
-        xs_e = jnp.concatenate(xs_l)
-        ys_e = jnp.concatenate(ys_l)
+        idx_e = jnp.arange(n_entries, dtype=jnp.int32)
 
         # Compact: entries in (exactly or approximately) descending budget
-        # order.
+        # order. The payloads (entry id, RNG state) ride the sort itself —
+        # one variadic lax.sort instead of argsort + a gather per stream
+        # (measured ~1.4 ms of XLA glue at the north-star config).
         if order_mode == "sort":
-            order = jnp.argsort(-budget_e)
-        elif order_mode == "partition":
-            order = _partition_order(
-                budget_e, n_buckets=min(16, int(chunk_sz) + 1),
-                max_budget=float(chunk_sz),
+            neg_s, idx_s, st_f = jax.lax.sort(
+                (-budget_e, idx_e, state_e), num_keys=1, is_stable=False
             )
-        elif order_mode == "none":
-            order = jnp.arange(budget_e.shape[0], dtype=jnp.int32)
+            add_f = -neg_s
         else:
-            raise ValueError(f"unknown order_mode {order_mode!r}")
+            if order_mode == "partition":
+                order = _partition_order(
+                    budget_e, n_buckets=min(16, int(chunk_sz) + 1),
+                    max_budget=float(chunk_sz),
+                )
+            elif order_mode == "none":
+                order = jnp.arange(budget_e.shape[0], dtype=jnp.int32)
+            else:
+                raise ValueError(f"unknown order_mode {order_mode!r}")
+            idx_s = order
+            st_f = state_e[order]
+            add_f = budget_e[order]
 
-        def sort_pad(a, fill):
-            g = a[order]
+        # Everything else is elementwise in the sorted entry id.
+        pix_f = idx_s % hw if n_chunks > 1 else idx_s
+        chunk_f = idx_s // hw if n_chunks > 1 else jnp.zeros_like(idx_s)
+
+        def pad(a, fill):
             return jnp.concatenate(
-                [g, jnp.full((n_pad,), fill, a.dtype)]
+                [a, jnp.full((n_pad,), fill, a.dtype)]
             ).reshape(rows_b, cols_b)
 
-        xs_s = sort_pad(xs_e, 0)
-        ys_s = sort_pad(ys_e, 0)
-        st_s = sort_pad(state_e, 0)
-        add_s = sort_pad(budget_e, 0.0)
-        s0_s = sort_pad(samp0_e, 0)
+        pix_s = pad(pix_f, 0)
+        xs_s = pix_s % w
+        ys_s = jnp.asarray(y0, jnp.int32) + pix_s // w
+        st_s = pad(st_f, 0)
+        add_s = pad(add_f, 0.0)
+        s0_s = (jnp.int32(base) + pad(chunk_f, 0) * jnp.int32(chunk_sz))
 
         esum_s, rays_b = extra_fn(pose, xs_s, ys_s, st_s, add_s, s0_s)
 
-        pix_of_entry = order % (h_out * w)
+        pix_of_entry = pix_f
 
         def unsort(plane_sorted):
             flat = plane_sorted.reshape(-1)[: n_entries]

@@ -567,25 +567,34 @@ class PathTracer:
                 jnp.where(emit_ok, 1.0, 0.0))
 
     # ------------------------------------------------------------------
-    # Paired base phase: k pixels per lane
+    # Packed-stream base phase: k pixels per lane over a dense lane stream
     # ------------------------------------------------------------------
     #
     # The base phase is uniform (every pixel owes `base` samples) but path
     # lengths are random, so a lane's total work has high variance and the
     # tile waits on its unluckiest lane (~40% occupancy measured at the
-    # north-star config). Giving each lane k vertically-strided pixels sums
-    # k independent workloads per lane — concentration tightens by ~sqrt(k)
-    # (measured occupancy bound: 52% at k=2, 62% at k=4, 71% at k=8).
-    # Each pixel's RNG chain and draws are exactly those of the unpaired
-    # scheduler, so results stay bit-compatible.
+    # north-star config). Giving each lane k pixels sums k independent
+    # workloads per lane — concentration tightens by ~sqrt(k) (measured
+    # occupancy bound: 52% at k=2, 62% at k=4, 71% at k=8).
+    #
+    # Lane -> pixel mapping is a *packed stream*, not an image tiling: lane
+    # L of an n_lanes-lane grid handles flat (row-major) pixels
+    # L, L + n_lanes, ..., L + (k-1)*n_lanes. Every lane of every tile maps
+    # to real pixels until the single tail tile — no 2-D tile-edge ballast
+    # (the old band layout wasted up to ~39% of lanes on images whose
+    # height/width don't align to the tile grid). Each pixel's RNG chain
+    # and draws are exactly those of the unpaired scheduler, so results
+    # stay bit-compatible.
     #
     # Carry = the regen carry minus quota (uniform/static) plus an entry
-    # counter and per-entry parked results (csum/csumsq/state/rays).
+    # counter, the current entry's pixel coords, and per-entry parked
+    # results (csum/csumsq/state/rays).
 
-    def paired_carry0(self, xf, k, active=None):
+    def stream_carry0(self, xf, k, xs0, ys0):
+        """xs0/ys0 (i32 lanes): entry-0 pixel coordinates (y local to the
+        rendered row block)."""
         zeros = jnp.zeros_like(xf)
         i32z = jnp.zeros_like(xf, dtype=jnp.int32)
-        entry0 = i32z if active is None else jnp.where(active, 0, k)
         parked = []
         for _ in range(k):
             parked += [
@@ -597,8 +606,10 @@ class PathTracer:
         return (
             jnp.zeros_like(xf, dtype=jnp.uint32),  # rng state (seeded on entry start)
             i32z,  # samp within current entry
-            entry0,  # current entry index (k = lane done)
+            i32z,  # current entry index (k = lane done)
             i32z - 1,  # entry_seeded marker: which entry `state` belongs to
+            xs0,  # current entry's pixel x
+            ys0,  # current entry's pixel local y
             vm.splat(zeros),  # o
             V3(zeros, zeros, zeros + 1.0),  # d
             vm.splat(zeros),  # att
@@ -612,26 +623,30 @@ class PathTracer:
             tuple(parked),
         )
 
-    def paired_pending(self, carry, k):
-        entry, alive_f = carry[2], carry[9]
+    def stream_pending(self, carry, k):
+        entry, alive_f = carry[2], carry[11]
         pending = (alive_f != 0.0) | (entry < k)
         return jnp.sum(jnp.where(pending, 1, 0)).astype(jnp.int32)
 
-    def paired_step(self, cam: Cam, xs, y_local, band_h: int, k: int, seed,
-                    frame_number, carry):
-        """One scheduler iteration of the k-pixel-per-lane base phase.
-        Lane coordinates: entry e is pixel (x, y_local + e*band_h) where
-        y_local is the lane's row within the first band."""
-        (state, samp, entry, seeded, o, d, att, acc, bounce, alive_f,
-         csum, csumsq, rays, emit_f, parked) = carry
+    def stream_step(self, cam: Cam, y0, h_out: int, n_lanes: int, k: int,
+                    seed, frame_number, carry):
+        """One scheduler iteration of the k-pixel-per-lane base phase over
+        the packed pixel stream. `y0` (traced scalar) is the row block's
+        global offset; `h_out` the block's row count; entries whose flat
+        index runs past h_out*width are drained in one iteration each."""
+        (state, samp, entry, seeded, xs, ysl, o, d, att, acc, bounce,
+         alive_f, csum, csumsq, rays, emit_f, parked) = carry
         parked = list(parked)
         base = self.base_samples
-        xf = xs.astype(jnp.float32)
-        zeros = jnp.zeros_like(xf)
+        w = self.width
+        zeros = jnp.zeros_like(rays)
         alive = alive_f != 0.0
 
-        # Entry completed? Park its results and advance.
-        done_entry = (~alive) & (entry < k) & (samp >= base)
+        # Entry completed? Park its results and advance. Entries past the
+        # pixel stream (local y beyond the row block) owe nothing and fall
+        # straight through.
+        real = ysl < h_out
+        done_entry = (~alive) & (entry < k) & ((samp >= base) | (~real))
         for e in range(k):
             sel = done_entry & (entry == e)
             cs, cq, st, ry = parked[4 * e: 4 * e + 4]
@@ -640,6 +655,16 @@ class PathTracer:
             parked[4 * e + 2] = jnp.where(sel, state, st)
             parked[4 * e + 3] = jnp.where(sel, rays, ry)
         entry = entry + jnp.where(done_entry, 1, 0)
+        # Next entry's pixel: flat index advances by n_lanes (one wrap max,
+        # since n_lanes % w < w) — no per-iteration div/mod.
+        dy, dx = divmod(n_lanes, w)
+        xs2 = xs + dx
+        ysl2 = ysl + dy
+        over = xs2 >= w
+        xs2 = jnp.where(over, xs2 - w, xs2)
+        ysl2 = jnp.where(over, ysl2 + 1, ysl2)
+        xs = jnp.where(done_entry, xs2, xs)
+        ysl = jnp.where(done_entry, ysl2, ysl)
         csum = vm.where(done_entry, vm.splat(zeros), csum)
         csumsq = vm.where(done_entry, vm.splat(zeros), csumsq)
         rays = jnp.where(done_entry, 0.0, rays)
@@ -647,16 +672,18 @@ class PathTracer:
 
         # Seed the RNG for a newly-entered entry's pixel (the same
         # per-pixel seeding the unpaired scheduler does, shader.wgsl:507).
-        ys = y_local + entry * band_h
+        ys_g = jnp.asarray(y0, jnp.int32) + ysl
         need_seed = (entry < k) & (seeded != entry)
-        pix = ys.astype(jnp.uint32) * jnp.uint32(self.width) + xs.astype(jnp.uint32)
+        pix = ys_g.astype(jnp.uint32) * jnp.uint32(w) + xs.astype(jnp.uint32)
         fresh = prng.seed_pixel(pix, jnp.asarray(seed), jnp.asarray(frame_number))
         state = jnp.where(need_seed, fresh, state)
         seeded = jnp.where(need_seed, entry, seeded)
 
         # Regenerate a sample for idle lanes with work left on this entry.
-        yf = ys.astype(jnp.float32)
-        need = (~alive) & (entry < k) & (samp < base)
+        xf = xs.astype(jnp.float32)
+        yf = ys_g.astype(jnp.float32)
+        real = ysl < h_out
+        need = (~alive) & (entry < k) & (samp < base) & real
         state = prng.advance_sample(state, samp, need)
         state, o2, d2 = self.gen_ray(state, cam, xf, yf, need)
         o = vm.where(need, o2, o)
@@ -679,7 +706,7 @@ class PathTracer:
         samp = samp + jnp.where(finished, 1, 0)
         alive = alive & (~at_depth)
 
-        return (state, samp, entry, seeded, o, d, att, acc, bounce,
+        return (state, samp, entry, seeded, xs, ysl, o, d, att, acc, bounce,
                 jnp.where(alive, 1.0, 0.0), csum, csumsq, rays,
                 jnp.where(emit_ok, 1.0, 0.0), tuple(parked))
 
