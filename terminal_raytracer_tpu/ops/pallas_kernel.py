@@ -464,19 +464,17 @@ def make_base_kernel(
         mk_scratch((pcounts["float32"], tile_h, tile_w), jnp.float32),
     ]
 
-    def kernel_base(pose_ref, seed_ref, frame_ref, y0_ref, *rest):
+    def kernel_base(pose_ref, seed_ref, frame_ref, y0_ref, xs0_ref, ys0_ref,
+                    *rest):
         rest = _maybe_bind_sweep(tracer, rest)
         out_refs = rest[:-3]
         u32_s, i32_s, f32_s = rest[-3:]
-        ti = pl.program_id(0)
-        # Lane id in the packed stream; entry-0 pixel = flat pixel L.
-        lane = (
-            ti * lpt
-            + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0) * tile_w
-            + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
-        )
-        ys0 = lane // w
-        xs0 = lane - ys0 * w
+        # Entry-0 pixel coords of each lane (lane L = flat pixel L):
+        # precomputed host-side constants streamed per tile — Mosaic's i32
+        # vector division is a slow serial expansion, so the divmod lives
+        # off-kernel.
+        xs0 = xs0_ref[:, :]
+        ys0 = ys0_ref[:, :]
         cam = tracer_mod.cam_from_pose(pose_ref)
         refs = {"uint32": u32_s, "int32": i32_s, "float32": f32_s}
         seed = seed_ref[0]
@@ -542,10 +540,15 @@ def make_base_kernel(
 
     stream_f32 = jax.ShapeDtypeStruct((tiles * tile_h, tile_w), jnp.float32)
     stream_u32 = jax.ShapeDtypeStruct((tiles * tile_h, tile_w), jnp.uint32)
+    lane_np = np.arange(n_lanes, dtype=np.int32).reshape(tiles * tile_h,
+                                                         tile_w)
+    xs0_np = lane_np % w
+    ys0_np = lane_np // w
     call_a = pl.pallas_call(
         kernel_base,
         grid=(tiles,),
-        in_specs=[pl.BlockSpec(**smem)] * 4,  # pose, seed, frame, y0
+        # pose, seed, frame, y0 in SMEM; entry-0 coord planes per tile
+        in_specs=[pl.BlockSpec(**smem)] * 4 + [tile_spec] * 2,
         out_specs=[tile_spec] * (8 * pair),
         out_shape=([stream_f32] * 6 + [stream_u32, stream_f32]) * pair,
         scratch_shapes=stream_scratch + sweep_scratch,
@@ -557,7 +560,8 @@ def make_base_kernel(
         seed_a = jnp.asarray(seed, jnp.uint32).reshape((1,))
         frame_a = jnp.asarray(frame_number, jnp.int32).reshape((1,))
         y0_a = jnp.asarray(y0, jnp.int32).reshape((1,))
-        bands = call_a(pose, seed_a, frame_a, y0_a)
+        bands = call_a(pose, seed_a, frame_a, y0_a,
+                       jnp.asarray(xs0_np), jnp.asarray(ys0_np))
 
         def assemble(q):
             # Entry e of lane L is flat pixel e*n_lanes + L, so
@@ -574,6 +578,7 @@ def make_base_kernel(
         return csum, csumsq, state, rays
 
     base_fn.call = call_a  # raw kernel access (profiling/experiments)
+    base_fn.coords = (xs0_np, ys0_np)
     return base_fn, tracer, pair
 
 

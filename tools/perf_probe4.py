@@ -64,6 +64,8 @@ def main():
                     seed.reshape((1,)),
                     jnp.asarray(frame, jnp.int32).reshape((1,)),
                     jnp.zeros((1,), jnp.int32),
+                    jnp.asarray(base_fn.coords[0]),
+                    jnp.asarray(base_fn.coords[1]),
                 )
                 acc = jnp.float32(0)
                 for o in outs:
@@ -93,5 +95,38 @@ def main():
         print(f"[{name}] sorted render_frame {t_rf:.3f} ms", flush=True)
 
 
+def _unused():
+    main()
+
+# -- appended: step-shaped overhead probe at tiny config -------------------
+def step_probe():
+    import jax
+    import jax.numpy as jnp
+
+    from terminal_raytracer_tpu.models import Camera, load_scene
+    from terminal_raytracer_tpu.ops import pallas_kernel, tonemap as tm
+    from terminal_raytracer_tpu.ops.vecmath import V3
+
+    pose = Camera().pose()
+    frame = np.int32(1)
+    scene = load_scene("Cornell_Box").with_overrides(
+        width=80, height=40, samples_per_pixel=1, max_depth=4
+    )
+    rf = pallas_kernel.make_render_frame(scene)
+
+    @jax.jit
+    def run_steplike(seed):
+        cur, var, tot, rays = rf(pose, seed, frame)
+        acc = jnp.stack([cur.x, cur.y, cur.z]) * 0.5
+        rgb = tm.tonemap_fullcolor(V3(acc[0], acc[1], acc[2]))
+        s = (jnp.sum(rgb[:1, :1, 0].astype(jnp.float32)) + rays)
+        return s.astype(jnp.uint32) % jnp.uint32(97) + jnp.uint32(7)
+
+    t = timeit(run_steplike, 7)
+    print(f"[cornell_80x40] step-shaped (rf+accum+tonemap): {t:.3f} ms",
+          flush=True)
+
+
 if __name__ == "__main__":
     main()
+    step_probe()
