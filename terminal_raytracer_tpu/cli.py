@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="(ext) physically-correct direct lighting: skip "
                         "re-adding emission on NEE-sampled diffuse hits "
                         "(the reference double-counts; see PARITY.md)")
+    p.add_argument("--mis", action="store_true",
+                   help="(ext) multiple importance sampling: weigh NEE and "
+                        "BSDF-hit emission by the balance heuristic — same "
+                        "mean as --unbiased, lower variance; traces the "
+                        "exact same paths (same RNG chains)")
     p.add_argument("--scan", action="store_true",
                    help="(ext) with --frames: compile the whole frame "
                         "sequence as one lax.scan program (offline mode)")
@@ -84,6 +89,10 @@ def main(argv=None) -> int:
         return 2
     if args.frames is not None and args.frames < 1:
         print(f"error: --frames must be >= 1 (got {args.frames})",
+              file=sys.stderr)
+        return 2
+    if args.mis and args.unbiased:
+        print("error: --mis and --unbiased are mutually exclusive",
               file=sys.stderr)
         return 2
     try:
@@ -115,6 +124,7 @@ def main(argv=None) -> int:
         deterministic=args.deterministic,
         pipeline=not args.no_pipeline,
         unbiased=args.unbiased,
+        transport="mis" if args.mis else None,
         accel=args.accel,
     )
 

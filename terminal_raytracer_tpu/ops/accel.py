@@ -242,7 +242,7 @@ class CulledPrims:
     across the `pl.when`-guarded per-block sweeps (Mosaic has no vector
     phi across branches; refs are the idiom)."""
 
-    N_SCRATCH = 12  # closest, found, normal xyz, color xyz, emission xyz, refl
+    N_SCRATCH = 13  # closest, found, normal/color/emission xyz, refl, 1/area
 
     def __init__(self, scene: scene_mod.Scene, block: int = BLOCK):
         self.scene_blocked, groups = blocked_scene(scene, block)
@@ -281,9 +281,8 @@ class CulledPrims:
         for sub, aabb in self._groups:
             def body(sub=sub):
                 closest0 = s[0]
-                t, found, _p, n_b, col_b, emi_b, refl_b = sub.raw_closest(
-                    o, d, t_min, closest0
-                )
+                (t, found, _p, n_b, col_b, emi_b, refl_b,
+                 lia_b) = sub.raw_closest(o, d, t_min, closest0)
                 # t == closest0 where not found, so the write is safe
                 # unconditionally; material planes merge by winner mask.
                 s[0] = t
@@ -298,6 +297,7 @@ class CulledPrims:
                 s[9] = jnp.where(found, emi_b.y, s[9])
                 s[10] = jnp.where(found, emi_b.z, s[10])
                 s[11] = jnp.where(found, refl_b, s[11])
+                s[12] = jnp.where(found, lia_b, s[12])
 
             if aabb is None:
                 body()
@@ -310,10 +310,12 @@ class CulledPrims:
         col = V3(s[5], s[6], s[7])
         emi = V3(s[8], s[9], s[10])
         refl = s[11]
+        lia = s[12]
         p = o + d * closest
         front = vm.dot(d, normal) < 0.0
         normal = vm.where(front, normal, -normal)
-        return geom.Hit(found, closest, p, normal, col, emi, refl)
+        lia = jnp.where(front, lia, 0.0)  # see geometry.closest_hit
+        return geom.Hit(found, closest, p, normal, col, emi, refl, lia)
 
     def occluded(self, o: V3, d: V3, t_min, t_max, mask=None):
         if self._scratch is None:

@@ -103,7 +103,13 @@ def intersect_triangle(o: V3, d: V3, v0: V3, edge1: V3, edge2: V3, t_min, t_max)
 class Hit(NamedTuple):
     """Per-lane closest-hit record (shader.wgsl:39-47). `found` replaces the
     reference's `t < 0` sentinel check; `normal` is already front-face
-    flipped (shader.wgsl:284-287)."""
+    flipped (shader.wgsl:284-287).
+
+    `light_inv_area`: 1/area of the hit primitive iff it is an NEE-sampled
+    light (emissive sphere/triangle — the set shader.wgsl:390-391 samples),
+    else 0. Only the MIS transport mode (ops/tracer.py) consumes it — the
+    balance-heuristic weight of a BSDF path hitting a light needs the area
+    pdf NEE would have used; XLA dead-code-eliminates it elsewhere."""
 
     found: jnp.ndarray  # bool lanes
     t: jnp.ndarray
@@ -112,6 +118,7 @@ class Hit(NamedTuple):
     color: V3
     emission: V3
     reflectivity: jnp.ndarray
+    light_inv_area: jnp.ndarray = None
 
 
 def _c3(v) -> V3:
@@ -152,7 +159,19 @@ class ScenePrims:
         # grouped-select sweep below.
         self._const_normal: List = []
         self._sphere_geom: List = []  # (center V3, inv_r) or None
+        # Per primitive: 1/area if it is an NEE-sampled light (emissive
+        # sphere/triangle, shader.wgsl:390-391 skips planes), else 0 — the
+        # Hit.light_inv_area channel (MIS mode).
+        self._light_inv_area: List[float] = []
         for tag, prim in prim_list:
+            emissive = any(float(e) > 0.0 for e in prim.material.emission)
+            if emissive and tag == scene_mod.SPHERE:
+                area = 4.0 * 3.14159265359 * float(prim.radius) ** 2
+                self._light_inv_area.append(1.0 / area)
+            elif emissive and tag == scene_mod.TRIANGLE:
+                self._light_inv_area.append(1.0 / _tri_edges_f32(prim)[3])
+            else:
+                self._light_inv_area.append(0.0)
             if tag == scene_mod.SPHERE:
                 c, r = _c3(prim.center), float(prim.radius)
                 inv_r = float(np.float32(1.0) / np.float32(prim.radius))
@@ -260,6 +279,7 @@ class ScenePrims:
             grouped([m.emission[2] for m in mats]),
         )
         refl = grouped([m.reflectivity for m in mats])
+        light_inv_area = grouped(self._light_inv_area)
 
         p = o + d * closest
 
@@ -287,7 +307,7 @@ class ScenePrims:
             n_k = vm.normalize((p - c) * inv_r)
             normal = vm.where(winner[k], n_k, normal)
 
-        return closest, found, p, normal, col, emi, refl
+        return closest, found, p, normal, col, emi, refl, light_inv_area
 
     def closest_hit(self, o: V3, d: V3, t_min=RAY_EPS, t_max=T_FAR,
                     mask=None) -> Hit:
@@ -296,13 +316,18 @@ class ScenePrims:
         block-culled accelerator (ops/accel.py) and ignored here — every
         lane sweeps everything, as the reference does."""
         del mask
-        closest, found, p, normal, col, emi, refl = self.raw_closest(
+        closest, found, p, normal, col, emi, refl, lia = self.raw_closest(
             o, d, t_min, t_max
         )
         # Front-face flip (shader.wgsl:284-287).
         front = vm.dot(d, normal) < 0.0
         normal = vm.where(front, normal, -normal)
-        return Hit(found, closest, p, normal, col, emi, refl)
+        # NEE only lights the front face of a light (its cos_l clamp,
+        # shader.wgsl:409): a back-face hit (e.g. from inside an emissive
+        # sphere) is unreachable by NEE, so its competing pdf is 0 and the
+        # BSDF hit keeps full MIS weight.
+        lia = jnp.where(front, lia, 0.0)
+        return Hit(found, closest, p, normal, col, emi, refl, lia)
 
     def occluded(self, o: V3, d: V3, t_min, t_max, mask=None) -> jnp.ndarray:
         """Any-hit visibility test for shadow rays (shader.wgsl:399-402:

@@ -114,7 +114,7 @@ class PathTracer:
 
     def __init__(self, scene: scene_mod.Scene, loop_mode: str = "while",
                  unbiased: bool = False, base_quota: Optional[int] = None,
-                 accel: str = "auto"):
+                 accel: str = "auto", transport: Optional[str] = None):
         """loop_mode: 'while' uses lax.while_loop for the bounce and
         adaptive-sampling loops (early exit once every lane is dead — the
         oracle/XLA path); 'fori' uses fixed-trip lax.fori_loop (Mosaic
@@ -122,15 +122,34 @@ class PathTracer:
         kernel uses this). Identical results either way — dead lanes are
         fully masked.
 
-        unbiased=False (default) reproduces the reference exactly —
-        including its double counting of direct light: emission is added on
-        every hit *and* lights are NEE-sampled every bounce with no MIS
-        (shader.wgsl:455,458). unbiased=True adds hit emission only when
-        the path could not have NEE-sampled it — at the camera hit or after
-        a perfect-mirror scatter — removing the double count (the
-        `--unbiased` capability extension of SURVEY.md §7). RNG chains are
-        untouched (the emission add draws nothing), so the two modes render
-        the exact same paths.
+        transport selects the light-transport estimator; all three trace
+        the exact same paths (identical RNG chains — none of them draws
+        anything new), differing only in how hit emission and NEE
+        contributions are weighted:
+
+        * 'reference' (default) reproduces the reference exactly —
+          including its double counting of direct light: emission is added
+          on every hit *and* lights are NEE-sampled every bounce with no
+          MIS (shader.wgsl:455,458).
+        * 'unbiased' adds hit emission only when the path could not have
+          NEE-sampled it — at the camera hit or after a perfect-mirror
+          scatter — removing the double count (the `--unbiased` capability
+          extension of SURVEY.md §7).
+        * 'mis' weighs BOTH estimators by the balance heuristic (Veach):
+          hit emission after a diffuse scatter gets
+          p_bsdf / (p_bsdf + p_nee), each NEE light sample gets
+          p_nee / (p_nee + p_bsdf), with p_bsdf the solid-angle pdf of the
+          stochastic mirror-or-cosine scatter's continuous part,
+          (1 - reflectivity) * cos/pi, and p_nee the light's area pdf
+          converted to solid angle, t^2 / (cos_l * area). Mirror chains are
+          delta-distributed: their hits keep full emission weight and NEE
+          at a mirror hit still runs (the reference evaluates a Lambertian
+          lobe there, which 'mis' weighs like any diffuse lobe). Same
+          expectation as 'unbiased', strictly lower variance on scenes
+          where one strategy is poor (small bright lights -> NEE wins;
+          large/near lights -> BSDF wins).
+
+        `unbiased=True` is the legacy spelling of transport='unbiased'.
 
         base_quota (optional): the number of base-phase samples this tracer
         actually renders per pixel, when it differs from the reference's
@@ -141,7 +160,16 @@ class PathTracer:
         count externally (mesh.py does)."""
         assert loop_mode in ("while", "fori")
         self.loop_mode = loop_mode
-        self.unbiased = unbiased
+        if transport is None:
+            transport = "unbiased" if unbiased else "reference"
+        assert transport in ("reference", "unbiased", "mis")
+        self.transport = transport
+        self.unbiased = transport == "unbiased"
+        # The emit-info carry value of a fresh camera ray: 'mis' carries the
+        # previous scatter's pdf there, with -1 marking a delta history
+        # (camera / mirror chain, emission at full weight); the other modes
+        # carry a may-emit flag, true for a fresh ray.
+        self._emit_fresh = -1.0 if transport == "mis" else 1.0
         self.scene = scene
         # Traversal: the plain baked sweep ('baked'), or the block-culled
         # accelerator ('grid', ops/accel.py). 'auto' resolves to 'baked':
@@ -205,7 +233,8 @@ class PathTracer:
     # NEE direct lighting (shader.wgsl:338-436)
     # ------------------------------------------------------------------
 
-    def direct_light(self, state, p: V3, normal: V3, color: V3, att: V3, gate):
+    def direct_light(self, state, p: V3, normal: V3, color: V3, att: V3, gate,
+                     refl=None):
         """One NEE estimate per light. Returns (state', direct V3).
 
         The result is fully masked internally (occlusion + cosine terms);
@@ -213,6 +242,10 @@ class PathTracer:
         live mask: RNG state advances only on lanes whose reference thread
         would reach sample_direct_lighting (it is only called on hits,
         shader.wgsl:458).
+
+        `refl` (lanes): the hit's reflectivity — consumed only by the 'mis'
+        transport, whose balance weight needs the BSDF's continuous-part
+        pdf (1 - refl) * cos/pi for the sampled light direction.
         """
         zeros = jnp.zeros_like(p.x)
         direct = vm.splat(zeros)
@@ -233,16 +266,55 @@ class PathTracer:
             ldir = lvec / ldist
 
             shadow_o = p + normal * geom.RAY_EPS  # offset along normal (wgsl:399)
-            blocked = self.prims.occluded(
-                shadow_o, ldir, geom.RAY_EPS, ldist - geom.RAY_EPS, mask=gate
-            )
+            if self.transport == "mis":
+                # The reference measures light_distance from the UNOFFSET
+                # hit point but casts from the offset origin (wgsl:394-400),
+                # leaving the target light's own intersection within f32
+                # noise of t_max = ldist - eps whenever the light is near
+                # the surface normal (margin eps*(1 - cos_s) -> 0): NEE
+                # then self-blocks on exactly the shadow rays that matter.
+                # MIS's balance weights assume NEE covers front-face
+                # lights, so mis mode measures the segment from the offset
+                # origin itself — the eps margin is then honest. reference/
+                # unbiased keep the quirk (parity).
+                lvec_s = lp - shadow_o
+                ldist_s = vm.length(lvec_s)
+                blocked = self.prims.occluded(
+                    shadow_o, lvec_s / ldist_s, geom.RAY_EPS,
+                    ldist_s - geom.RAY_EPS, mask=gate,
+                )
+            else:
+                blocked = self.prims.occluded(
+                    shadow_o, ldir, geom.RAY_EPS, ldist - geom.RAY_EPS,
+                    mask=gate,
+                )
 
             cos_s = jnp.maximum(0.0, vm.dot(normal, ldir))
             cos_l = jnp.maximum(0.0, vm.dot(ln, -ldir))
             ok = (~blocked) & (cos_s > 0.0) & (cos_l > 0.0)
 
             geom_term = (cos_s * cos_l) / (ldist * ldist)
-            contrib = (brdf * V3(*light.emission)) * (att * (geom_term * area))
+            weight = geom_term * area
+            if self.transport == "mis":
+                # Balance heuristic vs the BSDF strategy for this direction:
+                # p_nee (solid angle) = t^2 / (cos_l * area), p_bsdf =
+                # (1 - refl) * cos_s / pi. Applied before the reference's
+                # firefly clamp so the clamp bounds the actual estimator.
+                #
+                # The extra (1 - refl) factor makes NEE target the actual
+                # path-traced BSDF mixture refl*delta + (1-refl)*Lambertian
+                # — the reference's NEE evaluates a FULL Lambertian lobe on
+                # every surface (shader.wgsl:412) while its diffuse branch
+                # carries the (1-refl) selection probability, so its two
+                # direct-light estimators measure different integrands on
+                # reflective surfaces (a pure mirror gets a Lambertian NEE
+                # ghost). MIS requires one integrand; the physical one.
+                p_l = (ldist * ldist) / (jnp.maximum(cos_l, 1e-8) * area)
+                p_b = (1.0 - refl) * cos_s * (1.0 / sampling.PI)
+                weight = weight * (
+                    (1.0 - refl) * p_l / jnp.maximum(p_l + p_b, 1e-20)
+                )
+            contrib = (brdf * V3(*light.emission)) * (att * weight)
             contrib = vm.min_components(contrib, NEE_CLAMP)  # wgsl:420-427
             direct = direct + vm.where(ok, contrib, vm.splat(zeros))
 
@@ -253,7 +325,7 @@ class PathTracer:
     # ------------------------------------------------------------------
 
     def bounce_step(self, state, o: V3, d: V3, att: V3, acc: V3, alive,
-                    bounce_idx, rays, emit_ok):
+                    bounce_idx, rays, emit_info):
         """Advance every live lane by one bounce.
 
         `bounce_idx` is the bounce counter — a traced scalar in the lockstep
@@ -261,13 +333,17 @@ class PathTracer:
         driver (identical semantics; it only feeds the Russian-roulette
         `i > 3` condition, shader.wgsl:485).
 
-        `emit_ok` (bool lanes): whether a hit's emission may be added —
-        always true in reference mode; in unbiased mode true only at the
-        camera hit / after a mirror scatter (see __init__).
+        `emit_info` (f32 lanes): the transport mode's scatter-history
+        channel, refreshed to self._emit_fresh on every new camera ray.
+        reference/unbiased: a may-emit flag (nonzero = the hit's emission
+        may be added; reference mode ignores it). mis: the solid-angle pdf
+        of the previous scatter's continuous part, or -1 for a delta
+        history (camera ray / mirror chain).
 
-        Returns (state, o', d', att', acc', alive', rays', emit_ok') where
-        alive' excludes lanes that missed (sky added) or were RR-killed this
-        bounce. Depth termination is the caller's loop bound.
+        Returns (state, o', d', att', acc', alive', rays', emit_info')
+        where alive' excludes lanes that missed (sky added) or were
+        RR-killed this bounce. Depth termination is the caller's loop
+        bound.
         """
         zeros = jnp.zeros_like(o.x)
         hit = self.prims.closest_hit(o, d, geom.RAY_EPS, geom.T_FAR,
@@ -279,14 +355,38 @@ class PathTracer:
         acc = acc + vm.where(miss_now, sky_color(d) * att, vm.splat(zeros))
         live = alive & hit.found
 
-        # Emission on direct hit (wgsl:455) — every bounce, no MIS, in
-        # reference mode; NEE-aware gating in unbiased mode.
-        emit_gate = (live & emit_ok) if self.unbiased else live
-        acc = acc + vm.where(emit_gate, hit.emission * att, vm.splat(zeros))
+        # Emission on direct hit (wgsl:455) — every bounce, unweighted, in
+        # reference mode; NEE-aware gating in unbiased mode; balance-
+        # heuristic weighted in mis mode.
+        if self.transport == "mis":
+            # Competing NEE pdf for the point this BSDF ray hit: the area
+            # pdf 1/area converted to solid angle, t^2 / (cos_l * area);
+            # zero when the hit is not an NEE-sampled light (emissive
+            # planes keep weight 1 — NEE never samples them).
+            cos_l = jnp.maximum(vm.dot(hit.normal, -d), 0.0)
+            p_nee = (hit.t * hit.t) * hit.light_inv_area / jnp.maximum(
+                cos_l, 1e-8
+            )
+            denom = emit_info + p_nee
+            w_emit = jnp.where(
+                emit_info < 0.0,
+                1.0,
+                emit_info / jnp.where(denom > 0.0, denom, 1.0),
+            )
+            acc = acc + vm.where(
+                live, hit.emission * (att * w_emit), vm.splat(zeros)
+            )
+        else:
+            emit_gate = (
+                (live & (emit_info != 0.0)) if self.unbiased else live
+            )
+            acc = acc + vm.where(emit_gate, hit.emission * att,
+                                 vm.splat(zeros))
 
         # NEE (wgsl:458-459). Shadow sweeps count as rays for live lanes.
         state, direct = self.direct_light(
-            state, hit.p, hit.normal, hit.color, att, live
+            state, hit.p, hit.normal, hit.color, att, live,
+            refl=hit.reflectivity,
         )
         acc = acc + vm.where(live, direct, vm.splat(zeros))
         rays = rays + jnp.where(live, float(self.n_lights), 0.0)
@@ -314,9 +414,15 @@ class PathTracer:
         # Sanitize dead lanes so NaNs can't leak into the next sweep.
         d = vm.where(alive, new_d, V3(zeros, zeros, zeros + 1.0))
         o = vm.where(alive, new_o, vm.splat(zeros))
-        # Next hit may re-emit only after a mirror scatter (unbiased mode).
-        emit_ok = is_refl
-        return state, o, d, att, acc, alive, rays, emit_ok
+        # Next bounce's scatter history: mirror = delta; diffuse = the
+        # continuous-part pdf (mis) / emission disallowed (unbiased).
+        if self.transport == "mis":
+            cos_new = jnp.maximum(vm.dot(hit.normal, new_d), 0.0)
+            p_cont = (1.0 - hit.reflectivity) * cos_new * (1.0 / sampling.PI)
+            emit_info = jnp.where(is_refl, -1.0, p_cont)
+        else:
+            emit_info = jnp.where(is_refl, 1.0, 0.0)
+        return state, o, d, att, acc, alive, rays, emit_info
 
     # ------------------------------------------------------------------
     # ray_color: the masked wavefront bounce loop (shader.wgsl:439-495)
@@ -345,7 +451,7 @@ class PathTracer:
             vm.splat(zeros),  # accumulated color
             jnp.where(alive0, 1.0, 0.0),  # alive mask (f32 carry)
             zeros,  # ray counter
-            jnp.ones_like(lanes),  # emission-allowed mask (f32 carry)
+            zeros + self._emit_fresh,  # emit-info channel (f32 carry)
         )
 
         def cond(carry):
@@ -354,11 +460,11 @@ class PathTracer:
 
         def body(carry):
             i, state, o, d, att, acc, alive_f, rays, emit_f = carry
-            state, o, d, att, acc, alive, rays, emit_ok = self.bounce_step(
-                state, o, d, att, acc, alive_f != 0.0, i, rays, emit_f != 0.0
+            state, o, d, att, acc, alive, rays, emit_f = self.bounce_step(
+                state, o, d, att, acc, alive_f != 0.0, i, rays, emit_f
             )
             return (i + 1, state, o, d, att, acc, jnp.where(alive, 1.0, 0.0),
-                    rays, jnp.where(emit_ok, 1.0, 0.0))
+                    rays, emit_f)
 
         if self.loop_mode == "while":
             out = jax.lax.while_loop(cond, body, init)
@@ -544,12 +650,12 @@ class PathTracer:
         acc = vm.where(need, vm.splat(zeros), acc)
         bounce = jnp.where(need, 0, bounce)
         alive = alive | need
-        emit_ok = jnp.where(need, True, emit_f != 0.0)  # fresh camera ray
+        emit_f = jnp.where(need, self._emit_fresh, emit_f)  # fresh camera ray
 
         # One bounce for all live lanes.
         executed = alive
-        state, o, d, att, acc, alive, rays, emit_ok = self.bounce_step(
-            state, o, d, att, acc, alive, bounce, rays, emit_ok
+        state, o, d, att, acc, alive, rays, emit_f = self.bounce_step(
+            state, o, d, att, acc, alive, bounce, rays, emit_f
         )
 
         # Termination bookkeeping: miss/RR-kill (alive dropped) or depth
@@ -563,8 +669,7 @@ class PathTracer:
         alive = alive & (~at_depth)
 
         return (state, samp, quota, o, d, att, acc, bounce,
-                jnp.where(alive, 1.0, 0.0), csum, csumsq, rays,
-                jnp.where(emit_ok, 1.0, 0.0))
+                jnp.where(alive, 1.0, 0.0), csum, csumsq, rays, emit_f)
 
     # ------------------------------------------------------------------
     # Packed-stream base phase: k pixels per lane over a dense lane stream
@@ -692,11 +797,11 @@ class PathTracer:
         acc = vm.where(need, vm.splat(zeros), acc)
         bounce = jnp.where(need, 0, bounce)
         alive = alive | need
-        emit_ok = jnp.where(need, True, emit_f != 0.0)
+        emit_f = jnp.where(need, self._emit_fresh, emit_f)
 
         executed = alive
-        state, o, d, att, acc, alive, rays, emit_ok = self.bounce_step(
-            state, o, d, att, acc, alive, bounce, rays, emit_ok
+        state, o, d, att, acc, alive, rays, emit_f = self.bounce_step(
+            state, o, d, att, acc, alive, bounce, rays, emit_f
         )
         bounce = jnp.where(executed, bounce + 1, bounce)
         at_depth = alive & (bounce >= self.max_depth)
@@ -707,8 +812,8 @@ class PathTracer:
         alive = alive & (~at_depth)
 
         return (state, samp, entry, seeded, xs, ysl, o, d, att, acc, bounce,
-                jnp.where(alive, 1.0, 0.0), csum, csumsq, rays,
-                jnp.where(emit_ok, 1.0, 0.0), tuple(parked))
+                jnp.where(alive, 1.0, 0.0), csum, csumsq, rays, emit_f,
+                tuple(parked))
 
     def _run_regen_jnp(self, cam, xf, yf, carry):
         """XLA driver: vector-carry while loop (oracle / CPU / tests)."""

@@ -73,6 +73,7 @@ def make_sharded_render_step(
     full_color: bool = True,
     backend: str = "auto",
     jit: bool = True,
+    transport: str = None,
 ):
     """Build the multi-chip render step.
 
@@ -107,10 +108,11 @@ def make_sharded_render_step(
         if backend == "pallas":
             from ..ops import pallas_kernel
 
-            shard_kernel = pallas_kernel.make_render_frame(scene,
-                                                           shard_rows=rows)
+            shard_kernel = pallas_kernel.make_render_frame(
+                scene, shard_rows=rows, transport=transport)
         else:
-            tracer = tracer_mod.PathTracer(scene, loop_mode="while")
+            tracer = tracer_mod.PathTracer(scene, loop_mode="while",
+                                           transport=transport)
 
         def shard_render(pose, seed, frame_number):
             px_i = jax.lax.axis_index("px")
@@ -133,16 +135,19 @@ def make_sharded_render_step(
         # docstring). Both backends decompose into base phase -> psum ->
         # budget -> extra phase -> psum -> global normalization.
         tracer = tracer_mod.PathTracer(scene, loop_mode="while",
-                                       base_quota=base_sh)
+                                       base_quota=base_sh,
+                                       transport=transport)
         if backend == "pallas":
             from ..ops import pallas_kernel
 
             base_fn, _ktracer, _pair = pallas_kernel.make_base_kernel(
-                scene, shard_rows=rows, base_quota=base_sh
+                scene, shard_rows=rows, base_quota=base_sh,
+                transport=transport,
             )
             extra_fn = (
                 pallas_kernel.make_sorted_extra_phase(
-                    scene, h_out=rows, samp0_base=base_sh
+                    scene, h_out=rows, samp0_base=base_sh,
+                    transport=transport,
                 )
                 if base_full < spp
                 else None

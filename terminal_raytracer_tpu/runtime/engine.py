@@ -48,6 +48,7 @@ class Engine:
         pipeline: bool = True,
         camera: Optional[Camera] = None,
         unbiased: bool = False,
+        transport: str = None,
         accel: str = "auto",
     ):
         self.scene = scene
@@ -56,7 +57,8 @@ class Engine:
         self.pipeline = pipeline
         self.camera = camera if camera is not None else Camera()
         self.step = make_render_step(scene, full_color=full_color, backend=backend,
-                                     unbiased=unbiased, accel=accel)
+                                     unbiased=unbiased, transport=transport,
+                                     accel=accel)
         self.state = init_state(scene)
         self.blitter = Blitter(scene.height, scene.width, full_color, threads)
         # The variance heat map is always drawn as truecolor blocks.

@@ -31,6 +31,7 @@ def make_scan_renderer(
     full_color: bool = True,
     backend: str = "auto",
     accel: str = "auto",
+    transport: str = None,
 ):
     """Build `render(state0, pose, seeds, frame0=0) -> (state, rgb, glyphs,
     rays)`.
@@ -41,7 +42,7 @@ def make_scan_renderer(
     restored accumulation (--load-state resume).
     """
     step = make_render_step(scene, full_color=full_color, backend=backend,
-                            jit=False, accel=accel)
+                            jit=False, accel=accel, transport=transport)
 
     def render(state: FrameState, pose, seeds, frame0=jnp.int32(0)):
         def body(state, inp):

@@ -64,6 +64,7 @@ def make_render_step(
     backend: str = "auto",
     jit: bool = True,
     unbiased: bool = False,
+    transport: str = None,
     accel: str = "auto",
 ):
     """Build `step(state, pose16, seed, frame_number) -> FrameOutput`.
@@ -77,13 +78,14 @@ def make_render_step(
         backend = "pallas" if jax.default_backend().startswith("tpu") else "jnp"
 
     if backend == "jnp":
-        tracer = tracer_mod.PathTracer(scene, unbiased=unbiased, accel=accel)
+        tracer = tracer_mod.PathTracer(scene, unbiased=unbiased,
+                                       transport=transport, accel=accel)
         render_frame = tracer.render_frame
     elif backend == "pallas":
         from ..ops import pallas_kernel
 
-        render_frame = pallas_kernel.make_render_frame(scene, unbiased=unbiased,
-                                                       accel=accel)
+        render_frame = pallas_kernel.make_render_frame(
+            scene, unbiased=unbiased, transport=transport, accel=accel)
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
