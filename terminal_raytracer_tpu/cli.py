@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "BSDF-hit emission by the balance heuristic — same "
                         "mean as --unbiased, lower variance; traces the "
                         "exact same paths (same RNG chains)")
+    p.add_argument("--turntable", type=int, default=None, metavar="N",
+                   help="(ext) with --frames: render N poses orbiting the "
+                        "scene centroid (accumulating --frames frames "
+                        "each) and write a numbered image sequence to "
+                        "--dump-image (a %%d pattern, or _NNN is inserted "
+                        "before the extension)")
     p.add_argument("--scan", action="store_true",
                    help="(ext) with --frames: compile the whole frame "
                         "sequence as one lax.scan program (offline mode)")
@@ -94,6 +100,10 @@ def main(argv=None) -> int:
     if args.mis and args.unbiased:
         print("error: --mis and --unbiased are mutually exclusive",
               file=sys.stderr)
+        return 2
+    if args.turntable is not None and args.frames is None:
+        print("error: --turntable needs --frames N (accumulation frames "
+              "per pose)", file=sys.stderr)
         return 2
     try:
         scene = load_scene(args.path or args.scene)
@@ -149,6 +159,20 @@ def main(argv=None) -> int:
 
         profile_ctx = jax.profiler.trace(args.profile)
 
+    if args.turntable is not None:
+        if args.turntable < 1:
+            print(f"error: --turntable must be >= 1 (got {args.turntable})",
+                  file=sys.stderr)
+            return 2
+        if not args.dump_image:
+            print("error: --turntable needs --dump-image (a %d pattern or "
+                  "a name to number)", file=sys.stderr)
+            return 2
+        with profile_ctx:
+            paths = _run_turntable(engine, scene, args)
+        print(f"wrote {len(paths)} frames: {paths[0]} .. {paths[-1]}")
+        return 0
+
     with profile_ctx:
         if args.scan:
             from .runtime.offline import make_scan_renderer
@@ -201,6 +225,58 @@ def main(argv=None) -> int:
         print(f"[headless] {args.frames} frames, {float(rays):.3e} rays in "
               f"last frame, mean spp {float(mean_spp):.1f}", file=sys.stderr)
     return 0
+
+
+def _turntable_path(pattern: str, k: int) -> str:
+    """`%d`-style pattern, or insert _NNN before the extension."""
+    if "%" in pattern:
+        return pattern % k
+    import os
+
+    stem, ext = os.path.splitext(pattern)
+    return f"{stem}_{k:03d}{ext or '.png'}"
+
+
+def _run_turntable(engine, scene, args):
+    """Render `args.turntable` poses orbiting the scene centroid in the XZ
+    plane (keeping the starting camera's height and orbit radius), each
+    pose accumulating `args.frames` frames through the one compiled step
+    (the pose is a runtime input — no retraces across the orbit)."""
+    import numpy as np
+
+    from .models.camera import Camera
+    from .runtime.state import init_state
+    from .utils import imageio
+
+    center = scene.centroid()
+    rel = np.asarray(engine.camera.position, np.float32) - center
+    radius = float(np.hypot(rel[0], rel[2]))
+    if radius < 1e-6:
+        radius = max(1.0, float(np.linalg.norm(rel)))
+    phi0 = float(np.arctan2(rel[2], rel[0]))
+    height = float(rel[1])
+
+    paths = []
+    for k in range(args.turntable):
+        phi = phi0 + 2.0 * np.pi * k / args.turntable
+        pos = center + np.array(
+            [radius * np.cos(phi), height, radius * np.sin(phi)], np.float32
+        )
+        engine.camera = Camera.look_at(pos, center)
+        engine.state = init_state(scene)
+        engine.frame_count = 0
+        rgb, _glyphs, _rays, _spp, _hm = engine.run_headless(args.frames)
+        path = _turntable_path(args.dump_image, k)
+        rgb = np.asarray(rgb)
+        if path.endswith(".ppm"):
+            imageio.write_ppm(path, rgb)
+        else:
+            imageio.write_png(path, rgb)
+        paths.append(path)
+        if args.verbose:
+            print(f"[turntable] pose {k + 1}/{args.turntable} -> {path}",
+                  file=sys.stderr)
+    return paths
 
 
 if __name__ == "__main__":

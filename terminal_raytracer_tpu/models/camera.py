@@ -57,6 +57,25 @@ class Camera:
         out[9:12] = up
         return out
 
+    # ---- pose construction -------------------------------------------------
+
+    @classmethod
+    def look_at(cls, position, target) -> "Camera":
+        """Camera at `position` facing `target`, in the reference's
+        yaw/pitch parameterization (forward = (cos yaw cos pitch, sin
+        pitch, sin yaw cos pitch), camera.rs:17-22). Used by the
+        --turntable orbit; pitch respects the interactive clamp."""
+        position = np.asarray(position, np.float32)
+        f = np.asarray(target, np.float32) - position
+        norm = float(np.linalg.norm(f))
+        if norm < 1e-8:
+            return cls(position=position)
+        f = f / norm
+        pitch = float(np.clip(np.arcsin(np.clip(f[1], -1.0, 1.0)),
+                              -PITCH_CLAMP, PITCH_CLAMP))
+        yaw = float(np.arctan2(f[2], f[0]))
+        return cls(position=position, yaw=yaw, pitch=pitch)
+
     # ---- input handling (lib.rs:393-405) -----------------------------------
 
     def apply_key(self, key: str) -> bool:

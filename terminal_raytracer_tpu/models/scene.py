@@ -166,6 +166,18 @@ class Scene:
     def primitive_count(self) -> int:
         return len(self.spheres) + len(self.planes) + len(self.triangles)
 
+    def centroid(self) -> np.ndarray:
+        """Mean position of the finite geometry (sphere centers, triangle
+        vertices; infinite planes excluded) — the default orbit target of
+        the --turntable mode. Falls back to a point ahead of the default
+        camera for all-plane/empty scenes."""
+        pts = [np.asarray(s.center, np.float32) for s in self.spheres]
+        for t in self.triangles:
+            pts += [np.asarray(v, np.float32) for v in (t.v0, t.v1, t.v2)]
+        if not pts:
+            return np.array([0.0, 0.0, -3.0], np.float32)
+        return np.mean(pts, axis=0).astype(np.float32)
+
     @property
     def aspect_ratio(self) -> float:
         return self.width / self.height

@@ -188,8 +188,7 @@ class Engine:
             payload = blitter.encode(
                 np.asarray(rgb), None if glyphs is None else np.asarray(glyphs)
             )
-        dt = max(self.timers.median_frame_time, 1e-9)
-        mray = float(rays) / dt / 1e6 if self.timers._frame_times else 0.0
+        mray = self.timers.update_ray_rate(float(rays)) / 1e6
         status = self.timers.status_line(
             self.frame_count,
             self.scene.frames_to_accumulate,

@@ -9,6 +9,7 @@ from collections import deque
 from typing import Dict
 
 FPS_WINDOW = 30  # 30-frame rolling average (lib.rs:364)
+MRAY_EMA_ALPHA = 0.2  # smoothing of the per-frame ray-throughput rate
 
 
 class FrameTimers:
@@ -18,6 +19,7 @@ class FrameTimers:
         self._frame_start = None
         self._frame_times = deque(maxlen=FPS_WINDOW)
         self._last_frame = None
+        self._ray_rate_ema = None
 
     def start_frame(self):
         self._frame_start = time.perf_counter()
@@ -51,6 +53,22 @@ class FrameTimers:
             return 0.0
         times = sorted(self._frame_times)
         return 1.0 / max(times[len(times) // 2], 1e-9)
+
+    def update_ray_rate(self, rays: float) -> float:
+        """Fold one frame's ray count into an exponential moving average of
+        throughput (rays/s) and return it. Adaptive scenes draw different
+        budgets per frame, so the instantaneous quotient jitters; the EMA
+        tracks a shifting rate faster than a median over the FPS window
+        while still damping single-frame spikes."""
+        if self._frame_times:
+            rate = rays / max(self._frame_times[-1], 1e-9)
+            if self._ray_rate_ema is None:
+                self._ray_rate_ema = rate
+            else:
+                self._ray_rate_ema += MRAY_EMA_ALPHA * (
+                    rate - self._ray_rate_ema
+                )
+        return self._ray_rate_ema or 0.0
 
     @property
     def median_frame_time(self) -> float:

@@ -151,3 +151,42 @@ def test_interactive_pty():
         if proc.poll() is None:
             proc.kill()
         os.close(master)
+
+
+def test_turntable_sequence(tmp_path):
+    """--turntable renders an orbit of poses and writes a numbered PNG
+    sequence; poses differ (the images do too) and the step is reused
+    across poses (pose is a runtime input)."""
+    out_pattern = str(tmp_path / "turn.ppm")
+    out = run_cli(TINY + ["--frames", "1", "--turntable", "3",
+                          "--dump-image", out_pattern])
+    assert out.returncode == 0, out.stderr.decode()
+    paths = [tmp_path / f"turn_{k:03d}.ppm" for k in range(3)]
+    assert all(p.exists() for p in paths), list(tmp_path.iterdir())
+    from terminal_raytracer_tpu.utils import imageio
+
+    imgs = [imageio.read_ppm(p) for p in paths]
+    assert imgs[0].shape == (16, 48, 3)
+    assert not np.array_equal(imgs[0], imgs[1])
+    assert not np.array_equal(imgs[1], imgs[2])
+
+
+def test_turntable_flag_errors():
+    # missing --frames, then missing --dump-image, then bad count
+    out = run_cli(TINY + ["--turntable", "3"])
+    assert out.returncode == 2 and b"--frames" in out.stderr
+    out = run_cli(TINY + ["--frames", "1", "--turntable", "3"])
+    assert out.returncode == 2 and b"--dump-image" in out.stderr
+    out = run_cli(TINY + ["--frames", "1", "--turntable", "0",
+                          "--dump-image", "x.png"])
+    assert out.returncode == 2
+
+
+def test_look_at_faces_target():
+    from terminal_raytracer_tpu.models.camera import Camera
+
+    cam = Camera.look_at([3.0, 1.0, -2.0], [0.0, 0.0, -6.0])
+    fwd, _r, _u = cam.basis()
+    want = np.array([-3.0, -1.0, -4.0])
+    want = want / np.linalg.norm(want)
+    np.testing.assert_allclose(fwd, want, atol=1e-6)
