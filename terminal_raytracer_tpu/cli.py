@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "BSDF-hit emission by the balance heuristic — same "
                         "mean as --unbiased, lower variance; traces the "
                         "exact same paths (same RNG chains)")
+    p.add_argument("--animate", choices=("orbit", "pulse", "bob"),
+                   default=None,
+                   help="(ext) animate the scene (geometry/emission stream "
+                        "through the compiled step as runtime arrays — no "
+                        "recompiles); each frame renders fresh")
     p.add_argument("--turntable", type=int, default=None, metavar="N",
                    help="(ext) with --frames: render N poses orbiting the "
                         "scene centroid (accumulating --frames frames "
@@ -105,6 +110,10 @@ def main(argv=None) -> int:
         print("error: --turntable needs --frames N (accumulation frames "
               "per pose)", file=sys.stderr)
         return 2
+    if args.animate and (args.scan or args.turntable is not None):
+        print("error: --animate is incompatible with --scan/--turntable",
+              file=sys.stderr)
+        return 2
     try:
         scene = load_scene(args.path or args.scene)
         scene = scene.with_overrides(
@@ -136,6 +145,7 @@ def main(argv=None) -> int:
         unbiased=args.unbiased,
         transport="mis" if args.mis else None,
         accel=args.accel,
+        animate=args.animate,
     )
 
     if args.load_state:

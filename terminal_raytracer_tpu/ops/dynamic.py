@@ -1,0 +1,263 @@
+"""Dynamic (animated) scenes: traversal over runtime geometry arrays.
+
+The default pipeline bakes geometry as compile-time constants — the right
+call for the reference's static scenes (reference: src/lib.rs:386-565 never
+rebuilds its primitive buffer; geometry is immutable for the process
+lifetime, SURVEY.md §3.4). This module is the capability *extension* that
+the reference's architecture actually gestures at: its scene lives in a GPU
+storage buffer (src/lib.rs:301-305) and could have been re-uploaded per
+frame. Here the analog is a set of SoA scalar arrays passed as runtime
+inputs to the compiled step — change the values every frame, never
+recompile.
+
+Design (TPU idiom: static shapes/topology, dynamic data):
+
+* primitive COUNTS, flatten order, and the light set are fixed at build
+  time from a template scene; every VALUE (centers, radii, vertices, plane
+  points/normals, colors, emission, reflectivity) is a traced input;
+* `DynPrims` implements the same closest_hit/occluded interface as
+  geometry.ScenePrims, with the reference's exact semantics: same
+  intersection routines, "strictly closer wins" overwrite chain
+  (shader.wgsl:279), front-face flip, back-face-zeroed light_inv_area;
+* inside the Pallas kernel the arrays land in SMEM and are pre-read into
+  per-primitive traced scalars once, outside the scheduler loop — the hot
+  sweep then looks exactly like the baked one, minus XLA's 0/±1 constant
+  folding (measure: an animated scene trades ~that much VPU work for
+  zero-recompile geometry updates);
+* a light whose emission animates to zero still occupies its NEE slot
+  (topology is static) — its contribution is exactly zero, matching the
+  reference's own always-iterate-lights loop (shader.wgsl:342-347).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import scene as scene_mod
+from . import geometry as geom
+from . import vecmath as vm
+from .vecmath import V3
+
+# Flat scalar-array layout: every key maps to a (count,) f32 array (or any
+# indexable of scalars — the Pallas kernel binds pre-read SMEM scalars).
+SPHERE_KEYS = ("s_cx", "s_cy", "s_cz", "s_r")
+PLANE_KEYS = ("p_px", "p_py", "p_pz", "p_nx", "p_ny", "p_nz")
+TRI_KEYS = ("t_ax", "t_ay", "t_az", "t_bx", "t_by", "t_bz",
+            "t_cx", "t_cy", "t_cz")
+MAT_KEYS = ("colr", "colg", "colb", "emir", "emig", "emib", "refl")
+
+
+def scene_keys(scene: scene_mod.Scene) -> List[Tuple[str, int]]:
+    """The (key, length) list defining the packed layout for this scene's
+    topology, in a stable order."""
+    ns, np_, nt = (len(scene.spheres), len(scene.planes),
+                   len(scene.triangles))
+    out = [(k, ns) for k in SPHERE_KEYS]
+    out += [(f"s_{m}", ns) for m in MAT_KEYS]
+    out += [(k, np_) for k in PLANE_KEYS]
+    out += [(f"p_{m}", np_) for m in MAT_KEYS]
+    out += [(k, nt) for k in TRI_KEYS]
+    out += [(f"t_{m}", nt) for m in MAT_KEYS]
+    return out
+
+
+def pack_scene(scene: scene_mod.Scene) -> Dict[str, np.ndarray]:
+    """Scene -> the flat scalar-array dict (the animatable state)."""
+    a = scene.to_arrays()
+
+    def mats(prefix, col, emi, ref):
+        return {
+            f"{prefix}_colr": col[:, 0], f"{prefix}_colg": col[:, 1],
+            f"{prefix}_colb": col[:, 2], f"{prefix}_emir": emi[:, 0],
+            f"{prefix}_emig": emi[:, 1], f"{prefix}_emib": emi[:, 2],
+            f"{prefix}_refl": ref,
+        }
+
+    out = {
+        "s_cx": a["sphere_center"][:, 0], "s_cy": a["sphere_center"][:, 1],
+        "s_cz": a["sphere_center"][:, 2], "s_r": a["sphere_radius"],
+        "p_px": a["plane_point"][:, 0], "p_py": a["plane_point"][:, 1],
+        "p_pz": a["plane_point"][:, 2], "p_nx": a["plane_normal"][:, 0],
+        "p_ny": a["plane_normal"][:, 1], "p_nz": a["plane_normal"][:, 2],
+        "t_ax": a["triangle_v0"][:, 0], "t_ay": a["triangle_v0"][:, 1],
+        "t_az": a["triangle_v0"][:, 2], "t_bx": a["triangle_v1"][:, 0],
+        "t_by": a["triangle_v1"][:, 1], "t_bz": a["triangle_v1"][:, 2],
+        "t_cx": a["triangle_v2"][:, 0], "t_cy": a["triangle_v2"][:, 1],
+        "t_cz": a["triangle_v2"][:, 2],
+    }
+    out.update(mats("s", a["sphere_color"], a["sphere_emission"],
+                    a["sphere_reflectivity"]))
+    out.update(mats("p", a["plane_color"], a["plane_emission"],
+                    a["plane_reflectivity"]))
+    out.update(mats("t", a["triangle_color"], a["triangle_emission"],
+                    a["triangle_reflectivity"]))
+    return {k: np.ascontiguousarray(v, np.float32) for k, v in out.items()}
+
+
+class DynPrims:
+    """ScenePrims-compatible traversal whose per-primitive values come from
+    arrays bound at trace time (`bind`). Counts/light-topology are fixed by
+    the template scene."""
+
+    def __init__(self, scene: scene_mod.Scene):
+        self.scene = scene
+        self.n_spheres = len(scene.spheres)
+        self.n_planes = len(scene.planes)
+        self.n_triangles = len(scene.triangles)
+        # Static light topology: (kind, index within its kind array), in
+        # primitive order, excluding planes (shader.wgsl:390-391).
+        self.light_topology: List[Tuple[int, int]] = []
+        for i, s in enumerate(scene.spheres):
+            if s.material.is_light:
+                self.light_topology.append((scene_mod.SPHERE, i))
+        for i, t in enumerate(scene.triangles):
+            if t.material.is_light:
+                self.light_topology.append((scene_mod.TRIANGLE, i))
+        self._a = None
+
+    def bind(self, arrays) -> "DynPrims":
+        """Bind a pack_scene-layout mapping of indexables (jnp arrays, or
+        lists of pre-read SMEM scalars inside the Pallas kernel)."""
+        self._a = arrays
+        return self
+
+    # ---- per-primitive accessors (traced scalars) -------------------------
+
+    def _sphere(self, i):
+        a = self._a
+        return (V3(a["s_cx"][i], a["s_cy"][i], a["s_cz"][i]), a["s_r"][i])
+
+    def _plane(self, i):
+        a = self._a
+        return (V3(a["p_px"][i], a["p_py"][i], a["p_pz"][i]),
+                V3(a["p_nx"][i], a["p_ny"][i], a["p_nz"][i]))
+
+    def _triangle(self, i):
+        a = self._a
+        v0 = V3(a["t_ax"][i], a["t_ay"][i], a["t_az"][i])
+        v1 = V3(a["t_bx"][i], a["t_by"][i], a["t_bz"][i])
+        v2 = V3(a["t_cx"][i], a["t_cy"][i], a["t_cz"][i])
+        return v0, v1, v2
+
+    def _mat(self, prefix, i):
+        a = self._a
+        col = V3(a[f"{prefix}_colr"][i], a[f"{prefix}_colg"][i],
+                 a[f"{prefix}_colb"][i])
+        emi = V3(a[f"{prefix}_emir"][i], a[f"{prefix}_emig"][i],
+                 a[f"{prefix}_emib"][i])
+        return col, emi, a[f"{prefix}_refl"][i]
+
+    def _sweep(self):
+        """Yield (intersect_fn(o,d,t_min,t_max), normal_fn(p), material,
+        light_inv_area) per primitive in the reference flatten order
+        (spheres, planes, triangles — lib.rs:120-154)."""
+        four_pi = 4.0 * 3.14159265359
+        light_idx = set(self.light_topology)
+        for i in range(self.n_spheres):
+            c, r = self._sphere(i)
+
+            def isect(o, d, t_min, t_max, c=c, r=r):
+                return geom.intersect_sphere(o, d, c, r, t_min, t_max)
+
+            def norm(p, c=c, r=r):
+                return vm.normalize((p - c) * (1.0 / r))
+
+            lia = (
+                1.0 / (four_pi * r * r)
+                if (scene_mod.SPHERE, i) in light_idx else 0.0
+            )
+            yield isect, norm, self._mat("s", i), lia
+        for i in range(self.n_planes):
+            pt, n_raw = self._plane(i)
+            n_unit = vm.normalize(n_raw)
+
+            def isect(o, d, t_min, t_max, pt=pt, n_raw=n_raw):
+                return geom.intersect_plane(o, d, pt, n_raw, t_min, t_max)
+
+            def norm(p, n_unit=n_unit):
+                return vm.splat(jnp.zeros_like(p.x)) + n_unit
+
+            yield isect, norm, self._mat("p", i), 0.0
+        for i in range(self.n_triangles):
+            v0, v1, v2 = self._triangle(i)
+            e1, e2 = v1 - v0, v2 - v0
+            cr = vm.cross(e1, e2)
+            cr_len = vm.length(cr)
+            n_unit = cr / cr_len
+
+            def isect(o, d, t_min, t_max, v0=v0, e1=e1, e2=e2):
+                return geom.intersect_triangle(o, d, v0, e1, e2, t_min, t_max)
+
+            def norm(p, n_unit=n_unit):
+                return vm.splat(jnp.zeros_like(p.x)) + n_unit
+
+            lia = (
+                1.0 / (0.5 * cr_len)
+                if (scene_mod.TRIANGLE, i) in light_idx else 0.0
+            )
+            yield isect, norm, self._mat("t", i), lia
+
+    # ---- ScenePrims interface ---------------------------------------------
+
+    def closest_hit(self, o: V3, d: V3, t_min=geom.RAY_EPS, t_max=geom.T_FAR,
+                    mask=None) -> geom.Hit:
+        """Brute-force closest-hit sweep with the reference's overwrite
+        chain (shader.wgsl:248-294): each strictly-closer hit overwrites
+        the record — identical winners to ScenePrims' one-hot formulation."""
+        del mask
+        lanes = o.x
+        zeros = jnp.zeros_like(lanes)
+        closest = zeros + t_max
+        found = jnp.zeros_like(lanes, dtype=bool)
+        normal = vm.splat(zeros)
+        col = vm.splat(zeros)
+        emi = vm.splat(zeros)
+        refl = zeros
+        lia_v = zeros
+        for isect, norm, (m_col, m_emi, m_refl), lia in self._sweep():
+            t = isect(o, d, t_min, closest)
+            better = (t > 0.0) & (t < closest)
+            closest = jnp.where(better, t, closest)
+            found = found | better
+            p_i = o + d * t
+            normal = vm.where(better, norm(p_i), normal)
+            col = vm.where(better, vm.splat(zeros) + m_col, col)
+            emi = vm.where(better, vm.splat(zeros) + m_emi, emi)
+            refl = jnp.where(better, m_refl, refl)
+            lia_v = jnp.where(better, zeros + lia, lia_v)
+        p = o + d * closest
+        front = vm.dot(d, normal) < 0.0
+        normal = vm.where(front, normal, -normal)
+        lia_v = jnp.where(front, lia_v, 0.0)  # see geometry.closest_hit
+        return geom.Hit(found, closest, p, normal, col, emi, refl, lia_v)
+
+    def occluded(self, o: V3, d: V3, t_min, t_max, mask=None) -> jnp.ndarray:
+        del mask
+        blocked = jnp.zeros_like(o.x, dtype=bool)
+        for isect, _norm, _mat, _lia in self._sweep():
+            t = isect(o, d, t_min, t_max)
+            blocked = blocked | ((t > 0.0) & (t < t_max))
+        return blocked
+
+    # ---- NEE light list (tracer.direct_light consumes) ---------------------
+
+    def light_list(self):
+        """Per NEE light: the same (kind, data, emission) structure
+        tracer._Light carries, with traced values."""
+        out = []
+        for kind, i in self.light_topology:
+            if kind == scene_mod.SPHERE:
+                c, r = self._sphere(i)
+                _col, emi, _refl = self._mat("s", i)
+                out.append((kind, (c, r), emi))
+            else:
+                v0, v1, v2 = self._triangle(i)
+                cr = vm.cross(v1 - v0, v2 - v0)
+                cr_len = vm.length(cr)
+                _col, emi, _refl = self._mat("t", i)
+                out.append((kind, (v0, v1, v2, cr / cr_len, 0.5 * cr_len),
+                            emi))
+        return out

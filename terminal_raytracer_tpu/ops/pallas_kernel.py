@@ -124,6 +124,7 @@ def make_render_frame(
     transport: str = None,
     shard_rows: int = None,
     accel: str = "auto",
+    dynamic: bool = False,
 ):
     """Build `render_frame(pose, seed, frame_number[, y0])` backed by the
     Pallas megakernel. Same signature/returns as PathTracer.render_frame.
@@ -134,18 +135,49 @@ def make_render_frame(
     (parallel/mesh.py). Pixel seeds and camera rays use global coordinates,
     so shards tile seamlessly.
 
-    `accel`: traversal choice ('auto'/'baked'/'grid', see PathTracer)."""
+    `accel`: traversal choice ('auto'/'baked'/'grid', see PathTracer).
+
+    `dynamic`: geometry/material values become runtime inputs — the kernel
+    reads them from SMEM operands (ops/dynamic.py layout) and
+    `render_frame` gains a trailing `arrays` argument. Animated scenes
+    re-invoke the one compiled kernel with new values, never recompiling.
+    Served by the single-kernel schedulers ('sorted' falls back to 'regen'
+    — its in-kernel two-phase handles adaptive sampling; the two-kernel
+    compaction pipeline stays a baked-scene specialization)."""
     if mode == "sorted":
-        return make_sorted_render_frame(
-            scene, tile_h=tile_h, tile_w=tile_w, interpret=interpret,
-            unbiased=unbiased, transport=transport, shard_rows=shard_rows,
-            accel=accel,
-        )
+        if not dynamic:
+            return make_sorted_render_frame(
+                scene, tile_h=tile_h, tile_w=tile_w, interpret=interpret,
+                unbiased=unbiased, transport=transport,
+                shard_rows=shard_rows, accel=accel,
+            )
+        mode = "regen"
     # Mosaic cannot legalize while-loops with vector carries; the lockstep
     # path uses fixed-trip fori loops (PathTracer.loop_mode='fori') and the
     # regen path keeps its vectors in scratch refs.
     tracer = tracer_mod.PathTracer(scene, loop_mode="fori", unbiased=unbiased,
-                                   transport=transport, accel=accel)
+                                   transport=transport, accel=accel,
+                                   dynamic=dynamic)
+    if dynamic:
+        from . import dynamic as dyn_mod
+
+        # SMEM operands, zero-length arrays excluded (empty primitive
+        # kinds have nothing to read; bind() still gets their empty lists).
+        dyn_keys = [(k, n) for k, n in dyn_mod.scene_keys(scene)]
+        dyn_operands = [(k, n) for k, n in dyn_keys if n > 0]
+    else:
+        dyn_keys = dyn_operands = []
+
+    def _bind_dyn(rest):
+        if not dyn_keys:
+            return rest
+        refs = dict(zip([k for k, _ in dyn_operands], rest))
+        vals = {
+            k: [refs[k][i] for i in range(n)] if n > 0 else []
+            for k, n in dyn_keys
+        }
+        tracer.prims.bind(vals)
+        return rest[len(dyn_operands):]
     sweep_scratch = _sweep_scratch_shapes(tracer, tile_h, tile_w)
     h, w = scene.height, scene.width
     h_out = shard_rows if shard_rows is not None else h
@@ -180,6 +212,7 @@ def make_render_frame(
         rays_ref[:, :] = rays
 
     def kernel_lockstep(pose_ref, seed_ref, frame_ref, y0_ref, *rest):
+        rest = _bind_dyn(rest)
         out_refs = _maybe_bind_sweep(tracer, rest)
         xs, ys, active = _tile_coords(y0_ref[0])
         cam = tracer_mod.cam_from_pose(pose_ref)
@@ -206,6 +239,7 @@ def make_render_frame(
         return jax.tree_util.tree_unflatten(treedef, out)
 
     def kernel_regen(pose_ref, seed_ref, frame_ref, y0_ref, *rest):
+        rest = _bind_dyn(rest)
         rest = _maybe_bind_sweep(tracer, rest)
         (r_ref, g_ref, b_ref, var_ref, tot_ref, rays_ref,
          u32_s, i32_s, f32_s) = rest
@@ -281,7 +315,7 @@ def make_render_frame(
             pl.BlockSpec(**smem),  # seed (1,)
             pl.BlockSpec(**smem),  # frame (1,)
             pl.BlockSpec(**smem),  # y0 row offset (1,)
-        ],
+        ] + [pl.BlockSpec(**smem)] * len(dyn_operands),  # scene values
         out_specs=[tile_spec] * 6,
         # r, g, b, variance, total samples, per-pixel ray counts
         out_shape=[plane] * 6,
@@ -289,13 +323,26 @@ def make_render_frame(
         interpret=interp,
     )
 
-    def render_frame(pose, seed, frame_number, y0=0):
-        pose = jnp.asarray(pose, jnp.float32)
-        seed = jnp.asarray(seed, jnp.uint32).reshape((1,))
-        frame = jnp.asarray(frame_number, jnp.int32).reshape((1,))
-        y0 = jnp.asarray(y0, jnp.int32).reshape((1,))
-        r, g, b, var, tot, rays = call(pose, seed, frame, y0)
-        return V3(r, g, b), var, tot, jnp.sum(rays)
+    if dynamic:
+
+        def render_frame(pose, seed, frame_number, arrays, y0=0):
+            pose = jnp.asarray(pose, jnp.float32)
+            seed = jnp.asarray(seed, jnp.uint32).reshape((1,))
+            frame = jnp.asarray(frame_number, jnp.int32).reshape((1,))
+            y0 = jnp.asarray(y0, jnp.int32).reshape((1,))
+            scene_ops = [jnp.asarray(arrays[k], jnp.float32)
+                         for k, _ in dyn_operands]
+            r, g, b, var, tot, rays = call(pose, seed, frame, y0, *scene_ops)
+            return V3(r, g, b), var, tot, jnp.sum(rays)
+    else:
+
+        def render_frame(pose, seed, frame_number, y0=0):
+            pose = jnp.asarray(pose, jnp.float32)
+            seed = jnp.asarray(seed, jnp.uint32).reshape((1,))
+            frame = jnp.asarray(frame_number, jnp.int32).reshape((1,))
+            y0 = jnp.asarray(y0, jnp.int32).reshape((1,))
+            r, g, b, var, tot, rays = call(pose, seed, frame, y0)
+            return V3(r, g, b), var, tot, jnp.sum(rays)
 
     return render_frame
 

@@ -114,7 +114,8 @@ class PathTracer:
 
     def __init__(self, scene: scene_mod.Scene, loop_mode: str = "while",
                  unbiased: bool = False, base_quota: Optional[int] = None,
-                 accel: str = "auto", transport: Optional[str] = None):
+                 accel: str = "auto", transport: Optional[str] = None,
+                 dynamic: bool = False):
         """loop_mode: 'while' uses lax.while_loop for the bounce and
         adaptive-sampling loops (early exit once every lane is dead — the
         oracle/XLA path); 'fori' uses fixed-trip lax.fori_loop (Mosaic
@@ -186,7 +187,15 @@ class PathTracer:
         if accel == "auto":
             accel = "baked"
         self.accel = accel
-        if accel == "grid":
+        # dynamic=True swaps the baked-constant traversal for ops/dynamic's
+        # array-driven DynPrims: geometry/material VALUES become traced
+        # inputs (bind per trace via prims.bind), topology stays static.
+        self.dynamic = dynamic
+        if dynamic:
+            from . import dynamic as dyn_mod
+
+            self.prims = dyn_mod.DynPrims(scene)
+        elif accel == "grid":
             from . import accel as accel_mod
 
             self.prims = accel_mod.CulledPrims(scene)
@@ -211,7 +220,13 @@ class PathTracer:
         )
 
         # Static light list (shader.wgsl:342-391 loops all primitives and
-        # skips non-emissive + planes; the skip is compile-time here).
+        # skips non-emissive + planes; the skip is compile-time here). In
+        # dynamic mode only the TOPOLOGY is static — values are read from
+        # the bound arrays per trace (_lights_now).
+        if dynamic:
+            self.lights = ()
+            self.n_lights = len(self.prims.light_topology)
+            return
         self.lights = []
         for tag, p in scene.lights:
             if tag == scene_mod.SPHERE:
@@ -251,7 +266,11 @@ class PathTracer:
         direct = vm.splat(zeros)
         brdf = color * (1.0 / sampling.PI)  # Lambertian albedo/pi (shader.wgsl:412)
 
-        for light in self.lights:
+        lights = (
+            [_Light(*l) for l in self.prims.light_list()]
+            if self.dynamic else self.lights
+        )
+        for light in lights:
             if light.kind == scene_mod.SPHERE:
                 center, radius = light.data
                 state, lp, ln, area = sampling.sphere_light_point(
@@ -314,7 +333,9 @@ class PathTracer:
                 weight = weight * (
                     (1.0 - refl) * p_l / jnp.maximum(p_l + p_b, 1e-20)
                 )
-            contrib = (brdf * V3(*light.emission)) * (att * weight)
+            emi = (light.emission if isinstance(light.emission, V3)
+                   else V3(*light.emission))
+            contrib = (brdf * emi) * (att * weight)
             contrib = vm.min_components(contrib, NEE_CLAMP)  # wgsl:420-427
             direct = direct + vm.where(ok, contrib, vm.splat(zeros))
 
@@ -945,3 +966,13 @@ class PathTracer:
         cam = cam_from_pose(pose)
         current, var, total, rays = self.render_lanes(cam, x, y, seed, frame_number)
         return current, var, total, jnp.sum(rays)
+
+    def render_frame_dynamic(self, pose, seed, frame_number, arrays):
+        """render_frame for a dynamic=True tracer: `arrays` is the
+        ops.dynamic.pack_scene mapping of traced geometry/material values
+        — a runtime input, so animated scenes never retrace (the template
+        scene fixes only counts and the light topology)."""
+        assert self.dynamic
+        self.prims.bind({k: jnp.asarray(v, jnp.float32)
+                         for k, v in arrays.items()})
+        return self.render_frame(pose, seed, frame_number)

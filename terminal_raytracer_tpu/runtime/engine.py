@@ -50,15 +50,33 @@ class Engine:
         unbiased: bool = False,
         transport: str = None,
         accel: str = "auto",
+        animate: str = None,
     ):
         self.scene = scene
         self.full_color = full_color
         self.verbose = verbose
         self.pipeline = pipeline
         self.camera = camera if camera is not None else Camera()
+        # --animate: geometry/materials stream through the compiled step as
+        # runtime arrays (ops/dynamic.py); every frame is rendered fresh
+        # (frame_number pinned to 0 — temporal accumulation would smear
+        # moving geometry), and the animation clock advances per render.
+        self.animate = animate
+        if animate is not None:
+            from ..models.animate import ANIMATORS
+            from ..ops.dynamic import pack_scene
+
+            if animate not in ANIMATORS:
+                raise ValueError(
+                    f"unknown animator {animate!r}; have "
+                    f"{sorted(ANIMATORS)}"
+                )
+            self._animator = ANIMATORS[animate]
+            self._arrays0 = pack_scene(scene)
+            self._anim_t = 0
         self.step = make_render_step(scene, full_color=full_color, backend=backend,
                                      unbiased=unbiased, transport=transport,
-                                     accel=accel)
+                                     accel=accel, dynamic=animate is not None)
         self.state = init_state(scene)
         self.blitter = Blitter(scene.height, scene.width, full_color, threads)
         # The variance heat map is always drawn as truecolor blocks.
@@ -103,6 +121,15 @@ class Engine:
 
     def render_one(self, frame_number: int):
         """Dispatch one compiled step (async) and advance state."""
+        if self.animate is not None:
+            arrays = self._animator(self._arrays0, self._anim_t)
+            self._anim_t += 1
+            out = self.step(
+                self.state, self.camera.pose(), self._seed(), np.int32(0),
+                arrays,
+            )
+            self.state = out.state
+            return out
         out = self.step(
             self.state, self.camera.pose(), self._seed(), np.int32(frame_number)
         )

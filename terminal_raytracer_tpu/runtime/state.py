@@ -66,6 +66,7 @@ def make_render_step(
     unbiased: bool = False,
     transport: str = None,
     accel: str = "auto",
+    dynamic: bool = False,
 ):
     """Build `step(state, pose16, seed, frame_number) -> FrameOutput`.
 
@@ -73,24 +74,39 @@ def make_render_step(
     megakernel), or 'auto' (pallas on TPU, jnp elsewhere).
     accel: traversal — 'baked' brute-force sweep, 'grid' block-culled
     (ops/accel.py), 'auto' by primitive count.
+    dynamic: the step gains a trailing `arrays` argument (the
+    ops.dynamic.pack_scene layout) and reads geometry/materials from it at
+    runtime — the --animate mode; values change per frame, nothing
+    retraces.
     """
     if backend == "auto":
         backend = "pallas" if jax.default_backend().startswith("tpu") else "jnp"
 
     if backend == "jnp":
         tracer = tracer_mod.PathTracer(scene, unbiased=unbiased,
-                                       transport=transport, accel=accel)
-        render_frame = tracer.render_frame
+                                       transport=transport, accel=accel,
+                                       dynamic=dynamic)
+        render_frame = (tracer.render_frame_dynamic if dynamic
+                        else tracer.render_frame)
     elif backend == "pallas":
         from ..ops import pallas_kernel
 
         render_frame = pallas_kernel.make_render_frame(
-            scene, unbiased=unbiased, transport=transport, accel=accel)
+            scene, unbiased=unbiased, transport=transport, accel=accel,
+            dynamic=dynamic)
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
-    def step(state: FrameState, pose, seed, frame_number) -> FrameOutput:
-        current, variance, samples, rays = render_frame(pose, seed, frame_number)
+    def step(state: FrameState, pose, seed, frame_number,
+             arrays=None) -> FrameOutput:
+        if dynamic:
+            current, variance, samples, rays = render_frame(
+                pose, seed, frame_number, arrays
+            )
+        else:
+            current, variance, samples, rays = render_frame(
+                pose, seed, frame_number
+            )
 
         # Temporal accumulation (shader.wgsl:612-620).
         fn = jnp.asarray(frame_number, jnp.float32)
