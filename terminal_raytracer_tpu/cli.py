@@ -193,6 +193,9 @@ def main(argv=None) -> int:
             render = make_scan_renderer(
                 scene, args.frames, full_color=args.full_color,
                 backend=args.backend, accel=args.accel,
+                transport="mis" if args.mis else (
+                    "unbiased" if args.unbiased else None
+                ),
             )
             start = engine.frame_count  # continues a --load-state resume
             rng = np.random.RandomState(args.deterministic)
