@@ -73,6 +73,7 @@ def render_accumulated(
     seed: Optional[int] = None,
     full_color: bool = True,
     backend: str = "auto",
+    transport: Optional[str] = None,
 ):
     """One-call offline render: n accumulated frames, returns host arrays
     (rgb u8, glyphs u8, rays)."""
@@ -81,7 +82,8 @@ def render_accumulated(
         rng.randint(0, 2**32, size=n_frames, dtype=np.uint64)
         + np.arange(n_frames, dtype=np.uint64)
     ).astype(np.uint32)
-    render = make_scan_renderer(scene, n_frames, full_color, backend)
+    render = make_scan_renderer(scene, n_frames, full_color, backend,
+                                transport=transport)
     state, rgb, glyphs, rays = render(init_state(scene), pose, jnp.asarray(seeds))
     rgb, glyphs, rays = jax.device_get((rgb, glyphs, rays))
     return state, rgb, glyphs, float(rays)
