@@ -54,6 +54,9 @@ CONFIGS = {
     # many-primitive scene: exercises the block-culled traversal
     # (ops/accel.py; auto-enabled at >= 64 primitives)
     "stress256": dict(scene="stress:256"),
+    # dynamic (animated) scenes: geometry streams through SMEM as runtime
+    # values (ops/dynamic.py; --animate); north-star params, orbit animator
+    "dynamic": dict(scene="Cornell_Box", spp=16, depth=32, dynamic=True),
 }
 
 
@@ -89,7 +92,23 @@ def run_bench(config_name: str, backend: str, frames: int, reps: int,
         return _run_bench_scan(scene, pose, cfg["scan"], backend, reps,
                                verbose, config_name)
 
-    step = make_render_step(scene, full_color=True, backend=backend)
+    dynamic = bool(cfg.get("dynamic"))
+    step = make_render_step(scene, full_color=True, backend=backend,
+                            dynamic=dynamic)
+    if dynamic:
+        from terminal_raytracer_tpu.models.animate import orbit
+        from terminal_raytracer_tpu.ops.dynamic import pack_scene
+
+        arrays0 = pack_scene(scene)
+        raw_step = step
+        anim_t = [0]
+
+        def step(state, pose, seed, frame):
+            arrays = orbit(arrays0, anim_t[0])
+            anim_t[0] += 1
+            # animated frames render fresh (no temporal accumulation)
+            return raw_step(state, pose, seed, np.int32(0), arrays)
+
     state = init_state(scene)
 
     # Warm-up / compile (also forces the first, slow, tunnel transfer).
