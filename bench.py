@@ -63,11 +63,6 @@ CONFIGS = {
 def _load(cfg):
     from terminal_raytracer_tpu.models import Camera, load_scene
 
-    if cfg["scene"].startswith("stress:"):
-        from terminal_raytracer_tpu.models.gen import stress_scene
-
-        n = int(cfg["scene"].split(":")[1])
-        return stress_scene(n, seed=0), Camera()
     scene = load_scene(cfg["scene"]).with_overrides(
         width=cfg.get("width"),
         height=cfg.get("height"),

@@ -30,7 +30,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="scene JSON path (default: packaged Cornell box)")
     # --- extensions ---
     p.add_argument("--scene", default=None,
-                   help="(ext) packaged scene name: Cornell_Box, demo, scene2")
+                   help="(ext) packaged scene name (Cornell_Box, demo, "
+                        "scene2) or procedural stress:N[:seed]")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "pallas", "jnp"],
                    help="(ext) compute backend (default: pallas on TPU)")

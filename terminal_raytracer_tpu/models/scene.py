@@ -286,11 +286,26 @@ def scene_from_dict(cfg: dict) -> Scene:
 
 
 def load_scene(path_or_name: Optional[str] = None) -> Scene:
-    """Load a scene JSON from a filesystem path, or a packaged scene by name.
+    """Load a scene JSON from a filesystem path, or a packaged scene by
+    name, or a procedural scene spec `stress:N[:seed]` (an N-sphere
+    clustered field, models/gen.py — the many-primitive benchmark scene).
 
     With no argument, loads the packaged Cornell Box — the reference embeds
     the same default scene in its binary (lib.rs:104-108).
     """
+    if isinstance(path_or_name, str) and path_or_name.startswith("stress:"):
+        from .gen import stress_scene
+
+        parts = path_or_name.split(":")
+        try:
+            n = int(parts[1])
+            seed = int(parts[2]) if len(parts) > 2 else 0
+        except (IndexError, ValueError):
+            raise ValueError(
+                f"bad procedural scene spec {path_or_name!r}; expected "
+                f"stress:N or stress:N:seed"
+            ) from None
+        return stress_scene(n, seed=seed)
     if path_or_name is None:
         path = _SCENES_DIR / f"{DEFAULT_SCENE}.json"
     else:

@@ -147,3 +147,16 @@ def test_scene_validation_rejects_nonsense():
     # clamp_to_terminal floors at 2x2 instead of erroring
     tiny = s.clamp_to_terminal(1, 1)
     assert (tiny.width, tiny.height) == (2, 2)
+
+
+def test_load_scene_stress_spec():
+    from terminal_raytracer_tpu.models import load_scene
+
+    s = load_scene("stress:64")
+    assert s.primitive_count == 65  # 64 spheres + floor plane
+    s2 = load_scene("stress:64:3")
+    assert s2.primitive_count == 65
+    # different seed -> different geometry
+    assert s.spheres[5].center != s2.spheres[5].center
+    with pytest.raises(ValueError, match="stress:N"):
+        load_scene("stress:abc")
