@@ -18,7 +18,7 @@ code the jnp oracle runs — so this module is memory orchestration only:
   per-pixel ray counts) stream back to HBM through the grid pipeline.
 
 Three schedulers (`mode`), in increasing occupancy (north-star Mray/s on
-v5e: 329 / 816 / 924):
+v5e, round-2 medians: 329 / 852 / 1935):
 
 * 'lockstep' — fixed-trip fori loops, every lane executes max_depth bounces
   per sample (the straightforward port of the reference's loop nest; kept
@@ -28,10 +28,11 @@ v5e: 329 / 816 / 924):
   while carries — mutating scratch refs from the body sidesteps that)
   keeps every lane busy on its own sample stream and exits the moment no
   lane in the tile owes work.
-* 'sorted' (default) — the two-kernel pipeline: base phase, then an
-  on-device XLA argsort compacts pixels by adaptive extra-sample budget so
-  the extra phase runs over workload-homogeneous tiles (see the section
-  at the bottom of this file).
+* 'sorted' (default) — the two-kernel pipeline: the packed-stream base
+  phase (k pixels per lane over a dense row-major stream), then an
+  on-device variadic lax.sort compacts pixels by adaptive extra-sample
+  budget so the extra phase runs over workload-homogeneous tiles with
+  zero-work tiles gated off (see the section at the bottom of this file).
 
 On non-TPU backends the kernel runs in interpreter mode (tests); the oracle
 backend remains the fast path off-TPU.
