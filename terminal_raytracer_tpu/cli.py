@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="(ext) resume from a saved state")
     p.add_argument("--no-clamp", action="store_true",
                    help="(ext) don't clamp resolution to the terminal size")
+    p.add_argument("--no-compile-cache", action="store_true",
+                   help="(ext) disable the persistent XLA compilation "
+                        "cache (default dir ~/.cache/terminal_raytracer_tpu"
+                        "/xla, override with $TERMINAL_RAYTRACER_CACHE)")
     p.add_argument("--unbiased", action="store_true",
                    help="(ext) physically-correct direct lighting: skip "
                         "re-adding emission on NEE-sampled diffuse hits "
@@ -125,6 +129,25 @@ def main(argv=None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
 
+    # Persistent XLA compilation cache: the Pallas megakernel costs tens of
+    # seconds to compile on TPU; caching makes every later launch of the
+    # same (scene shape, config) near-instant. Must be set before the first
+    # compile.
+    if not args.no_compile_cache:
+        import os
+
+        import jax
+
+        cache_dir = os.environ.get(
+            "TERMINAL_RAYTRACER_CACHE",
+            os.path.expanduser("~/.cache/terminal_raytracer_tpu/xla"),
+        )
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+        except (OSError, AttributeError):
+            pass  # cache unavailable: render without it
+
     interactive = args.frames is None
     if interactive and not args.no_clamp:
         tw, th = terminal_size()
@@ -152,7 +175,13 @@ def main(argv=None) -> int:
     if args.load_state:
         from .utils.statefile import load_state
 
-        engine.state, engine.frame_count, engine.camera = load_state(args.load_state)
+        try:
+            engine.state, engine.frame_count, engine.camera = load_state(
+                args.load_state, expect_shape=(scene.height, scene.width)
+            )
+        except (ValueError, OSError, KeyError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
 
     if interactive:
         if not sys.stdin.isatty():

@@ -28,8 +28,22 @@ def save_state(path, state: FrameState, frame_count: int, camera: Camera) -> Non
     )
 
 
-def load_state(path) -> Tuple[FrameState, int, Camera]:
+def load_state(path, expect_shape: Tuple[int, int] = None
+               ) -> Tuple[FrameState, int, Camera]:
+    """`expect_shape` (height, width): when given, reject a checkpoint whose
+    resolution doesn't match the scene about to consume it — otherwise the
+    mismatch only surfaces as a cryptic XLA shape error at the first step."""
     z = np.load(Path(path))
+    if expect_shape is not None and tuple(z["acc"].shape[1:]) != tuple(
+        expect_shape
+    ):
+        h, w = z["acc"].shape[1:]
+        eh, ew = expect_shape
+        raise ValueError(
+            f"state file {path} holds a {w}x{h} accumulation but the scene "
+            f"renders {ew}x{eh}; pass --width/--height (or --no-clamp) to "
+            f"match the checkpoint"
+        )
     state = FrameState(
         acc=jax.numpy.asarray(z["acc"]),
         variance=jax.numpy.asarray(z["variance"]),

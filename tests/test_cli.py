@@ -190,3 +190,27 @@ def test_look_at_faces_target():
     want = np.array([-3.0, -1.0, -4.0])
     want = want / np.linalg.norm(want)
     np.testing.assert_allclose(fwd, want, atol=1e-6)
+
+
+def test_load_state_shape_mismatch_clear_error(tmp_path):
+    st = tmp_path / "s.npz"
+    out = run_cli(TINY + ["--frames", "1", "--save-state", str(st)])
+    assert out.returncode == 0, out.stderr.decode()
+    # resume with a different resolution -> clear error, exit 2
+    out = run_cli(["--width", "32", "--height", "8", "--spp", "4",
+                   "--depth", "2", "--backend", "jnp", "--scene", "scene2",
+                   "--frames", "1", "--load-state", str(st)])
+    assert out.returncode == 2
+    assert b"48x16" in out.stderr and b"32x8" in out.stderr
+
+
+def test_compile_cache_populates(tmp_path):
+    env = dict(ENV, TERMINAL_RAYTRACER_CACHE=str(tmp_path / "xla"))
+    code = CPU_PRELUDE + f"sys.exit(main({(TINY + ['--frames', '1'])!r}))"
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       timeout=180, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr.decode()
+    cache = tmp_path / "xla"
+    assert cache.is_dir()
+    # the whole-image render compile exceeds the 1 s persistence threshold
+    assert any(cache.iterdir()), "no cache entries written"
