@@ -252,7 +252,21 @@ def main():
                     help="run only the correctness gate, then exit")
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    # Persistent compilation cache (same dir as the CLI): repeat bench
+    # sessions skip the tens-of-seconds kernel compiles.
+    cache_dir = os.environ.get(
+        "TERMINAL_RAYTRACER_CACHE",
+        os.path.expanduser("~/.cache/terminal_raytracer_tpu/xla"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except (OSError, AttributeError):
+        pass
 
     on_tpu = jax.default_backend().startswith("tpu")
 

@@ -31,7 +31,7 @@ Design (TPU idiom: static shapes/topology, dynamic data):
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import jax.numpy as jnp
 import numpy as np
