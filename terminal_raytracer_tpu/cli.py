@@ -48,6 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="(ext) override samples_per_pixel")
     p.add_argument("--depth", type=int, default=None,
                    help="(ext) override max_depth")
+    p.add_argument("--aperture", type=float, default=None,
+                   help="(ext) thin-lens radius for depth of field "
+                        "(0 = pinhole, the reference's camera)")
+    p.add_argument("--focus", type=float, default=None,
+                   help="(ext) focus distance along the view axis "
+                        "(with --aperture)")
     p.add_argument("--deterministic", type=int, default=None, metavar="SEED",
                    help="(ext) fixed RNG seed (reference seeds randomly)")
     p.add_argument("--no-pipeline", action="store_true",
@@ -124,6 +130,7 @@ def main(argv=None) -> int:
         scene = scene.with_overrides(
             width=args.width, height=args.height,
             samples_per_pixel=args.spp, max_depth=args.depth,
+            aperture=args.aperture, focus_distance=args.focus,
         )
     except (FileNotFoundError, ValueError, KeyError) as e:
         print(f"error: {e}", file=sys.stderr)

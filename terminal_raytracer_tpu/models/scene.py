@@ -90,6 +90,12 @@ class Triangle(NamedTuple):
 class Camera_Config:
     fov_degrees: float
     char_aspect_ratio: float
+    # Thin-lens depth of field (capability extension; the reference is a
+    # pinhole camera). aperture = lens radius in world units (0 = pinhole,
+    # bit-exact reference rays); focus_distance = distance of the sharp
+    # plane along the camera forward axis.
+    aperture: float = 0.0
+    focus_distance: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -123,6 +129,15 @@ class Scene:
             raise ValueError(
                 f"camera fov_degrees must be in (0, 180), got "
                 f"{self.camera.fov_degrees!r}"
+            )
+        if self.camera.aperture < 0.0:
+            raise ValueError(
+                f"camera aperture must be >= 0, got {self.camera.aperture!r}"
+            )
+        if self.camera.aperture > 0.0 and not self.camera.focus_distance > 0.0:
+            raise ValueError(
+                f"camera focus_distance must be > 0 when aperture > 0, got "
+                f"{self.camera.focus_distance!r}"
             )
         if not self.camera.char_aspect_ratio > 0.0:
             raise ValueError(
@@ -193,9 +208,22 @@ class Scene:
         samples_per_pixel: Optional[int] = None,
         max_depth: Optional[int] = None,
         frames_to_accumulate: Optional[int] = None,
+        aperture: Optional[float] = None,
+        focus_distance: Optional[float] = None,
     ) -> "Scene":
-        """Benchmark / terminal-clamp overrides (lib.rs:113-115)."""
+        """Benchmark / terminal-clamp overrides (lib.rs:113-115), plus the
+        depth-of-field lens parameters (CLI --aperture/--focus)."""
         kw = {}
+        if aperture is not None or focus_distance is not None:
+            cam = self.camera
+            kw["camera"] = dataclasses.replace(
+                cam,
+                aperture=(float(aperture) if aperture is not None
+                          else cam.aperture),
+                focus_distance=(float(focus_distance)
+                                if focus_distance is not None
+                                else cam.focus_distance),
+            )
         if width is not None:
             kw["width"] = int(width)
         if height is not None:
@@ -268,6 +296,10 @@ def scene_from_dict(cfg: dict) -> Scene:
         camera=Camera_Config(
             fov_degrees=_f32(cam["fov_degrees"]),
             char_aspect_ratio=_f32(cam["char_aspect_ratio"]),
+            # Optional depth-of-field extension fields (absent in the
+            # reference's schema; default = pinhole).
+            aperture=_f32(cam.get("aperture", 0.0)),
+            focus_distance=_f32(cam.get("focus_distance", 1.0)),
         ),
         spheres=tuple(
             Sphere(_f32v(s["center"]), _f32(s["radius"]), _material(s))

@@ -209,6 +209,12 @@ class PathTracer:
             base_quota if base_quota is not None else base_sample_count(self.spp)
         )
 
+        # Thin-lens depth of field (extension — the reference is pinhole):
+        # statically gated, so aperture == 0 adds no ops and no RNG draws
+        # (exact reference parity).
+        self.aperture = float(scene.camera.aperture)
+        self.focus_distance = float(scene.camera.focus_distance)
+
         # Static f32 camera intrinsics (shader.wgsl:522-527). Computed in
         # f32 like the shader does per-sample.
         self.half_height = float(np.tan(np.float32(scene.fov_rad) / np.float32(2)))
@@ -511,6 +517,21 @@ class PathTracer:
         vy = self.half_height * ndc_y
         d = vm.normalize(cam.right * vx + cam.up * vy + cam.forward)
         o = vm.splat(jnp.zeros_like(d.x)) + cam.pos
+        if self.aperture > 0.0:
+            # Thin lens: the pinhole ray fixes the focal point (where it
+            # pierces the plane at focus_distance along forward); the real
+            # ray starts from a uniform sample of the lens disk and aims
+            # there. Two extra draws per primary ray, statically absent at
+            # aperture == 0.
+            state, r1, r2 = prng.next_f32_pair(state, gate)
+            lr = self.aperture * jnp.sqrt(r1)
+            phi = sampling.TWO_PI * r2
+            t_focus = self.focus_distance / vm.dot(d, cam.forward)
+            p_focus = o + d * t_focus
+            o = o + cam.right * (lr * jnp.cos(phi)) + cam.up * (
+                lr * jnp.sin(phi)
+            )
+            d = vm.normalize(p_focus - o)
         return state, o, d
 
     # ------------------------------------------------------------------
