@@ -90,6 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "each) and write a numbered image sequence to "
                         "--dump-image (a %%d pattern, or _NNN is inserted "
                         "before the extension)")
+    p.add_argument("--until-noise", type=float, default=None, metavar="X",
+                   help="(ext) with --frames: stop early once the "
+                        "estimated noise of the accumulated image (mean "
+                        "sample variance / total samples) drops below X; "
+                        "--frames caps the run")
     p.add_argument("--scan", action="store_true",
                    help="(ext) with --frames: compile the whole frame "
                         "sequence as one lax.scan program (offline mode)")
@@ -124,6 +129,10 @@ def main(argv=None) -> int:
     if args.animate and (args.scan or args.turntable is not None):
         print("error: --animate is incompatible with --scan/--turntable",
               file=sys.stderr)
+        return 2
+    if args.until_noise is not None and (args.scan or args.animate):
+        print("error: --until-noise needs the frame-by-frame headless loop "
+              "(not --scan/--animate)", file=sys.stderr)
         return 2
     try:
         scene = load_scene(args.path or args.scene)
@@ -248,7 +257,9 @@ def main(argv=None) -> int:
             rgb, glyphs, rays = jax.device_get((rgb, glyphs, rays))
             mean_spp = float("nan")
         else:
-            rgb, glyphs, rays, mean_spp, _heatmap = engine.run_headless(args.frames)
+            rgb, glyphs, rays, mean_spp, _heatmap = engine.run_headless(
+                args.frames, until_noise=args.until_noise
+            )
     if args.dump_image:
         import numpy as np
 
@@ -272,8 +283,10 @@ def main(argv=None) -> int:
         for row in np.asarray(glyphs):
             print("".join(GLYPH_RAMP[min(int(i), 67)] for i in row))
     if args.verbose:
-        print(f"[headless] {args.frames} frames, {float(rays):.3e} rays in "
-              f"last frame, mean spp {float(mean_spp):.1f}", file=sys.stderr)
+        # engine.frame_count reflects early convergence stops (--until-noise)
+        print(f"[headless] {engine.frame_count} frames, {float(rays):.3e} "
+              f"rays in last frame, mean spp {float(mean_spp):.1f}",
+              file=sys.stderr)
     return 0
 
 

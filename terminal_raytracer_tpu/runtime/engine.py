@@ -227,14 +227,27 @@ class Engine:
 
     # ------------------------------------------------------------------
 
-    def run_headless(self, n_frames: int):
+    def run_headless(self, n_frames: int, until_noise: float = None):
         """Render n accumulated frames without a terminal; returns the final
         fetched (rgb, glyphs, rays, mean_samples). Frame numbering continues
         from self.frame_count so a --load-state resume keeps accumulating
-        instead of overwriting the restored buffer at alpha=1."""
+        instead of overwriting the restored buffer at alpha=1.
+
+        `until_noise`: convergence stop (extension — the reference only
+        counts frames): stop as soon as the estimated noise of the
+        accumulated mean — mean per-pixel sample variance divided by total
+        samples accumulated — drops below this, or after n_frames,
+        whichever first. Checking syncs a scalar per frame, which headless
+        mode can afford."""
         if n_frames < 1:
             raise ValueError(f"n_frames must be >= 1, got {n_frames}")
         out = None
         for _ in range(n_frames):
             out = self.render_one(self.frame_count)
+            if until_noise is not None:
+                var_mean = float(jax.device_get(self._mean(out.state.variance)))
+                spp_mean = float(jax.device_get(self._mean(out.state.samples)))
+                noise = var_mean / max(spp_mean * self.frame_count, 1e-9)
+                if noise < until_noise:
+                    break
         return self._fetch(out)

@@ -143,3 +143,21 @@ def test_camera_move_no_retrace():
         cam.apply_key(key)
         out = step(out.state, cam.pose(), np.uint32(1), np.int32(0))
     assert step._cache_size() == compiled_before == 1
+
+
+def test_until_noise_convergence_stop():
+    """--until-noise: headless rendering stops as soon as the accumulated
+    noise estimate (mean sample variance / total samples) drops under the
+    threshold, frame cap otherwise."""
+    from terminal_raytracer_tpu.models import load_scene
+    from terminal_raytracer_tpu.runtime.engine import Engine
+
+    scene = load_scene("scene2").with_overrides(
+        width=32, height=8, samples_per_pixel=4, max_depth=2
+    )
+    eng = Engine(scene, backend="jnp", deterministic=3, pipeline=False)
+    eng.run_headless(10, until_noise=1e9)  # any noise passes immediately
+    assert eng.frame_count == 1
+    eng2 = Engine(scene, backend="jnp", deterministic=3, pipeline=False)
+    eng2.run_headless(6, until_noise=0.0)  # unreachable -> cap
+    assert eng2.frame_count == 6
