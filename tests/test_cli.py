@@ -214,3 +214,60 @@ def test_compile_cache_populates(tmp_path):
     assert cache.is_dir()
     # the whole-image render compile exceeds the 1 s persistence threshold
     assert any(cache.iterdir()), "no cache entries written"
+
+
+def test_interactive_animate_pty():
+    """--animate in the interactive viewer: frames keep rendering (the
+    animation clock advances; accumulation never stops it), keys still
+    steer, ESC exits cleanly."""
+    code = CPU_PRELUDE + (
+        "sys.exit(main(['--scene','scene2','--width','40','--height','12',"
+        "'--spp','2','--depth','2','--backend','jnp','--deterministic','1',"
+        "'--animate','bob']))"
+    )
+    master, slave = pty.openpty()
+    import fcntl
+    import struct
+    import termios
+
+    fcntl.ioctl(slave, termios.TIOCSWINSZ, struct.pack("HHHH", 30, 100, 0, 0))
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdin=slave, stdout=slave, stderr=subprocess.PIPE,
+        cwd=REPO, env=ENV,
+    )
+    os.close(slave)
+    buf = b""
+
+    def read_until(substr: bytes, timeout: float):
+        nonlocal buf
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            r, _, _ = select.select([master], [], [], 0.2)
+            if r:
+                try:
+                    buf += os.read(master, 65536)
+                except OSError:
+                    break
+            if substr in buf:
+                return True
+        return False
+
+    try:
+        assert read_until(b"Frame:", 150), buf[-1500:].decode("utf-8", "replace")
+        n0 = buf.count(b"Frame:")
+        # animated frames keep coming without any input
+        deadline = time.time() + 60
+        while time.time() < deadline and buf.count(b"Frame:") < n0 + 3:
+            read_until(b"\xff\xff", 1.0)
+        assert buf.count(b"Frame:") >= n0 + 3, "animation stalled"
+        os.write(master, b"w")
+        time.sleep(0.3)
+        os.write(master, b"\x1b")
+        assert read_until(b"Exiting.", 60), buf[-1500:].decode("utf-8", "replace")
+        proc.wait(timeout=30)
+        assert proc.returncode == 0, proc.stderr.read().decode()
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        os.close(master)
