@@ -89,7 +89,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "scene centroid (accumulating --frames frames "
                         "each) and write a numbered image sequence to "
                         "--dump-image (a %%d pattern, or _NNN is inserted "
-                        "before the extension)")
+                        "before the extension); add --scan to compile the "
+                        "ENTIRE orbit as one XLA program")
     p.add_argument("--until-noise", type=float, default=None, metavar="X",
                    help="(ext) with --frames: stop early once the "
                         "estimated noise of the accumulated image (mean "
@@ -300,44 +301,88 @@ def _turntable_path(pattern: str, k: int) -> str:
     return f"{stem}_{k:03d}{ext or '.png'}"
 
 
-def _run_turntable(engine, scene, args):
-    """Render `args.turntable` poses orbiting the scene centroid in the XZ
-    plane (keeping the starting camera's height and orbit radius), each
-    pose accumulating `args.frames` frames through the one compiled step
-    (the pose is a runtime input — no retraces across the orbit)."""
+def _orbit_poses(camera, scene, n):
+    """n cameras orbiting the scene centroid in the XZ plane, keeping the
+    starting camera's height and orbit radius."""
     import numpy as np
 
     from .models.camera import Camera
-    from .runtime.state import init_state
-    from .utils import imageio
 
     center = scene.centroid()
-    rel = np.asarray(engine.camera.position, np.float32) - center
+    rel = np.asarray(camera.position, np.float32) - center
     radius = float(np.hypot(rel[0], rel[2]))
     if radius < 1e-6:
         radius = max(1.0, float(np.linalg.norm(rel)))
     phi0 = float(np.arctan2(rel[2], rel[0]))
     height = float(rel[1])
-
-    paths = []
-    for k in range(args.turntable):
-        phi = phi0 + 2.0 * np.pi * k / args.turntable
+    out = []
+    for k in range(n):
+        phi = phi0 + 2.0 * np.pi * k / n
         pos = center + np.array(
             [radius * np.cos(phi), height, radius * np.sin(phi)], np.float32
         )
-        engine.camera = Camera.look_at(pos, center)
+        out.append(Camera.look_at(pos, center))
+    return out
+
+
+def _write_frame_image(path, rgb):
+    import numpy as np
+
+    from .utils import imageio
+
+    rgb = np.asarray(rgb)
+    if path.endswith(".ppm"):
+        imageio.write_ppm(path, rgb)
+    else:
+        imageio.write_png(path, rgb)
+
+
+def _run_turntable(engine, scene, args):
+    """Render `args.turntable` poses orbiting the scene centroid, each pose
+    accumulating `args.frames` frames. Default: one compiled step driven
+    per frame (the pose is a runtime input — no retraces across the
+    orbit). With --scan, the ENTIRE orbit compiles into one XLA program
+    (lax.scan over poses, fori over accumulation frames — zero per-frame
+    and per-pose dispatch, runtime/offline.py)."""
+    import numpy as np
+
+    from .runtime.state import init_state
+
+    cams = _orbit_poses(engine.camera, scene, args.turntable)
+    paths = [_turntable_path(args.dump_image, k)
+             for k in range(args.turntable)]
+
+    if args.scan:
+        import jax
+
+        from .runtime.offline import make_orbit_scan_renderer
+
+        render = make_orbit_scan_renderer(
+            scene, args.turntable, args.frames,
+            full_color=args.full_color, backend=args.backend,
+            accel=args.accel,
+            transport="mis" if args.mis else (
+                "unbiased" if args.unbiased else None
+            ),
+        )
+        rng = np.random.RandomState(args.deterministic)
+        seeds = rng.randint(
+            0, 2**32, size=(args.turntable, args.frames), dtype=np.uint64
+        ).astype(np.uint32)
+        poses = np.stack([c.pose() for c in cams])
+        rgbs, _glyphs, _rays = jax.device_get(render(poses, seeds))
+        for path, rgb in zip(paths, rgbs):
+            _write_frame_image(path, rgb)
+        return paths
+
+    for k, cam in enumerate(cams):
+        engine.camera = cam
         engine.state = init_state(scene)
         engine.frame_count = 0
-        rgb, _glyphs, _rays, _spp, _hm = engine.run_headless(args.frames)
-        path = _turntable_path(args.dump_image, k)
-        rgb = np.asarray(rgb)
-        if path.endswith(".ppm"):
-            imageio.write_ppm(path, rgb)
-        else:
-            imageio.write_png(path, rgb)
-        paths.append(path)
+        rgb, _g, _r, _s, _hm = engine.run_headless(args.frames)
+        _write_frame_image(paths[k], rgb)
         if args.verbose:
-            print(f"[turntable] pose {k + 1}/{args.turntable} -> {path}",
+            print(f"[turntable] pose {k + 1}/{args.turntable} -> {paths[k]}",
                   file=sys.stderr)
     return paths
 

@@ -66,6 +66,60 @@ def make_scan_renderer(
     return jax.jit(render, donate_argnums=(0,))
 
 
+def make_orbit_scan_renderer(
+    scene: scene_mod.Scene,
+    n_poses: int,
+    frames_per_pose: int,
+    full_color: bool = True,
+    backend: str = "auto",
+    accel: str = "auto",
+    transport: Optional[str] = None,
+):
+    """The whole turntable orbit as ONE compiled XLA program: an outer
+    ``lax.scan`` over camera poses, each scan step running
+    ``frames_per_pose`` accumulation frames in an inner ``fori_loop``
+    (frame_number restarts at 0 per pose, so the alpha=1 overwrite resets
+    accumulation exactly like a camera move, shader.wgsl:612-613 /
+    lib.rs:409-424). Zero per-frame AND per-pose dispatch.
+
+    Returns ``render(poses, seeds) -> (rgb u8 [n_poses, H, W, 3],
+    glyphs u8 [n_poses, H, W], rays_total)`` with ``poses`` (n_poses, 16)
+    and ``seeds`` (n_poses, frames_per_pose) u32.
+    """
+    step = make_render_step(scene, full_color=full_color, backend=backend,
+                            jit=False, accel=accel, transport=transport)
+
+    def render(poses, seeds):
+        state0 = init_state(scene)
+
+        def pose_body(carry, inp):
+            rays_acc = carry
+            pose, pose_seeds = inp
+
+            def frame_body(f, c):
+                state, rays = c
+                out = step(state, pose, pose_seeds[f], jnp.int32(f))
+                return (out.state, rays + out.rays)
+
+            state, rays_acc = jax.lax.fori_loop(
+                0, frames_per_pose, frame_body, (state0, rays_acc)
+            )
+            acc_v = V3(state.acc[0], state.acc[1], state.acc[2])
+            if full_color:
+                rgb = tm.tonemap_fullcolor(acc_v)
+                glyphs = jnp.zeros(rgb.shape[:2], jnp.uint8)
+            else:
+                rgb, glyphs = tm.tonemap_ascii(acc_v)
+            return rays_acc, (rgb, glyphs)
+
+        rays, (rgbs, glyphss) = jax.lax.scan(
+            pose_body, jnp.float32(0.0), (poses, seeds)
+        )
+        return rgbs, glyphss, rays
+
+    return jax.jit(render)
+
+
 def render_accumulated(
     scene: scene_mod.Scene,
     pose,

@@ -271,3 +271,19 @@ def test_interactive_animate_pty():
         if proc.poll() is None:
             proc.kill()
         os.close(master)
+
+
+def test_turntable_scan_one_program(tmp_path):
+    """--turntable --scan: the whole orbit compiles into one XLA program
+    and writes the same numbered sequence."""
+    out_pattern = str(tmp_path / "orbit.ppm")
+    out = run_cli(TINY + ["--frames", "2", "--turntable", "3", "--scan",
+                          "--dump-image", out_pattern])
+    assert out.returncode == 0, out.stderr.decode()
+    from terminal_raytracer_tpu.utils import imageio
+
+    imgs = [imageio.read_ppm(tmp_path / f"orbit_{k:03d}.ppm")
+            for k in range(3)]
+    assert imgs[0].shape == (16, 48, 3)
+    assert not np.array_equal(imgs[0], imgs[1])
+    assert not np.array_equal(imgs[1], imgs[2])

@@ -56,3 +56,40 @@ def test_render_accumulated_convenience():
         backend="jnp",
     )
     np.testing.assert_array_equal(rgb, rgb2)
+
+
+def test_orbit_scan_renderer():
+    """The whole turntable orbit as one XLA program: scan over poses,
+    fori over accumulation frames, per-pose accumulation reset."""
+    import numpy as np
+
+    from terminal_raytracer_tpu.models import Camera, load_scene
+    from terminal_raytracer_tpu.runtime.offline import (
+        make_orbit_scan_renderer,
+    )
+
+    scene = load_scene("scene2").with_overrides(
+        width=32, height=12, samples_per_pixel=4, max_depth=2
+    )
+    n_poses, m = 3, 2
+    render = make_orbit_scan_renderer(scene, n_poses, m, backend="jnp")
+    poses = np.stack([
+        Camera.look_at([np.sin(a) * 3, 0.5, -5 + np.cos(a) * 3],
+                       [0, 0, -5]).pose()
+        for a in (0.0, 2.1, 4.2)
+    ])
+    rng = np.random.RandomState(0)
+    seeds = rng.randint(0, 2**32, size=(n_poses, m),
+                        dtype=np.uint64).astype(np.uint32)
+    rgbs, glyphs, rays = render(poses, seeds)
+    rgbs = np.asarray(rgbs)
+    assert rgbs.shape == (n_poses, 12, 32, 3)
+    assert float(rays) > 0
+    assert not np.array_equal(rgbs[0], rgbs[1])
+    assert not np.array_equal(rgbs[1], rgbs[2])
+    # per-pose reset: pose 0 rendered alone must equal pose 0 of the orbit
+    solo, _g, _r = render(
+        np.repeat(poses[:1], n_poses, 0),
+        np.stack([seeds[0]] * n_poses),
+    )
+    np.testing.assert_array_equal(np.asarray(solo)[2], np.asarray(solo)[0])
