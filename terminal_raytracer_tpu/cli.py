@@ -127,8 +127,13 @@ def main(argv=None) -> int:
         print("error: --turntable needs --frames N (accumulation frames "
               "per pose)", file=sys.stderr)
         return 2
-    if args.animate and (args.scan or args.turntable is not None):
-        print("error: --animate is incompatible with --scan/--turntable",
+    if args.animate and args.turntable is not None:
+        print("error: --animate is incompatible with --turntable",
+              file=sys.stderr)
+        return 2
+    if args.animate and args.scan and not args.dump_image:
+        print("error: --animate --scan writes an image sequence; pass "
+              "--dump-image (a %d pattern or a name to number)",
               file=sys.stderr)
         return 2
     if args.until_noise is not None and (args.scan or args.animate):
@@ -227,6 +232,12 @@ def main(argv=None) -> int:
             return 2
         with profile_ctx:
             paths = _run_turntable(engine, scene, args)
+        print(f"wrote {len(paths)} frames: {paths[0]} .. {paths[-1]}")
+        return 0
+
+    if args.animate and args.scan:
+        with profile_ctx:
+            paths = _run_animation_scan(engine, scene, args)
         print(f"wrote {len(paths)} frames: {paths[0]} .. {paths[-1]}")
         return 0
 
@@ -335,6 +346,44 @@ def _write_frame_image(path, rgb):
         imageio.write_ppm(path, rgb)
     else:
         imageio.write_png(path, rgb)
+
+
+def _run_animation_scan(engine, scene, args):
+    """--animate --scan: the whole animation as one XLA program — the
+    per-frame geometry arrays (host-evaluated animator) become scanned
+    inputs to the dynamic-scene step (runtime/offline.py)."""
+    import jax
+    import numpy as np
+
+    from .models.animate import ANIMATORS
+    from .ops.dynamic import pack_scene
+    from .runtime.offline import make_animation_scan_renderer
+
+    animator = ANIMATORS[args.animate]
+    arrays0 = pack_scene(scene)
+    frames = [animator(arrays0, t) for t in range(args.frames)]
+    arrays_seq = {
+        k: np.stack([f[k] for f in frames]) for k in arrays0
+    }
+    rng = np.random.RandomState(args.deterministic)
+    seeds = rng.randint(0, 2**32, size=args.frames,
+                        dtype=np.uint64).astype(np.uint32)
+    render = make_animation_scan_renderer(
+        scene, args.frames, full_color=args.full_color,
+        backend=args.backend,
+        transport="mis" if args.mis else (
+            "unbiased" if args.unbiased else None
+        ),
+    )
+    rgbs, _glyphs, _rays = jax.device_get(
+        render(engine.camera.pose(), arrays_seq, seeds)
+    )
+    paths = []
+    for k, rgb in enumerate(rgbs):
+        path = _turntable_path(args.dump_image, k)
+        _write_frame_image(path, rgb)
+        paths.append(path)
+    return paths
 
 
 def _run_turntable(engine, scene, args):

@@ -120,6 +120,42 @@ def make_orbit_scan_renderer(
     return jax.jit(render)
 
 
+def make_animation_scan_renderer(
+    scene: scene_mod.Scene,
+    n_frames: int,
+    full_color: bool = True,
+    backend: str = "auto",
+    transport: Optional[str] = None,
+):
+    """A whole ANIMATION as one compiled XLA program: ``lax.scan`` over
+    per-frame geometry/material arrays (the ops.dynamic.pack_scene layout,
+    stacked to [n_frames, ...] leaves) rendered through the dynamic-scene
+    step. Every frame is fresh (frame_number 0 — moving geometry must not
+    accumulate); the scene values are scanned INPUTS, so the one program
+    serves any animation of the same topology.
+
+    Returns ``render(pose, arrays_seq, seeds) -> (rgb u8 [n, H, W, 3],
+    glyphs u8 [n, H, W], rays_total)``.
+    """
+    step = make_render_step(scene, full_color=full_color, backend=backend,
+                            jit=False, dynamic=True)
+
+    def render(pose, arrays_seq, seeds):
+        state0 = init_state(scene)
+
+        def body(rays_acc, inp):
+            arrays, seed = inp
+            out = step(state0, pose, seed, jnp.int32(0), arrays)
+            return rays_acc + out.rays, (out.rgb, out.glyphs)
+
+        rays, (rgbs, glyphss) = jax.lax.scan(
+            body, jnp.float32(0.0), (arrays_seq, seeds)
+        )
+        return rgbs, glyphss, rays
+
+    return jax.jit(render)
+
+
 def render_accumulated(
     scene: scene_mod.Scene,
     pose,

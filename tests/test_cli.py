@@ -287,3 +287,21 @@ def test_turntable_scan_one_program(tmp_path):
     assert imgs[0].shape == (16, 48, 3)
     assert not np.array_equal(imgs[0], imgs[1])
     assert not np.array_equal(imgs[1], imgs[2])
+
+
+def test_animate_scan_sequence(tmp_path):
+    """--animate --scan: the whole animation as one XLA program, written
+    as a numbered sequence."""
+    out_pattern = str(tmp_path / "anim.ppm")
+    out = run_cli(TINY + ["--frames", "3", "--animate", "bob", "--scan",
+                          "--dump-image", out_pattern])
+    assert out.returncode == 0, out.stderr.decode()
+    from terminal_raytracer_tpu.utils import imageio
+
+    imgs = [imageio.read_ppm(tmp_path / f"anim_{k:03d}.ppm")
+            for k in range(3)]
+    assert imgs[0].shape == (16, 48, 3)
+    assert not np.array_equal(imgs[0], imgs[2])
+    # missing --dump-image -> clear error
+    out = run_cli(TINY + ["--frames", "3", "--animate", "bob", "--scan"])
+    assert out.returncode == 2 and b"--dump-image" in out.stderr

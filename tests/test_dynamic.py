@@ -131,3 +131,31 @@ def test_animated_engine_step_sequence():
         imgs.append(np.asarray(out.rgb))
     assert not np.array_equal(imgs[0], imgs[1])
     assert not np.array_equal(imgs[1], imgs[2])
+
+
+def test_animation_scan_matches_per_frame():
+    """The animation-scan program (geometry as scanned inputs) is
+    bit-identical to driving the dynamic step frame by frame."""
+    from terminal_raytracer_tpu.runtime.offline import (
+        make_animation_scan_renderer,
+    )
+
+    scene = _scene()
+    a0 = pack_scene(scene)
+    n = 3
+    frames = [ANIMATORS["orbit"](a0, t * 3) for t in range(n)]
+    arrays_seq = {k: np.stack([f[k] for f in frames]) for k in a0}
+    seeds = np.array([11, 222, 3333], np.uint32)
+
+    render = make_animation_scan_renderer(scene, n, backend="jnp")
+    rgbs, _g, rays = render(POSE, arrays_seq, seeds)
+
+    step = make_render_step(scene, backend="jnp", jit=True, dynamic=True)
+    total = 0.0
+    for t in range(n):
+        out = step(init_state(scene), POSE, seeds[t], np.int32(0), frames[t])
+        np.testing.assert_array_equal(
+            np.asarray(rgbs)[t], np.asarray(out.rgb), f"frame {t}"
+        )
+        total += float(out.rays)
+    assert float(rays) == total
