@@ -95,7 +95,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="(ext) with --frames: stop early once the "
                         "estimated noise of the accumulated image (mean "
                         "sample variance / total samples) drops below X; "
-                        "--frames caps the run")
+                        "--frames caps the run (per pose with --turntable)")
     p.add_argument("--scan", action="store_true",
                    help="(ext) with --frames: compile the whole frame "
                         "sequence as one lax.scan program (offline mode)")
@@ -428,7 +428,9 @@ def _run_turntable(engine, scene, args):
         engine.camera = cam
         engine.state = init_state(scene)
         engine.frame_count = 0
-        rgb, _g, _r, _s, _hm = engine.run_headless(args.frames)
+        rgb, _g, _r, _s, _hm = engine.run_headless(
+            args.frames, until_noise=args.until_noise
+        )
         _write_frame_image(paths[k], rgb)
         if args.verbose:
             print(f"[turntable] pose {k + 1}/{args.turntable} -> {paths[k]}",
