@@ -295,8 +295,11 @@ def main(argv=None) -> int:
         for row in np.asarray(glyphs):
             print("".join(GLYPH_RAMP[min(int(i), 67)] for i in row))
     if args.verbose:
-        # engine.frame_count reflects early convergence stops (--until-noise)
-        print(f"[headless] {engine.frame_count} frames, {float(rays):.3e} "
+        # frame_count reflects early convergence stops (--until-noise);
+        # --animate pins it at 0 (its accumulation never advances) and
+        # counts rendered frames on the animation clock instead.
+        n_done = engine._anim_t if args.animate else engine.frame_count
+        print(f"[headless] {n_done} frames, {float(rays):.3e} "
               f"rays in last frame, mean spp {float(mean_spp):.1f}",
               file=sys.stderr)
     return 0

@@ -143,12 +143,15 @@ class PathTracer:
           stochastic mirror-or-cosine scatter's continuous part,
           (1 - reflectivity) * cos/pi, and p_nee the light's area pdf
           converted to solid angle, t^2 / (cos_l * area). Mirror chains are
-          delta-distributed: their hits keep full emission weight and NEE
-          at a mirror hit still runs (the reference evaluates a Lambertian
-          lobe there, which 'mis' weighs like any diffuse lobe). Same
-          expectation as 'unbiased', strictly lower variance on scenes
-          where one strategy is poor (small bright lights -> NEE wins;
-          large/near lights -> BSDF wins).
+          delta-distributed: their hits keep full emission weight. NEE
+          additionally carries the (1 - reflectivity) mixture factor (see
+          direct_light), making both strategies estimate the physical
+          BSDF mixture — so on partially-reflective surfaces 'mis' and
+          'unbiased' legitimately differ in expectation ('unbiased' keeps
+          the reference's full-Lambert NEE regardless of reflectivity);
+          on diffuse surfaces their means agree, with 'mis' at lower
+          variance wherever one strategy is poor (small bright lights ->
+          NEE wins; large/near lights -> BSDF wins).
 
         `unbiased=True` is the legacy spelling of transport='unbiased'.
 

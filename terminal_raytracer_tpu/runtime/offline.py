@@ -138,7 +138,7 @@ def make_animation_scan_renderer(
     glyphs u8 [n, H, W], rays_total)``.
     """
     step = make_render_step(scene, full_color=full_color, backend=backend,
-                            jit=False, dynamic=True)
+                            jit=False, dynamic=True, transport=transport)
 
     def render(pose, arrays_seq, seeds):
         state0 = init_state(scene)

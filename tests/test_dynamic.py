@@ -159,3 +159,24 @@ def test_animation_scan_matches_per_frame():
         )
         total += float(out.rays)
     assert float(rays) == total
+
+
+def test_animation_scan_honors_transport():
+    """--animate --scan --mis must not silently fall back to the reference
+    transport (regression: transport was accepted but unforwarded)."""
+    from terminal_raytracer_tpu.runtime.offline import (
+        make_animation_scan_renderer,
+    )
+
+    scene = _scene()
+    a0 = pack_scene(scene)
+    arrays_seq = {k: np.stack([a0[k], a0[k]]) for k in a0}
+    seeds = np.array([5, 6], np.uint32)
+    out = {}
+    for t in (None, "mis"):
+        render = make_animation_scan_renderer(scene, 2, backend="jnp",
+                                              transport=t)
+        rgbs, _g, rays = render(POSE, arrays_seq, seeds)
+        out[t] = (np.asarray(rgbs), float(rays))
+    assert out[None][1] == out["mis"][1]  # same paths/RNG
+    assert not np.array_equal(out[None][0], out["mis"][0])
