@@ -43,17 +43,24 @@ TARGET_MRAY_S = 500.0
 CONFIGS = {
     # BASELINE.json configs
     "north_star": dict(scene="Cornell_Box", spp=16, depth=32),  # config 2
+    # Sub-2ms-compute configs are dispatch-overhead-bound under per-frame
+    # driving (one ~1-2 ms device dispatch per ~0.3 ms of compute) and the
+    # timings swung ±30% between sessions. chain=8 measures them through
+    # the chained headless path (8 frames per dispatch,
+    # offline.make_chunk_renderer) — what `--frames` actually runs.
     "cornell_80x40": dict(  # config 1: tiny ASCII
-        scene="Cornell_Box", width=80, height=40, spp=1, depth=4
+        scene="Cornell_Box", width=80, height=40, spp=1, depth=4, chain=8
     ),
     "cornell_shipped": dict(scene="Cornell_Box"),  # 400x200, 128 spp, depth 3
-    "demo": dict(scene="demo"),  # adaptive-sampling many-sphere scene
-    "scene2": dict(scene="scene2"),
+    "demo": dict(scene="demo", chain=8),  # adaptive many-sphere scene
+    "scene2": dict(scene="scene2", chain=8),
     # config 3: 100-frame temporal accumulation compiled as one lax.scan
     "scan100": dict(scene="Cornell_Box", spp=16, depth=32, scan=100),
-    # many-primitive scene: exercises the block-culled traversal
-    # (ops/accel.py; auto-enabled at >= 64 primitives)
+    # many-primitive scenes: accel='auto' picks the array-resident
+    # fori_loop sweep (ops/arrayscene.py) above ~96 primitives — fixed
+    # code size, like the reference's storage-buffer loop
     "stress256": dict(scene="stress:256"),
+    "stress1024": dict(scene="stress:1024"),
     # dynamic (animated) scenes: geometry streams through SMEM as runtime
     # values (ops/dynamic.py; --animate); north-star params, orbit animator
     "dynamic": dict(scene="Cornell_Box", spp=16, depth=32, dynamic=True),
@@ -74,7 +81,8 @@ def _load(cfg):
 
 def run_bench(config_name: str, backend: str, frames: int, reps: int,
               verbose: bool):
-    """Returns (median Mray/s, median fps) over `reps` timed repetitions."""
+    """Returns (median Mray/s, median fps, mean occupancy or None) over
+    `reps` timed repetitions."""
     import jax
 
     from terminal_raytracer_tpu.runtime import init_state, make_render_step
@@ -86,10 +94,22 @@ def run_bench(config_name: str, backend: str, frames: int, reps: int,
     if cfg.get("scan"):
         return _run_bench_scan(scene, pose, cfg["scan"], backend, reps,
                                verbose, config_name)
+    if cfg.get("chain"):
+        return _run_bench_chain(scene, pose, int(cfg["chain"]), backend,
+                                frames, reps, verbose, config_name)
 
     dynamic = bool(cfg.get("dynamic"))
+    if dynamic:
+        # The shipped --animate path: sorted two-kernel pipeline under
+        # runtime values, with the animator's static key subset folded
+        # back to baked constants (runtime/engine.py does the same).
+        from terminal_raytracer_tpu.models.animate import ANIMATOR_KEYS
+
+        animated = ANIMATOR_KEYS["orbit"]
+    else:
+        animated = None
     step = make_render_step(scene, full_color=True, backend=backend,
-                            dynamic=dynamic)
+                            dynamic=dynamic, animated=animated)
     if dynamic:
         from terminal_raytracer_tpu.models.animate import orbit
         from terminal_raytracer_tpu.ops.dynamic import pack_scene
@@ -118,23 +138,31 @@ def run_bench(config_name: str, backend: str, frames: int, reps: int,
         # on-device, like the interactive loop); keep each frame's on-device
         # ray count and sync once at the end. Rays are summed over exactly
         # the timed frames (adaptive budgets differ per frame/seed).
-        ray_counts = []
+        ray_counts, occ_counts = [], []
         t0 = time.perf_counter()
         for _ in range(frames):
             out = step(state, pose, np.uint32(1 + frame), np.int32(frame))
             state = out.state
             ray_counts.append(out.rays)
+            occ_counts.append(out.occupancy)
             frame += 1
         total_rays = float(sum(jax.device_get(ray_counts)))
         dt = (time.perf_counter() - t0) / frames
         mrays.append(total_rays / frames / dt / 1e6)
         fpss.append(1.0 / dt)
 
+    # Measured lane occupancy over the final rep's frames (the sorted
+    # pipeline surfaces it; other schedulers report -1 -> omit).
+    occ_vals = [float(o) for o in jax.device_get(occ_counts)]
+    occ = (sum(occ_vals) / len(occ_vals)
+           if occ_vals and min(occ_vals) >= 0.0 else None)
+
     mray_s = statistics.median(mrays)
     fps = statistics.median(fpss)
     if verbose:
         px = scene.width * scene.height
         rpf = total_rays / frames
+        occ_txt = f" | occ {occ * 100.0:.1f}%" if occ is not None else ""
         print(
             f"[bench] {config_name} backend={backend} "
             f"{scene.width}x{scene.height} spp={scene.samples_per_pixel} "
@@ -142,10 +170,70 @@ def run_bench(config_name: str, backend: str, frames: int, reps: int,
             f"median {1e3 / fps:.2f} ms/frame = {fps:.1f} fps | "
             f"{rpf:.3e} rays/frame -> {mray_s:.1f} Mray/s "
             f"(reps: {', '.join(f'{m:.0f}' for m in mrays)}) | "
+            f"{rpf / px:.1f} rays/px{occ_txt}",
+            file=sys.stderr,
+        )
+    return mray_s, fps, occ
+
+
+def _run_bench_chain(scene, pose, chain, backend, frames, reps, verbose,
+                     config_name):
+    """Overhead-bound configs: the chained headless path — `chain` frames
+    folded into one dispatch (runtime/offline.make_chunk_renderer, what
+    Engine.run_headless runs). Protocol is unchanged (`frames` timed frames
+    per rep), just fewer dispatches."""
+    import jax
+
+    from terminal_raytracer_tpu.runtime import init_state
+    from terminal_raytracer_tpu.runtime.offline import make_chunk_renderer
+
+    render = make_chunk_renderer(scene, chain, full_color=True,
+                                 backend=backend)
+    n_chunks = max(frames // chain, 1)
+
+    def seeds_for(frame):
+        return (np.uint32(1) + np.arange(frame, frame + chain,
+                                         dtype=np.uint64)).astype(np.uint32)
+
+    state = init_state(scene)
+    out, _rays = render(state, pose, seeds_for(0), np.int32(0))
+    jax.device_get(out.rays)  # compile + first tunnel transfer
+    state = out.state
+
+    mrays, fpss = [], []
+    frame = chain
+    for _ in range(reps):
+        ray_vecs = []
+        t0 = time.perf_counter()
+        for _ in range(n_chunks):
+            out, rays_k = render(state, pose, seeds_for(frame),
+                                 np.int32(frame))
+            state = out.state
+            ray_vecs.append(rays_k)
+            frame += chain
+        total_rays = float(sum(float(np.sum(r))
+                               for r in jax.device_get(ray_vecs)))
+        dt = (time.perf_counter() - t0) / (n_chunks * chain)
+        mrays.append(total_rays / (n_chunks * chain) / dt / 1e6)
+        fpss.append(1.0 / dt)
+
+    mray_s = statistics.median(mrays)
+    fps = statistics.median(fpss)
+    if verbose:
+        px = scene.width * scene.height
+        rpf = total_rays / (n_chunks * chain)
+        print(
+            f"[bench] {config_name} backend={backend} "
+            f"{scene.width}x{scene.height} spp={scene.samples_per_pixel} "
+            f"depth={scene.max_depth} | chained x{chain}: "
+            f"{n_chunks * chain}f x {reps} reps | "
+            f"median {1e3 / fps:.2f} ms/frame = {fps:.1f} fps | "
+            f"{rpf:.3e} rays/frame -> {mray_s:.1f} Mray/s "
+            f"(reps: {', '.join(f'{m:.0f}' for m in mrays)}) | "
             f"{rpf / px:.1f} rays/px",
             file=sys.stderr,
         )
-    return mray_s, fps
+    return mray_s, fps, None
 
 
 def _run_bench_scan(scene, pose, n_frames, backend, reps, verbose,
@@ -190,7 +278,7 @@ def _run_bench_scan(scene, pose, n_frames, backend, reps, verbose,
             f"(reps: {', '.join(f'{m:.0f}' for m in mrays)})",
             file=sys.stderr,
         )
-    return mray_s, fps
+    return mray_s, fps, None
 
 
 def run_check(verbose: bool) -> str:
@@ -284,8 +372,8 @@ def main():
             run_bench(name, args.backend, args.frames, args.reps,
                       verbose=True)
 
-    mray_s, fps = run_bench(args.config, args.backend, args.frames,
-                            args.reps, args.verbose)
+    mray_s, fps, occ = run_bench(args.config, args.backend, args.frames,
+                                 args.reps, args.verbose)
 
     record = {
         "metric": "Mray/s/chip @ Cornell 400x200 16spp depth32"
@@ -299,6 +387,10 @@ def main():
         "vs_baseline_is": "ratio to the 500 Mray/s target (no published "
                           "reference numbers)",
     }
+    if occ is not None:
+        # Measured sweep-weighted lane occupancy of the sorted pipeline
+        # (owed sweeps / executed lane-iteration sweeps), final rep mean.
+        record["occupancy"] = round(occ, 4)
     # The on-hardware correctness gate rides along in the same record so the
     # driver's BENCH_r{N}.json carries the kernel-vs-oracle verdict.
     if not args.no_check and on_tpu:

@@ -36,10 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "pallas", "jnp"],
                    help="(ext) compute backend (default: pallas on TPU)")
     p.add_argument("--accel", default="auto",
-                   choices=["auto", "baked", "grid"],
-                   help="(ext) traversal: brute-force baked sweep (auto/"
-                        "baked; measured fastest at every shipped scale) "
-                        "or the experimental block-culled grid")
+                   choices=["auto", "baked", "array", "grid"],
+                   help="(ext) traversal: unrolled baked sweep (fastest at "
+                        "shipped scale), array-resident fori_loop sweep "
+                        "(fixed code size — many-primitive scenes), or the "
+                        "experimental block-culled grid; auto picks "
+                        "baked/array by primitive count")
     p.add_argument("--frames", type=int, default=None, metavar="N",
                    help="(ext) headless: render N accumulated frames and exit")
     p.add_argument("--width", type=int, default=None, help="(ext) override")
@@ -95,7 +97,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="(ext) with --frames: stop early once the "
                         "estimated noise of the accumulated image (mean "
                         "sample variance / total samples) drops below X; "
-                        "--frames caps the run (per pose with --turntable)")
+                        "--frames caps the run (per pose with --turntable; "
+                        "with --scan the check runs on device between "
+                        "chunk-of-frames scans)")
     p.add_argument("--scan", action="store_true",
                    help="(ext) with --frames: compile the whole frame "
                         "sequence as one lax.scan program (offline mode)")
@@ -136,9 +140,14 @@ def main(argv=None) -> int:
               "--dump-image (a %d pattern or a name to number)",
               file=sys.stderr)
         return 2
-    if args.until_noise is not None and (args.scan or args.animate):
-        print("error: --until-noise needs the frame-by-frame headless loop "
-              "(not --scan/--animate)", file=sys.stderr)
+    if args.until_noise is not None and args.animate:
+        print("error: --until-noise cannot converge under --animate "
+              "(animated frames never accumulate)", file=sys.stderr)
+        return 2
+    if (args.until_noise is not None and args.scan
+            and args.turntable is not None):
+        print("error: --until-noise with --turntable needs per-pose "
+              "frame driving (drop --scan)", file=sys.stderr)
         return 2
     try:
         scene = load_scene(args.path or args.scene)
@@ -230,12 +239,20 @@ def main(argv=None) -> int:
             print("error: --turntable needs --dump-image (a %d pattern or "
                   "a name to number)", file=sys.stderr)
             return 2
+        err = _check_sequence_pattern(args.dump_image)
+        if err:
+            print(f"error: {err}", file=sys.stderr)
+            return 2
         with profile_ctx:
             paths = _run_turntable(engine, scene, args)
         print(f"wrote {len(paths)} frames: {paths[0]} .. {paths[-1]}")
         return 0
 
     if args.animate and args.scan:
+        err = _check_sequence_pattern(args.dump_image)
+        if err:
+            print(f"error: {err}", file=sys.stderr)
+            return 2
         with profile_ctx:
             paths = _run_animation_scan(engine, scene, args)
         print(f"wrote {len(paths)} frames: {paths[0]} .. {paths[-1]}")
@@ -243,17 +260,14 @@ def main(argv=None) -> int:
 
     with profile_ctx:
         if args.scan:
-            from .runtime.offline import make_scan_renderer
+            from .runtime.offline import (make_noise_scan_renderer,
+                                          make_scan_renderer)
             import jax
             import jax.numpy as jnp
             import numpy as np
 
-            render = make_scan_renderer(
-                scene, args.frames, full_color=args.full_color,
-                backend=args.backend, accel=args.accel,
-                transport="mis" if args.mis else (
-                    "unbiased" if args.unbiased else None
-                ),
+            transport = "mis" if args.mis else (
+                "unbiased" if args.unbiased else None
             )
             start = engine.frame_count  # continues a --load-state resume
             rng = np.random.RandomState(args.deterministic)
@@ -261,11 +275,32 @@ def main(argv=None) -> int:
                 rng.randint(0, 2**32, size=args.frames, dtype=np.uint64)
                 + np.arange(start, start + args.frames, dtype=np.uint64)
             ).astype(np.uint32)
-            engine.state, rgb, glyphs, rays = render(
-                engine.state, engine.camera.pose(), jnp.asarray(seeds),
-                np.int32(start),
-            )
-            engine.frame_count = start + args.frames
+            if args.until_noise is not None:
+                # Convergence stop composed with the scan: a while_loop
+                # over chunk-of-frames scans, all on device.
+                render = make_noise_scan_renderer(
+                    scene, args.frames, args.until_noise,
+                    full_color=args.full_color, backend=args.backend,
+                    accel=args.accel, transport=transport,
+                )
+                engine.state, rgb, glyphs, rays, frames_done = render(
+                    engine.state, engine.camera.pose(), jnp.asarray(seeds),
+                    np.int32(start),
+                )
+                engine.frame_count = start + int(
+                    jax.device_get(frames_done)
+                )
+            else:
+                render = make_scan_renderer(
+                    scene, args.frames, full_color=args.full_color,
+                    backend=args.backend, accel=args.accel,
+                    transport=transport,
+                )
+                engine.state, rgb, glyphs, rays = render(
+                    engine.state, engine.camera.pose(), jnp.asarray(seeds),
+                    np.int32(start),
+                )
+                engine.frame_count = start + args.frames
             rgb, glyphs, rays = jax.device_get((rgb, glyphs, rays))
             mean_spp = float("nan")
         else:
@@ -315,6 +350,18 @@ def _turntable_path(pattern: str, k: int) -> str:
     return f"{stem}_{k:03d}{ext or '.png'}"
 
 
+def _check_sequence_pattern(pattern: str) -> str:
+    """Validate a --dump-image sequence pattern BEFORE rendering: a stray
+    or non-integer '%' (e.g. '100%.png', 'out%s.png') would otherwise raise
+    only after the full render completes. Returns an error string or None."""
+    try:
+        _turntable_path(pattern, 0)
+    except (TypeError, ValueError) as e:
+        return (f"--dump-image pattern {pattern!r} is not a valid %d "
+                f"sequence pattern ({e})")
+    return None
+
+
 def _orbit_poses(camera, scene, n):
     """n cameras orbiting the scene centroid in the XZ plane, keeping the
     starting camera's height and orbit radius."""
@@ -358,7 +405,7 @@ def _run_animation_scan(engine, scene, args):
     import jax
     import numpy as np
 
-    from .models.animate import ANIMATORS
+    from .models.animate import ANIMATOR_KEYS, ANIMATORS
     from .ops.dynamic import pack_scene
     from .runtime.offline import make_animation_scan_renderer
 
@@ -377,15 +424,17 @@ def _run_animation_scan(engine, scene, args):
         transport="mis" if args.mis else (
             "unbiased" if args.unbiased else None
         ),
+        animated=ANIMATOR_KEYS.get(args.animate),
     )
+    # Output paths resolved BEFORE the render (like _run_turntable), so a
+    # bad pattern fails before compute, not after.
+    paths = [_turntable_path(args.dump_image, k)
+             for k in range(args.frames)]
     rgbs, _glyphs, _rays = jax.device_get(
         render(engine.camera.pose(), arrays_seq, seeds)
     )
-    paths = []
-    for k, rgb in enumerate(rgbs):
-        path = _turntable_path(args.dump_image, k)
+    for path, rgb in zip(paths, rgbs):
         _write_frame_image(path, rgb)
-        paths.append(path)
     return paths
 
 

@@ -73,3 +73,19 @@ def bob(arrays0, t):
 
 
 ANIMATORS = {"orbit": orbit, "pulse": pulse, "bob": bob}
+
+# The pack_scene keys each animator actually varies. Everything outside an
+# animator's set is folded back to baked constants by the dynamic traversal
+# (ops/dynamic.DynPrims `animated=`): an orbit keeps its axis-aligned
+# planes at baked-sweep cost, a pulse keeps ALL geometry baked and streams
+# only emission. test_dynamic pins each set against the animator's output.
+ANIMATOR_KEYS = {
+    "orbit": frozenset({
+        "s_cx", "s_cz", "t_ax", "t_az", "t_bx", "t_bz", "t_cx", "t_cz",
+    }),
+    "pulse": frozenset({
+        f"{p}_{ch}" for p in ("s", "p", "t")
+        for ch in ("emir", "emig", "emib")
+    }),
+    "bob": frozenset({"s_cy"}),
+}

@@ -1,0 +1,322 @@
+"""Array-resident scene traversal: fixed code size for ANY primitive count.
+
+The default traversal bakes each primitive as unrolled compile-time
+constants (ops/geometry.py) — unbeatable for the reference's shipped <= ~30
+primitives, but code size, compile time, and per-lane sweep cost all grow
+O(N) in *unrolled code*. The reference itself has no such wall: its kernel
+reads primitives from a storage buffer (reference: src/lib.rs:301-305)
+inside a data-dependent loop (src/shader.wgsl:248-294 `hit_scene`,
+`primitive_count` in uniforms) — fixed kernel code for any N.
+
+This module is the TPU equivalent: SoA value arrays (models/scene.py
+`to_arrays` via ops/dynamic.pack_scene layout plus host-precomputed derived
+quantities) swept by a `lax.fori_loop` whose body intersects ONE primitive
+against every lane per iteration. Code size is O(1) in N; the data lives in
+SMEM inside the Pallas kernel (scalar loads broadcast into the vector
+intersection math — the analog of the reference's uniform storage-buffer
+read per loop iteration) and as device constants in the jnp oracle.
+
+Bit parity: every per-primitive computation uses the same f32 values and
+the same op order as the baked sweep — derived constants (sphere 1/r,
+plane unit normals, triangle edges/normals/areas) are precomputed
+host-side with geometry.ScenePrims' exact stepwise-f32 arithmetic, and the
+loop applies the same strictly-closer overwrite chain (shader.wgsl:279).
+An `accel='array'` render is bit-identical to `accel='baked'` on every
+scene both can compile.
+
+Lights/NEE stay baked: the scene is static, the light set is tiny, and
+tracer.PathTracer builds its compile-time light list independently of the
+traversal — only closest-hit and shadow (occluded) sweeps go through here.
+
+Mosaic notes: loop carries are f32 lane vectors (no i1 vector carries);
+the winner's material/normal channels ride the carry as masked selects —
+no per-lane gathers anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import scene as scene_mod
+from . import geometry as geom
+from . import vecmath as vm
+from .vecmath import V3
+
+# SoA layout (key -> per-kind count), geometry + derived + materials.
+# Derived keys beyond ops/dynamic.pack_scene: s_invr (f32 1/radius,
+# geometry.ScenePrims), p_u* (unit plane normal), t_e1*/t_e2*/t_u*
+# (triangle edges / unit normal, geometry._tri_edges_f32), *_lia
+# (1/area iff NEE light, else 0 — Hit.light_inv_area).
+SPHERE_KEYS = ("s_cx", "s_cy", "s_cz", "s_r", "s_invr",
+               "s_colr", "s_colg", "s_colb",
+               "s_emir", "s_emig", "s_emib", "s_refl", "s_lia")
+PLANE_KEYS = ("p_px", "p_py", "p_pz", "p_nx", "p_ny", "p_nz",
+              "p_ux", "p_uy", "p_uz",
+              "p_colr", "p_colg", "p_colb",
+              "p_emir", "p_emig", "p_emib", "p_refl")
+TRI_KEYS = ("t_ax", "t_ay", "t_az",
+            "t_e1x", "t_e1y", "t_e1z", "t_e2x", "t_e2y", "t_e2z",
+            "t_ux", "t_uy", "t_uz",
+            "t_colr", "t_colg", "t_colb",
+            "t_emir", "t_emig", "t_emib", "t_refl", "t_lia")
+
+
+def pack_scene_soa(scene: scene_mod.Scene):
+    """Scene -> {key: (count,) f32 ndarray} in the layout above, derived
+    quantities precomputed with the baked path's stepwise-f32 host math."""
+    out = {}
+
+    def mat(prefix, prims):
+        for ch, sel in (
+            ("colr", lambda m: m.color[0]), ("colg", lambda m: m.color[1]),
+            ("colb", lambda m: m.color[2]),
+            ("emir", lambda m: m.emission[0]),
+            ("emig", lambda m: m.emission[1]),
+            ("emib", lambda m: m.emission[2]),
+            ("refl", lambda m: m.reflectivity),
+        ):
+            out[f"{prefix}_{ch}"] = np.array(
+                [sel(p.material) for p in prims], np.float32
+            )
+
+    sph = scene.spheres
+    out["s_cx"] = np.array([s.center[0] for s in sph], np.float32)
+    out["s_cy"] = np.array([s.center[1] for s in sph], np.float32)
+    out["s_cz"] = np.array([s.center[2] for s in sph], np.float32)
+    out["s_r"] = np.array([s.radius for s in sph], np.float32)
+    out["s_invr"] = np.array(
+        [np.float32(1.0) / np.float32(s.radius) for s in sph], np.float32
+    )
+    out["s_lia"] = np.array(
+        [1.0 / (4.0 * 3.14159265359 * float(s.radius) ** 2)
+         if s.material.is_light else 0.0 for s in sph], np.float32
+    )
+    mat("s", sph)
+
+    pls = scene.planes
+    out["p_px"] = np.array([p.point[0] for p in pls], np.float32)
+    out["p_py"] = np.array([p.point[1] for p in pls], np.float32)
+    out["p_pz"] = np.array([p.point[2] for p in pls], np.float32)
+    out["p_nx"] = np.array([p.normal[0] for p in pls], np.float32)
+    out["p_ny"] = np.array([p.normal[1] for p in pls], np.float32)
+    out["p_nz"] = np.array([p.normal[2] for p in pls], np.float32)
+    units = []
+    for p in pls:
+        n = np.asarray(p.normal, np.float32)
+        units.append(n / np.float32(np.sqrt(np.dot(n, n))))
+    units = (np.stack(units) if pls
+             else np.zeros((0, 3), np.float32)).astype(np.float32)
+    out["p_ux"], out["p_uy"], out["p_uz"] = units.T
+    mat("p", pls)
+
+    tris = scene.triangles
+    out["t_ax"] = np.array([t.v0[0] for t in tris], np.float32)
+    out["t_ay"] = np.array([t.v0[1] for t in tris], np.float32)
+    out["t_az"] = np.array([t.v0[2] for t in tris], np.float32)
+    e1s, e2s, uns, lias = [], [], [], []
+    for t in tris:
+        e1, e2, n_unit, area = geom._tri_edges_f32(t)
+        e1s.append(e1)
+        e2s.append(e2)
+        uns.append(n_unit)
+        lias.append(1.0 / area if t.material.is_light else 0.0)
+    z03 = np.zeros((0, 3), np.float32)
+    e1s = np.stack(e1s).astype(np.float32) if tris else z03
+    e2s = np.stack(e2s).astype(np.float32) if tris else z03
+    uns = np.stack(uns).astype(np.float32) if tris else z03
+    out["t_e1x"], out["t_e1y"], out["t_e1z"] = e1s.T
+    out["t_e2x"], out["t_e2y"], out["t_e2z"] = e2s.T
+    out["t_ux"], out["t_uy"], out["t_uz"] = uns.T
+    out["t_lia"] = np.array(lias, np.float32)
+    mat("t", tris)
+    return {k: np.ascontiguousarray(v, np.float32) for k, v in out.items()}
+
+
+class _Rec(NamedTuple):
+    """The closest-hit overwrite-chain carry, all-f32 lane vectors (Mosaic:
+    no i1 vector loop carries)."""
+
+    closest: jnp.ndarray
+    found: jnp.ndarray  # 0/1 mask
+    nx: jnp.ndarray
+    ny: jnp.ndarray
+    nz: jnp.ndarray
+    cr: jnp.ndarray
+    cg: jnp.ndarray
+    cb: jnp.ndarray
+    er: jnp.ndarray
+    eg: jnp.ndarray
+    eb: jnp.ndarray
+    rf: jnp.ndarray
+    li: jnp.ndarray
+
+
+class ArrayPrims:
+    """ScenePrims-compatible traversal sweeping SoA arrays with fori_loops
+    — O(1) code size in primitive count (module docstring).
+
+    `dyn_layout` / `bind()` follow the DynPrims operand protocol so the
+    Pallas kernels thread the arrays through SMEM with the same machinery;
+    `PREREAD = False` tells the kernel to bind the SMEM refs THEMSELVES
+    (the loop body reads `ref[i]` at a traced index — a scalar load per
+    operand per iteration) instead of pre-reading N scalars, which would
+    re-unroll the code the loop exists to avoid."""
+
+    PREREAD = False
+
+    def __init__(self, scene: scene_mod.Scene, unroll: int = 1):
+        self.scene = scene
+        self.n_spheres = len(scene.spheres)
+        self.n_planes = len(scene.planes)
+        self.n_triangles = len(scene.triangles)
+        self.unroll = max(int(unroll), 1)
+        self.host_arrays = pack_scene_soa(scene)
+        counts = {"s": self.n_spheres, "p": self.n_planes,
+                  "t": self.n_triangles}
+        self.dyn_layout: List[Tuple[str, int]] = [
+            (k, counts[k[0]])
+            for k in (*SPHERE_KEYS, *PLANE_KEYS, *TRI_KEYS)
+            if counts[k[0]] > 0
+        ]
+        # Oracle default: the arrays as jnp device constants (numpy would
+        # reject traced fori indices). The Pallas kernels re-bind SMEM refs.
+        self._a = {k: jnp.asarray(v) for k, v in self.host_arrays.items()}
+
+    def bind(self, arrays) -> "ArrayPrims":
+        """Bind indexables (jnp/np arrays, or SMEM refs in-kernel) in the
+        pack_scene_soa layout; only dyn_layout keys are read."""
+        a = dict(self._a)
+        for k, _n in self.dyn_layout:
+            a[k] = arrays[k]
+        self._a = a
+        return self
+
+    # ---- the fori_loop sweeps --------------------------------------------
+
+    def _fori(self, n, body, carry):
+        if n == 0:
+            return carry
+        return jax.lax.fori_loop(0, n, body, carry, unroll=self.unroll)
+
+    def _hit_update(self, rec: _Rec, better, t, n_i: V3, pre: str, i,
+                    lia) -> _Rec:
+        a = self._a
+
+        def sel(new, old):
+            return jnp.where(better, new, old)
+
+        return _Rec(
+            closest=sel(t, rec.closest),
+            found=sel(1.0, rec.found),
+            nx=sel(n_i.x, rec.nx), ny=sel(n_i.y, rec.ny),
+            nz=sel(n_i.z, rec.nz),
+            cr=sel(a[f"{pre}_colr"][i], rec.cr),
+            cg=sel(a[f"{pre}_colg"][i], rec.cg),
+            cb=sel(a[f"{pre}_colb"][i], rec.cb),
+            er=sel(a[f"{pre}_emir"][i], rec.er),
+            eg=sel(a[f"{pre}_emig"][i], rec.eg),
+            eb=sel(a[f"{pre}_emib"][i], rec.eb),
+            rf=sel(a[f"{pre}_refl"][i], rec.rf),
+            li=sel(lia, rec.li),
+        )
+
+    def _sweep_closest(self, o: V3, d: V3, t_min, rec: _Rec) -> _Rec:
+        a = self._a
+
+        def sphere(i, rec):
+            c = V3(a["s_cx"][i], a["s_cy"][i], a["s_cz"][i])
+            t = geom.intersect_sphere(o, d, c, a["s_r"][i], t_min,
+                                      rec.closest)
+            better = (t > 0.0) & (t < rec.closest)
+            p_i = o + d * t
+            n_i = vm.normalize((p_i - c) * a["s_invr"][i])
+            return self._hit_update(rec, better, t, n_i, "s", i,
+                                    a["s_lia"][i])
+
+        def plane(i, rec):
+            pt = V3(a["p_px"][i], a["p_py"][i], a["p_pz"][i])
+            n_raw = V3(a["p_nx"][i], a["p_ny"][i], a["p_nz"][i])
+            t = geom.intersect_plane(o, d, pt, n_raw, t_min, rec.closest)
+            better = (t > 0.0) & (t < rec.closest)
+            n_i = vm.splat(jnp.zeros_like(rec.closest)) + V3(
+                a["p_ux"][i], a["p_uy"][i], a["p_uz"][i]
+            )
+            return self._hit_update(rec, better, t, n_i, "p", i, 0.0)
+
+        def triangle(i, rec):
+            v0 = V3(a["t_ax"][i], a["t_ay"][i], a["t_az"][i])
+            e1 = V3(a["t_e1x"][i], a["t_e1y"][i], a["t_e1z"][i])
+            e2 = V3(a["t_e2x"][i], a["t_e2y"][i], a["t_e2z"][i])
+            t = geom.intersect_triangle(o, d, v0, e1, e2, t_min,
+                                        rec.closest)
+            better = (t > 0.0) & (t < rec.closest)
+            n_i = vm.splat(jnp.zeros_like(rec.closest)) + V3(
+                a["t_ux"][i], a["t_uy"][i], a["t_uz"][i]
+            )
+            return self._hit_update(rec, better, t, n_i, "t", i,
+                                    a["t_lia"][i])
+
+        # Reference flatten order: spheres, planes, triangles
+        # (src/lib.rs:120-154) — the overwrite chain's tie semantics depend
+        # on it (strictly-closer wins, shader.wgsl:279).
+        rec = self._fori(self.n_spheres, sphere, rec)
+        rec = self._fori(self.n_planes, plane, rec)
+        rec = self._fori(self.n_triangles, triangle, rec)
+        return rec
+
+    # ---- ScenePrims interface --------------------------------------------
+
+    def closest_hit(self, o: V3, d: V3, t_min=geom.RAY_EPS,
+                    t_max=geom.T_FAR, mask=None) -> geom.Hit:
+        """Brute-force closest-hit sweep (shader.wgsl:248-294) with fixed
+        code size. `mask` accepted for interface parity and ignored (every
+        lane sweeps everything, as the reference does)."""
+        del mask
+        zeros = jnp.zeros_like(o.x)
+        rec = _Rec(zeros + t_max, *([zeros] * 12))
+        rec = self._sweep_closest(o, d, t_min, rec)
+        found = rec.found != 0.0
+        p = o + d * rec.closest
+        normal = V3(rec.nx, rec.ny, rec.nz)
+        front = vm.dot(d, normal) < 0.0
+        normal = vm.where(front, normal, -normal)  # shader.wgsl:284-287
+        lia = jnp.where(front, rec.li, 0.0)  # see geometry.closest_hit
+        return geom.Hit(found, rec.closest, p, normal,
+                        V3(rec.cr, rec.cg, rec.cb),
+                        V3(rec.er, rec.eg, rec.eb), rec.rf, lia)
+
+    def occluded(self, o: V3, d: V3, t_min, t_max, mask=None) -> jnp.ndarray:
+        """Any-hit shadow sweep (shader.wgsl:399-402)."""
+        del mask
+        a = self._a
+        zeros = jnp.zeros_like(o.x)
+
+        def hit_f(t):
+            return jnp.where((t > 0.0) & (t < t_max), 1.0, 0.0)
+
+        def sphere(i, blocked):
+            c = V3(a["s_cx"][i], a["s_cy"][i], a["s_cz"][i])
+            t = geom.intersect_sphere(o, d, c, a["s_r"][i], t_min, t_max)
+            return jnp.maximum(blocked, hit_f(t))
+
+        def plane(i, blocked):
+            pt = V3(a["p_px"][i], a["p_py"][i], a["p_pz"][i])
+            n_raw = V3(a["p_nx"][i], a["p_ny"][i], a["p_nz"][i])
+            t = geom.intersect_plane(o, d, pt, n_raw, t_min, t_max)
+            return jnp.maximum(blocked, hit_f(t))
+
+        def triangle(i, blocked):
+            v0 = V3(a["t_ax"][i], a["t_ay"][i], a["t_az"][i])
+            e1 = V3(a["t_e1x"][i], a["t_e1y"][i], a["t_e1z"][i])
+            e2 = V3(a["t_e2x"][i], a["t_e2y"][i], a["t_e2z"][i])
+            t = geom.intersect_triangle(o, d, v0, e1, e2, t_min, t_max)
+            return jnp.maximum(blocked, hit_f(t))
+
+        blocked = self._fori(self.n_spheres, sphere, zeros)
+        blocked = self._fori(self.n_planes, plane, blocked)
+        blocked = self._fori(self.n_triangles, triangle, blocked)
+        return blocked != 0.0

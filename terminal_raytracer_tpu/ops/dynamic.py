@@ -100,9 +100,20 @@ def pack_scene(scene: scene_mod.Scene) -> Dict[str, np.ndarray]:
 class DynPrims:
     """ScenePrims-compatible traversal whose per-primitive values come from
     arrays bound at trace time (`bind`). Counts/light-topology are fixed by
-    the template scene."""
+    the template scene.
 
-    def __init__(self, scene: scene_mod.Scene):
+    `animated`: optional set of pack_scene keys that actually vary at
+    runtime. Keys outside the set are baked from the template scene as
+    Python-float constants — vecmath's trace-time 0/±1 folding then applies
+    to them exactly as in the fully-baked path, so e.g. an orbit animation
+    (sphere centers + triangle verts move) keeps its axis-aligned planes at
+    baked-sweep cost. None = every value is runtime (full generality).
+    Derived static quantities (plane unit normals, triangle edges/areas)
+    are precomputed host-side in stepwise float32 exactly like the baked
+    path's constants (geometry.ScenePrims / geometry._tri_edges_f32), so a
+    key declared static behaves bit-for-bit like the fully-baked scene."""
+
+    def __init__(self, scene: scene_mod.Scene, animated=None):
         self.scene = scene
         self.n_spheres = len(scene.spheres)
         self.n_planes = len(scene.planes)
@@ -116,12 +127,33 @@ class DynPrims:
         for i, t in enumerate(scene.triangles):
             if t.material.is_light:
                 self.light_topology.append((scene_mod.TRIANGLE, i))
+        full = pack_scene(scene)
+        if animated is None:
+            dyn_names = {k for k, v in full.items() if v.size > 0}
+        else:
+            dyn_names = {
+                k for k, v in full.items() if k in animated and v.size > 0
+            }
+        # Runtime-value keys in the stable scene_keys order — the operand
+        # layout the Pallas kernels and render_frame signatures share.
+        self.dyn_layout: List[Tuple[str, int]] = [
+            (k, n) for k, n in scene_keys(scene) if k in dyn_names
+        ]
+        self._static = {
+            k: [float(x) for x in v]
+            for k, v in full.items() if k not in dyn_names
+        }
         self._a = None
 
     def bind(self, arrays) -> "DynPrims":
         """Bind a pack_scene-layout mapping of indexables (jnp arrays, or
-        lists of pre-read SMEM scalars inside the Pallas kernel)."""
-        self._a = arrays
+        lists of pre-read SMEM scalars inside the Pallas kernel). Only the
+        dyn_layout keys are consumed; static keys come baked from the
+        template scene."""
+        a = dict(self._static)
+        for k, _n in self.dyn_layout:
+            a[k] = arrays[k]
+        self._a = a
         return self
 
     # ---- per-primitive accessors (traced scalars) -------------------------
@@ -150,6 +182,46 @@ class DynPrims:
                  a[f"{prefix}_emib"][i])
         return col, emi, a[f"{prefix}_refl"][i]
 
+    @staticmethod
+    def _is_static(*vs) -> bool:
+        return all(
+            isinstance(c, (int, float)) for v in vs for c in (v.x, v.y, v.z)
+        )
+
+    @staticmethod
+    def _plane_unit(n_raw: V3):
+        """Unit plane normal: static floats get the baked path's stepwise
+        f32 host math (geometry.ScenePrims); traced values keep the
+        fully-dynamic path's rsqrt normalize."""
+        if DynPrims._is_static(n_raw):
+            n = np.array([n_raw.x, n_raw.y, n_raw.z], np.float32)
+            u = n / np.float32(np.sqrt(np.dot(n, n)))
+            return V3(float(u[0]), float(u[1]), float(u[2]))
+        return vm.normalize(n_raw)
+
+    @staticmethod
+    def _tri_derived(v0: V3, v1: V3, v2: V3):
+        """(e1, e2, n_unit, half_cr_len): stepwise-f32 host constants for
+        static vertices (mirrors geometry._tri_edges_f32), traced math
+        otherwise."""
+        if DynPrims._is_static(v0, v1, v2):
+            v0a = np.array(v0, np.float32)
+            e1a = np.array(v1, np.float32) - v0a
+            e2a = np.array(v2, np.float32) - v0a
+            cr = np.cross(e1a, e2a).astype(np.float32)
+            cr_len = np.float32(np.sqrt(np.float32(np.dot(cr, cr))))
+            u = cr / cr_len
+            return (
+                V3(float(e1a[0]), float(e1a[1]), float(e1a[2])),
+                V3(float(e2a[0]), float(e2a[1]), float(e2a[2])),
+                V3(float(u[0]), float(u[1]), float(u[2])),
+                float(np.float32(0.5) * cr_len),
+            )
+        e1, e2 = v1 - v0, v2 - v0
+        cr = vm.cross(e1, e2)
+        cr_len = vm.length(cr)
+        return e1, e2, cr / cr_len, 0.5 * cr_len
+
     def _sweep(self):
         """Yield (intersect_fn(o,d,t_min,t_max), normal_fn(p), material,
         light_inv_area) per primitive in the reference flatten order
@@ -172,7 +244,7 @@ class DynPrims:
             yield isect, norm, self._mat("s", i), lia
         for i in range(self.n_planes):
             pt, n_raw = self._plane(i)
-            n_unit = vm.normalize(n_raw)
+            n_unit = self._plane_unit(n_raw)
 
             def isect(o, d, t_min, t_max, pt=pt, n_raw=n_raw):
                 return geom.intersect_plane(o, d, pt, n_raw, t_min, t_max)
@@ -183,10 +255,7 @@ class DynPrims:
             yield isect, norm, self._mat("p", i), 0.0
         for i in range(self.n_triangles):
             v0, v1, v2 = self._triangle(i)
-            e1, e2 = v1 - v0, v2 - v0
-            cr = vm.cross(e1, e2)
-            cr_len = vm.length(cr)
-            n_unit = cr / cr_len
+            e1, e2, n_unit, half_len = self._tri_derived(v0, v1, v2)
 
             def isect(o, d, t_min, t_max, v0=v0, e1=e1, e2=e2):
                 return geom.intersect_triangle(o, d, v0, e1, e2, t_min, t_max)
@@ -195,7 +264,7 @@ class DynPrims:
                 return vm.splat(jnp.zeros_like(p.x)) + n_unit
 
             lia = (
-                1.0 / (0.5 * cr_len)
+                1.0 / half_len
                 if (scene_mod.TRIANGLE, i) in light_idx else 0.0
             )
             yield isect, norm, self._mat("t", i), lia
@@ -255,9 +324,7 @@ class DynPrims:
                 out.append((kind, (c, r), emi))
             else:
                 v0, v1, v2 = self._triangle(i)
-                cr = vm.cross(v1 - v0, v2 - v0)
-                cr_len = vm.length(cr)
+                _e1, _e2, n_unit, half_len = self._tri_derived(v0, v1, v2)
                 _col, emi, _refl = self._mat("t", i)
-                out.append((kind, (v0, v1, v2, cr / cr_len, 0.5 * cr_len),
-                            emi))
+                out.append((kind, (v0, v1, v2, n_unit, half_len), emi))
         return out

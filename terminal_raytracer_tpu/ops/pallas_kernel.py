@@ -94,6 +94,53 @@ def _maybe_bind_sweep(tracer, rest):
     return rest
 
 
+def _dyn_layout(tracer):
+    """The tracer's runtime-value operand layout [(key, count)]: the
+    dynamic tracer's traced scene values (DynPrims), or the array-resident
+    sweep's SoA arrays (ArrayPrims). Empty for baked tracers."""
+    return getattr(tracer.prims, "dyn_layout", [])
+
+
+def _dyn_bind_front(tracer, rest):
+    """Pop the scene-value SMEM refs off the front of `rest` and bind them
+    into the tracer's prims. DynPrims (PREREAD) gets each value pre-read
+    into per-primitive traced scalars, once, outside the scheduler loops
+    (ops/dynamic.py design note); ArrayPrims gets the refs THEMSELVES —
+    its fori_loop sweep reads `ref[i]` at a traced index, which a pre-read
+    would re-unroll into the O(N) code the loop exists to avoid. No-op for
+    baked tracers."""
+    layout = _dyn_layout(tracer)
+    if not layout:
+        return rest
+    if getattr(tracer.prims, "PREREAD", True):
+        vals = {
+            k: [ref[i] for i in range(n)]
+            for (k, n), ref in zip(layout, rest)
+        }
+    else:
+        vals = {k: ref for (k, _n), ref in zip(layout, rest)}
+    tracer.prims.bind(vals)
+    return rest[len(layout):]
+
+
+def _auto_scene_ops(tracer):
+    """The operand tuple a STATIC array-resident tracer (accel='array')
+    appends automatically at call time — its own SoA value arrays. None
+    when the caller supplies the values (dynamic mode) or the traversal is
+    baked."""
+    if getattr(tracer, "dynamic", False):
+        return None
+    arrays = getattr(tracer.prims, "host_arrays", None)
+    if arrays is None:
+        return None
+    return _dyn_ops(tracer.prims.dyn_layout, arrays)
+
+
+def _dyn_ops(layout, arrays):
+    """Host-side: the operand tuple for a render call, in layout order."""
+    return tuple(jnp.asarray(arrays[k], jnp.float32) for k, _n in layout)
+
+
 def _carry_dtype_counts(tracer, tile_h, tile_w):
     """Leaf dtypes of the regen carry, for sizing scratch buffers."""
     dummy = jax.eval_shape(
@@ -126,6 +173,7 @@ def make_render_frame(
     shard_rows: int = None,
     accel: str = "auto",
     dynamic: bool = False,
+    animated=None,
 ):
     """Build `render_frame(pose, seed, frame_number[, y0])` backed by the
     Pallas megakernel. Same signature/returns as PathTracer.render_frame.
@@ -138,47 +186,33 @@ def make_render_frame(
 
     `accel`: traversal choice ('auto'/'baked'/'grid', see PathTracer).
 
-    `dynamic`: geometry/material values become runtime inputs — the kernel
-    reads them from SMEM operands (ops/dynamic.py layout) and
+    `dynamic`: geometry/material values become runtime inputs — the kernels
+    read them from SMEM operands (ops/dynamic.py layout) and
     `render_frame` gains a trailing `arrays` argument. Animated scenes
     re-invoke the one compiled kernel with new values, never recompiling.
-    Served by the single-kernel schedulers ('sorted' falls back to 'regen'
-    — its in-kernel two-phase handles adaptive sampling; the two-kernel
-    compaction pipeline stays a baked-scene specialization)."""
+    All three schedulers serve dynamic scenes, including the two-kernel
+    'sorted' pipeline (the value operands thread through both kernels; the
+    compaction glue is value-independent).
+
+    `animated`: with `dynamic`, the subset of pack_scene keys that actually
+    vary — everything else folds back to baked constants (DynPrims)."""
     if mode == "sorted":
-        if not dynamic:
-            return make_sorted_render_frame(
-                scene, tile_h=tile_h, tile_w=tile_w, interpret=interpret,
-                unbiased=unbiased, transport=transport,
-                shard_rows=shard_rows, accel=accel,
-            )
-        mode = "regen"
+        return make_sorted_render_frame(
+            scene, tile_h=tile_h, tile_w=tile_w, interpret=interpret,
+            unbiased=unbiased, transport=transport,
+            shard_rows=shard_rows, accel=accel, dynamic=dynamic,
+            animated=animated,
+        )
     # Mosaic cannot legalize while-loops with vector carries; the lockstep
     # path uses fixed-trip fori loops (PathTracer.loop_mode='fori') and the
     # regen path keeps its vectors in scratch refs.
     tracer = tracer_mod.PathTracer(scene, loop_mode="fori", unbiased=unbiased,
                                    transport=transport, accel=accel,
-                                   dynamic=dynamic)
-    if dynamic:
-        from . import dynamic as dyn_mod
-
-        # SMEM operands, zero-length arrays excluded (empty primitive
-        # kinds have nothing to read; bind() still gets their empty lists).
-        dyn_keys = [(k, n) for k, n in dyn_mod.scene_keys(scene)]
-        dyn_operands = [(k, n) for k, n in dyn_keys if n > 0]
-    else:
-        dyn_keys = dyn_operands = []
+                                   dynamic=dynamic, dyn_animated=animated)
+    dyn_operands = _dyn_layout(tracer)
 
     def _bind_dyn(rest):
-        if not dyn_keys:
-            return rest
-        refs = dict(zip([k for k, _ in dyn_operands], rest))
-        vals = {
-            k: [refs[k][i] for i in range(n)] if n > 0 else []
-            for k, n in dyn_keys
-        }
-        tracer.prims.bind(vals)
-        return rest[len(dyn_operands):]
+        return _dyn_bind_front(tracer, rest)
     sweep_scratch = _sweep_scratch_shapes(tracer, tile_h, tile_w)
     h, w = scene.height, scene.width
     h_out = shard_rows if shard_rows is not None else h
@@ -331,19 +365,22 @@ def make_render_frame(
             seed = jnp.asarray(seed, jnp.uint32).reshape((1,))
             frame = jnp.asarray(frame_number, jnp.int32).reshape((1,))
             y0 = jnp.asarray(y0, jnp.int32).reshape((1,))
-            scene_ops = [jnp.asarray(arrays[k], jnp.float32)
-                         for k, _ in dyn_operands]
+            scene_ops = _dyn_ops(dyn_operands, arrays)
             r, g, b, var, tot, rays = call(pose, seed, frame, y0, *scene_ops)
-            return V3(r, g, b), var, tot, jnp.sum(rays)
+            # occ = -1: the single-kernel schedulers don't surface their
+            # iteration counts (the sorted default does).
+            return V3(r, g, b), var, tot, jnp.sum(rays), jnp.float32(-1.0)
     else:
+        auto_ops = _auto_scene_ops(tracer)
 
         def render_frame(pose, seed, frame_number, y0=0):
             pose = jnp.asarray(pose, jnp.float32)
             seed = jnp.asarray(seed, jnp.uint32).reshape((1,))
             frame = jnp.asarray(frame_number, jnp.int32).reshape((1,))
             y0 = jnp.asarray(y0, jnp.int32).reshape((1,))
-            r, g, b, var, tot, rays = call(pose, seed, frame, y0)
-            return V3(r, g, b), var, tot, jnp.sum(rays)
+            r, g, b, var, tot, rays = call(pose, seed, frame, y0,
+                                           *(auto_ops or ()))
+            return V3(r, g, b), var, tot, jnp.sum(rays), jnp.float32(-1.0)
 
     return render_frame
 
@@ -373,8 +410,11 @@ def make_render_frame(
 # bit-compatible with the single-kernel scheduler.
 
 
-def _regen_driver(tracer, cam, xf, yf, refs, max_iters):
-    """Scratch-ref scalar-carry while driver, shared by regen kernels."""
+def _regen_driver(tracer, cam, xf, yf, refs, max_iters, iters_cell=None):
+    """Scratch-ref scalar-carry while driver, shared by regen kernels.
+    `iters_cell` (optional list) receives the executed scheduler-iteration
+    count — the occupancy denominator (each iteration runs every lane
+    through one traversal + n_lights shadow sweeps, busy or not)."""
 
     def driver(carry0):
         leaves, treedef = jax.tree_util.tree_flatten(carry0)
@@ -410,9 +450,11 @@ def _regen_driver(tracer, cam, xf, yf, refs, max_iters):
             write(carry)
             return (it + 1, tracer.regen_pending(carry))
 
-        jax.lax.while_loop(
+        final = jax.lax.while_loop(
             cond, body, (jnp.int32(0), tracer.regen_pending(carry0))
         )
+        if iters_cell is not None:
+            iters_cell.append(final[0])
         return read()
 
     return driver
@@ -439,15 +481,20 @@ def make_base_kernel(
     transport: str = None,
     shard_rows: int = None,
     base_quota: int = None,
+    base_dynamic: bool = False,
     pair: "int | str" = "auto",
     accel: str = "auto",
+    dynamic: bool = False,
+    animated=None,
 ):
     """Kernel A builder: the packed-stream base phase as a standalone
     callable.
 
     Returns ``(base_fn, tracer, pair)`` where
-    ``base_fn(pose, seed, frame_number, y0) -> (csum V3, csumsq V3,
-    state u32, rays)`` as ``(h_out, w)`` planes; ``h_out`` is
+    ``base_fn(pose, seed, frame_number, y0, scene_ops=()) -> (csum V3,
+    csumsq V3, state u32, rays, lane_iters)`` — the first four as
+    ``(h_out, w)`` planes, ``lane_iters`` the scalar executed
+    lane-iteration count (occupancy denominator); ``h_out`` is
     ``shard_rows`` (the per-device row block under shard_map) or the full
     image height, and ``y0`` is the block's global row offset (pixel seeds
     and camera rays use global coordinates, so shards tile seamlessly).
@@ -465,16 +512,27 @@ def make_base_kernel(
     global max(4, spp/4) budget (parallel/mesh.py); default is the full
     reference budget.
 
+    ``base_dynamic``: the per-pixel base quota becomes a runtime i32 SMEM
+    operand (``base_fn`` gains a ``base_q`` argument, bounded above by the
+    static ``base_quota``) — unequal sample-split shares (floor/ceil of
+    base/n_sp) run the SAME compiled kernel under shard_map.
+
     ``pair``: k pixels per lane (work pairing — sums k independent
     workloads per lane to tighten the per-lane work distribution;
     bit-compatible, each pixel's RNG chain is unchanged). 'auto' picks k=8
     for short base quotas (measured +8.5% at base=4; concentration no
     longer pays at base>=~16), adjusted within [1, k0+4] to minimize the
     tail tile's padding waste.
+
+    ``dynamic`` / ``animated``: runtime scene values as trailing SMEM
+    operands (the make_render_frame contract); callers pass the prepared
+    operand tuple (see _dyn_ops) via ``scene_ops``.
     """
     tracer = tracer_mod.PathTracer(scene, loop_mode="fori", unbiased=unbiased,
                                    transport=transport, base_quota=base_quota,
-                                   accel=accel)
+                                   accel=accel, dynamic=dynamic,
+                                   dyn_animated=animated)
+    dyn_operands = _dyn_layout(tracer)
     sweep_scratch = _sweep_scratch_shapes(tracer, tile_h, tile_w)
     h, w = scene.height, scene.width
     h_out = shard_rows if shard_rows is not None else h
@@ -518,6 +576,12 @@ def make_base_kernel(
 
     def kernel_base(pose_ref, seed_ref, frame_ref, y0_ref, xs0_ref, ys0_ref,
                     *rest):
+        if base_dynamic:
+            base_q = rest[0][0]
+            rest = rest[1:]
+        else:
+            base_q = None
+        rest = _dyn_bind_front(tracer, rest)
         rest = _maybe_bind_sweep(tracer, rest)
         out_refs = rest[:-3]
         u32_s, i32_s, f32_s = rest[-3:]
@@ -564,14 +628,20 @@ def make_base_kernel(
         def body(c):
             it, _ = c
             carry = tracer.stream_step(
-                cam, y0, h_out, n_lanes, pair, seed, frame, read()
+                cam, y0, h_out, n_lanes, pair, seed, frame, read(),
+                base_q=base_q,
             )
             write(carry)
             return (it + 1, tracer.stream_pending(carry, pair))
 
-        jax.lax.while_loop(
+        final_it, _ = jax.lax.while_loop(
             cond, body, (jnp.int32(0), tracer.stream_pending(carry0, pair))
         )
+        # Occupancy denominator: this tile's executed scheduler iterations,
+        # broadcast to its lanes (host sums the plane -> lane-iterations).
+        out_refs[-1][:, :] = (jnp.zeros((tile_h, tile_w), jnp.float32)
+                              + final_it.astype(jnp.float32))
+        out_refs = out_refs[:-1]
         parked = read()[-1]
         for e in range(pair):
             cs_x, cs_y, cs_z = (parked[4 * e + 0].x, parked[4 * e + 0].y,
@@ -599,21 +669,36 @@ def make_base_kernel(
     call_a = pl.pallas_call(
         kernel_base,
         grid=(tiles,),
-        # pose, seed, frame, y0 in SMEM; entry-0 coord planes per tile
-        in_specs=[pl.BlockSpec(**smem)] * 4 + [tile_spec] * 2,
-        out_specs=[tile_spec] * (8 * pair),
-        out_shape=([stream_f32] * 6 + [stream_u32, stream_f32]) * pair,
+        # pose, seed, frame, y0 in SMEM; entry-0 coord planes per tile;
+        # then the optional runtime base quota and the dynamic scene-value
+        # operands (SMEM scalar arrays)
+        in_specs=[pl.BlockSpec(**smem)] * 4 + [tile_spec] * 2
+        + [pl.BlockSpec(**smem)] * (int(base_dynamic) + len(dyn_operands)),
+        # per-entry result bands + the trailing per-tile iteration plane
+        out_specs=[tile_spec] * (8 * pair + 1),
+        out_shape=([stream_f32] * 6 + [stream_u32, stream_f32]) * pair
+        + [stream_f32],
         scratch_shapes=stream_scratch + sweep_scratch,
         interpret=interp,
     )
 
-    def base_fn(pose, seed, frame_number, y0=0):
+    auto_ops = _auto_scene_ops(tracer)
+
+    def base_fn(pose, seed, frame_number, y0=0, scene_ops=(), base_q=None):
+        if auto_ops is not None:
+            scene_ops = auto_ops  # accel='array': the tracer's own arrays
         pose = jnp.asarray(pose, jnp.float32)
         seed_a = jnp.asarray(seed, jnp.uint32).reshape((1,))
         frame_a = jnp.asarray(frame_number, jnp.int32).reshape((1,))
         y0_a = jnp.asarray(y0, jnp.int32).reshape((1,))
+        quota_ops = ()
+        if base_dynamic:
+            if base_q is None:
+                base_q = base
+            quota_ops = (jnp.asarray(base_q, jnp.int32).reshape((1,)),)
         bands = call_a(pose, seed_a, frame_a, y0_a,
-                       jnp.asarray(xs0_np), jnp.asarray(ys0_np))
+                       jnp.asarray(xs0_np), jnp.asarray(ys0_np),
+                       *quota_ops, *scene_ops)
 
         def assemble(q):
             # Entry e of lane L is flat pixel e*n_lanes + L, so
@@ -627,7 +712,11 @@ def make_base_kernel(
         csumsq = V3(assemble(3), assemble(4), assemble(5))
         state = assemble(6)
         rays = assemble(7)
-        return csum, csumsq, state, rays
+        # Executed lane-iterations (occupancy denominator): every lane of
+        # a tile — tail-padding ballast included — runs its tile's
+        # iterations.
+        lane_iters = jnp.sum(bands[8 * pair])
+        return csum, csumsq, state, rays, lane_iters
 
     base_fn.call = call_a  # raw kernel access (profiling/experiments)
     base_fn.coords = (xs0_np, ys0_np)
@@ -645,14 +734,22 @@ def make_extra_kernel(
     unbiased: bool = False,
     transport: str = None,
     accel: str = "auto",
+    dynamic: bool = False,
+    animated=None,
 ):
     """Kernel B builder: the adaptive extra phase over a compacted entry
-    stream. Returns ``extra_fn(pose, xs, ys, state, add, samp0) ->
-    (esum V3, rays)`` on ``(rows_b, cols_b)`` lane planes; each lane renders
-    ``add`` extra samples of pixel (xs, ys) continuing RNG state ``state``
-    at sample index ``samp0``."""
+    stream. Returns ``extra_fn(pose, xs, ys, state, add, samp0,
+    scene_ops=()) -> (esum V3, rays, lane_iters)`` — the first two on
+    ``(rows_b, cols_b)`` lane planes, ``lane_iters`` the scalar executed
+    lane-iteration count (occupancy denominator);
+    each lane renders ``add`` extra samples of pixel (xs, ys) continuing
+    RNG state ``state`` at sample index ``samp0``. ``dynamic``/``animated``
+    add the runtime scene-value SMEM operands (same layout as kernel A —
+    both kernels of a dynamic sorted pipeline read the same values)."""
     tracer = tracer_mod.PathTracer(scene, loop_mode="fori", unbiased=unbiased,
-                                   transport=transport, accel=accel)
+                                   transport=transport, accel=accel,
+                                   dynamic=dynamic, dyn_animated=animated)
+    dyn_operands = _dyn_layout(tracer)
     sweep_scratch = _sweep_scratch_shapes(tracer, tile_h, tile_w)
     interp = _interp(interpret)
     vmem, smem = _memspaces()
@@ -666,13 +763,15 @@ def make_extra_kernel(
 
     def kernel_extra(pose_ref, xs_ref, ys_ref, state_ref, add_ref, samp0_ref,
                      *rest):
-        rest = _maybe_bind_sweep(tracer, rest)
-        er_ref, eg_ref, eb_ref, rays_ref, u32_s, i32_s, f32_s = rest
+        dyn_refs = rest[: len(dyn_operands)]
+        rest = _maybe_bind_sweep(tracer, rest[len(dyn_operands):])
+        er_ref, eg_ref, eb_ref, rays_ref, it_ref, u32_s, i32_s, f32_s = rest
         zeros_t = jnp.zeros((tile_h, tile_w), jnp.float32)
         er_ref[:, :] = zeros_t
         eg_ref[:, :] = zeros_t
         eb_ref[:, :] = zeros_t
         rays_ref[:, :] = zeros_t
+        it_ref[:, :] = zeros_t  # gated-off tiles execute zero iterations
 
         # The entry stream is budget-sorted, so most tiles are all-zero
         # quota; skip their entire carry-init/driver/readback (the fixed
@@ -680,12 +779,17 @@ def make_extra_kernel(
         # the north-star config for a no-work stream of 40 tiles).
         @pl.when(jnp.sum(add_ref[:, :]) > 0.0)
         def _run_tile():
+            # Dynamic scene values: pre-read + bind inside the gate, so
+            # zero-work tiles skip the SMEM scalar reads too.
+            _dyn_bind_front(tracer, dyn_refs)
             cam = tracer_mod.cam_from_pose(pose_ref)
             xf = xs_ref[:, :].astype(jnp.float32)
             yf = ys_ref[:, :].astype(jnp.float32)
             refs = {"uint32": u32_s, "int32": i32_s, "float32": f32_s}
+            iters_cell = []
             run = _regen_driver(tracer, cam, xf, yf, refs,
-                                (max_quota + 1) * scene.max_depth + 4)
+                                (max_quota + 1) * scene.max_depth + 4,
+                                iters_cell=iters_cell)
             zeros = jnp.zeros_like(xf)
             esum, rays = tracer.extra_phase(
                 cam, xf, yf, state_ref[:, :], add_ref[:, :], zeros, run,
@@ -695,6 +799,7 @@ def make_extra_kernel(
             eg_ref[:, :] = esum.y
             eb_ref[:, :] = esum.z
             rays_ref[:, :] = rays
+            it_ref[:, :] = zeros + iters_cell[0].astype(jnp.float32)
 
     grid_b = (rows_b // tile_h, cols_b // tile_w)
     plane_b = jax.ShapeDtypeStruct((rows_b, cols_b), jnp.float32)
@@ -702,17 +807,23 @@ def make_extra_kernel(
     call_b = pl.pallas_call(
         kernel_extra,
         grid=grid_b,
-        in_specs=[pl.BlockSpec(**smem)] + [lane_spec] * 5,
-        out_specs=[lane_spec] * 4,
-        out_shape=[plane_b, plane_b, plane_b, plane_b],
+        in_specs=[pl.BlockSpec(**smem)] + [lane_spec] * 5
+        + [pl.BlockSpec(**smem)] * len(dyn_operands),
+        out_specs=[lane_spec] * 5,
+        out_shape=[plane_b] * 5,
         scratch_shapes=scratch_shapes + sweep_scratch,
         interpret=interp,
     )
 
-    def extra_fn(pose, xs, ys, state, add, samp0):
+    auto_ops = _auto_scene_ops(tracer)
+
+    def extra_fn(pose, xs, ys, state, add, samp0, scene_ops=()):
+        if auto_ops is not None:
+            scene_ops = auto_ops  # accel='array': the tracer's own arrays
         pose = jnp.asarray(pose, jnp.float32)
-        er, eg, eb, rays = call_b(pose, xs, ys, state, add, samp0)
-        return V3(er, eg, eb), rays
+        er, eg, eb, rays, iters = call_b(pose, xs, ys, state, add, samp0,
+                                         *scene_ops)
+        return V3(er, eg, eb), rays, jnp.sum(iters)
 
     return extra_fn
 
@@ -755,16 +866,25 @@ def make_sorted_extra_phase(
     chunk: int = None,
     order_mode: str = "auto",
     accel: str = "auto",
+    dynamic: bool = False,
+    animated=None,
 ):
     """The XLA glue + kernel B of the sorted pipeline, as a standalone
     phase (usable per shard under shard_map — all glue ops are local to the
     shard's row block).
 
-    Returns ``extra_phase(pose, state, additional, y0) -> (esum V3, rays)``
-    over ``(h_out, w)`` planes: compacts pixels into a stream sorted by
+    Returns ``extra_phase(pose, state, additional, y0, scene_ops=()) ->
+    (esum V3 over (h_out, w) planes, rays, lane_iters)``: compacts pixels
+    into a stream sorted by
     descending extra budget, runs kernel B over workload-homogeneous tiles,
     scatters the extra sums back. ``samp0_base`` is the sample index the
-    extra chain continues at (the per-pixel base-phase quota).
+    extra chain continues at (the per-pixel base-phase quota); the returned
+    ``extra_phase`` also takes a runtime ``samp0`` scalar override (unequal
+    sample-split shares, parallel/mesh.py) — ``samp0_base`` then only sizes
+    the entry stream and must lower-bound the runtime value, keeping
+    max_extra an upper bound.
+    ``dynamic``/``animated``: runtime scene values — the compaction glue is
+    value-independent, so only kernel B consumes ``scene_ops``.
 
     ``chunk``: split each pixel's budget into independent entries of <=
     chunk samples, each seeded with its own sub-chain
@@ -809,10 +929,10 @@ def make_sorted_extra_phase(
     extra_fn = make_extra_kernel(
         scene, rows_b, cols_b, max_quota=chunk_sz, tile_h=tile_h,
         tile_w=tile_w, interpret=interpret, unbiased=unbiased,
-        transport=transport, accel=accel,
+        transport=transport, accel=accel, dynamic=dynamic, animated=animated,
     )
 
-    def extra_phase(pose, state, additional, y0=0):
+    def extra_phase(pose, state, additional, y0=0, scene_ops=(), samp0=None):
         # Build the (possibly chunk-split) entry stream. Entry e = c*HW + p
         # handles samples [base + c*chunk, ...) of pixel p, up to its
         # budget slice. Chunk c > 0 entries get independent RNG sub-chains.
@@ -886,9 +1006,12 @@ def make_sorted_extra_phase(
         ys_s = jnp.asarray(y0, jnp.int32) + pix_s // w
         st_s = pad(st_f, 0)
         add_s = pad(add_f, 0.0)
-        s0_s = (jnp.int32(base) + pad(chunk_f, 0) * jnp.int32(chunk_sz))
+        s0_base = (jnp.int32(base) if samp0 is None
+                   else jnp.asarray(samp0, jnp.int32))
+        s0_s = s0_base + pad(chunk_f, 0) * jnp.int32(chunk_sz)
 
-        esum_s, rays_b = extra_fn(pose, xs_s, ys_s, st_s, add_s, s0_s)
+        esum_s, rays_b, iters_b = extra_fn(pose, xs_s, ys_s, st_s, add_s,
+                                           s0_s, scene_ops=scene_ops)
 
         pix_of_entry = pix_f
 
@@ -912,7 +1035,7 @@ def make_sorted_extra_phase(
             )
 
         esum = V3(unsort(esum_s.x), unsort(esum_s.y), unsort(esum_s.z))
-        return esum, jnp.sum(rays_b)
+        return esum, jnp.sum(rays_b), iters_b
 
     return extra_phase
 
@@ -929,18 +1052,28 @@ def make_sorted_render_frame(
     shard_rows: int = None,
     order_mode: str = "auto",
     accel: str = "auto",
+    dynamic: bool = False,
+    animated=None,
 ):
     """The two-kernel sorted pipeline, composed from make_base_kernel +
     make_sorted_extra_phase. With `shard_rows`, renders a row block at
     runtime offset y0 — the per-device body under shard_map (the glue ops
-    between the kernels are all shard-local)."""
+    between the kernels are all shard-local).
+
+    With `dynamic`, the scene-value operands thread through BOTH kernels
+    (same SMEM layout; the sort/compaction glue between them is
+    value-independent) and `render_frame` gains the trailing `arrays`
+    argument — animated scenes get the full sorted-pipeline occupancy, not
+    a regen fallback. Reference analog: per-frame buffer update + the same
+    kernel (src/lib.rs:442-455)."""
     base_fn, tracer, _pair = make_base_kernel(
         scene, tile_h=tile_h, tile_w=tile_w, interpret=interpret,
         unbiased=unbiased, transport=transport, shard_rows=shard_rows,
-        pair=pair, accel=accel,
+        pair=pair, accel=accel, dynamic=dynamic, animated=animated,
     )
     base, spp = tracer.base_samples, tracer.spp
     h_out = shard_rows if shard_rows is not None else scene.height
+    dyn_operands = _dyn_layout(tracer)
 
     extra_phase = None
     if base < spp:
@@ -948,22 +1081,45 @@ def make_sorted_render_frame(
             scene, h_out=h_out, samp0_base=base, tile_h=tile_h,
             tile_w=tile_w, interpret=interpret, unbiased=unbiased,
             transport=transport, chunk=chunk, order_mode=order_mode,
-            accel=accel,
+            accel=accel, dynamic=dynamic, animated=animated,
         )
 
-    def render_frame(pose, seed, frame_number, y0=0):
-        csum, csumsq, state, rays_a = base_fn(pose, seed, frame_number, y0)
+    # Each scheduler iteration runs EVERY lane through one traversal +
+    # n_lights shadow sweeps (masked or not); `rays` counts the sweeps the
+    # reference's control flow actually owes. Their ratio is the measured
+    # sweep-weighted occupancy — the quantity NOTES.md's perf analysis
+    # derived from throwaway probes, now first-class (VERDICT r2 #6).
+    sweeps_per_iter = 1.0 + float(tracer.n_lights)
+
+    def render_body(pose, seed, frame_number, y0, scene_ops):
+        csum, csumsq, state, rays_a, it_a = base_fn(
+            pose, seed, frame_number, y0, scene_ops=scene_ops
+        )
         var = tracer.variance_of(csum, csumsq)
 
         if base >= spp:
             current = csum * (1.0 / spp)
             total = jnp.zeros_like(var) + float(base)
-            return current, var, total, jnp.sum(rays_a)
+            rays = jnp.sum(rays_a)
+            occ = rays / jnp.maximum(it_a * sweeps_per_iter, 1.0)
+            return current, var, total, rays, occ
 
         needs, additional = tracer.extra_quota(var)
-        esum, rays_b = extra_phase(pose, state, additional, y0)
+        esum, rays_b, it_b = extra_phase(pose, state, additional, y0,
+                                         scene_ops=scene_ops)
         current, total = tracer.combine_phases(csum, esum, needs, additional)
         rays = jnp.sum(rays_a) + rays_b
-        return current, var, total, rays
+        occ = rays / jnp.maximum((it_a + it_b) * sweeps_per_iter, 1.0)
+        return current, var, total, rays, occ
+
+    if dynamic:
+
+        def render_frame(pose, seed, frame_number, arrays, y0=0):
+            return render_body(pose, seed, frame_number, y0,
+                               _dyn_ops(dyn_operands, arrays))
+    else:
+
+        def render_frame(pose, seed, frame_number, y0=0):
+            return render_body(pose, seed, frame_number, y0, ())
 
     return render_frame

@@ -96,6 +96,14 @@ def base_sample_count(spp: int) -> int:
     return max(4, spp // 4)
 
 
+# accel='auto' switches from the unrolled baked sweep to the array-resident
+# fori_loop sweep (ops/arrayscene.py) above this primitive count. The baked
+# sweep's unrolled code grows O(N); the array sweep is O(1) code over SoA
+# data. Set from the v5e crossover measurements (round 3): baked wins at
+# shipped scale (<= ~30 prims), array from the low hundreds up.
+ARRAY_AUTO_THRESHOLD = 96
+
+
 class _Light(NamedTuple):
     kind: int  # scene_mod.SPHERE or TRIANGLE
     # sphere: center / radius; triangle: v0, v1, v2 + precomputed normal/area
@@ -115,7 +123,7 @@ class PathTracer:
     def __init__(self, scene: scene_mod.Scene, loop_mode: str = "while",
                  unbiased: bool = False, base_quota: Optional[int] = None,
                  accel: str = "auto", transport: Optional[str] = None,
-                 dynamic: bool = False):
+                 dynamic: bool = False, dyn_animated=None):
         """loop_mode: 'while' uses lax.while_loop for the bounce and
         adaptive-sampling loops (early exit once every lane is dead — the
         oracle/XLA path); 'fori' uses fixed-trip lax.fori_loop (Mosaic
@@ -175,33 +183,48 @@ class PathTracer:
         # carry a may-emit flag, true for a fresh ray.
         self._emit_fresh = -1.0 if transport == "mis" else 1.0
         self.scene = scene
-        # Traversal: the plain baked sweep ('baked'), or the block-culled
-        # accelerator ('grid', ops/accel.py). 'auto' resolves to 'baked':
-        # measured on v5e (round 2, tools/perf_probe3.py), the pl.when
-        # block-culled traversal loses to the brute VMEM sweep even at 256
-        # primitives (22 vs 30 Mray/s) — with ~2048 decorrelated wavefront
-        # rays per tile, nearly every block's AABB is hit by some lane, so
-        # the any()-reduced cull rarely fires and its slab+branch overhead
-        # is pure cost. Brute force is the TPU answer at every shipped
-        # scale — the same SIMD economics that left the reference's own
-        # grid dead code (SURVEY.md §2.4). 'grid' stays available
+        # Traversal: the plain baked sweep ('baked'), the array-resident
+        # fori_loop sweep ('array', ops/arrayscene.py — fixed code size for
+        # any primitive count, the analog of the reference's storage-buffer
+        # loop at shader.wgsl:248-294 / lib.rs:301-305), or the
+        # block-culled accelerator ('grid', ops/accel.py). 'auto' resolves
+        # to 'baked' below ARRAY_AUTO_THRESHOLD primitives and 'array'
+        # above: the unrolled baked sweep wins at shipped scale (zero
+        # memory traffic, 0/±1 constant folding) but its code size,
+        # compile time, and sweep cost grow O(N) in unrolled code — the
+        # array sweep compiles in O(1) and overtakes it well before
+        # stress:1024. 'grid' never wins — measured on v5e (round 2,
+        # tools/perf_probe3.py), the pl.when block-culled traversal loses
+        # to the brute sweep even at 256 primitives (22 vs 30 Mray/s):
+        # with ~2048 decorrelated wavefront rays per tile nearly every
+        # block's AABB is hit by some lane, so the any()-reduced cull
+        # rarely fires — the same SIMD economics that left the reference's
+        # own grid dead code (SURVEY.md §2.4). It stays available
         # (correctness-tested) for experimentation.
-        assert accel in ("auto", "baked", "grid")
+        assert accel in ("auto", "baked", "array", "grid")
         if accel == "auto":
-            accel = "baked"
+            n_prims = (len(scene.spheres) + len(scene.planes)
+                       + len(scene.triangles))
+            accel = "array" if n_prims > ARRAY_AUTO_THRESHOLD else "baked"
         self.accel = accel
         # dynamic=True swaps the baked-constant traversal for ops/dynamic's
         # array-driven DynPrims: geometry/material VALUES become traced
         # inputs (bind per trace via prims.bind), topology stays static.
+        # dyn_animated (optional key set) folds the non-animated value
+        # subset back to baked constants (see DynPrims).
         self.dynamic = dynamic
         if dynamic:
             from . import dynamic as dyn_mod
 
-            self.prims = dyn_mod.DynPrims(scene)
+            self.prims = dyn_mod.DynPrims(scene, animated=dyn_animated)
         elif accel == "grid":
             from . import accel as accel_mod
 
             self.prims = accel_mod.CulledPrims(scene)
+        elif accel == "array":
+            from . import arrayscene
+
+            self.prims = arrayscene.ArrayPrims(scene)
         else:
             self.prims = geom.ScenePrims(scene)
         self.width = scene.width
@@ -779,15 +802,20 @@ class PathTracer:
         return jnp.sum(jnp.where(pending, 1, 0)).astype(jnp.int32)
 
     def stream_step(self, cam: Cam, y0, h_out: int, n_lanes: int, k: int,
-                    seed, frame_number, carry):
+                    seed, frame_number, carry, base_q=None):
         """One scheduler iteration of the k-pixel-per-lane base phase over
         the packed pixel stream. `y0` (traced scalar) is the row block's
         global offset; `h_out` the block's row count; entries whose flat
-        index runs past h_out*width are drained in one iteration each."""
+        index runs past h_out*width are drained in one iteration each.
+        `base_q` (traced i32 scalar, optional) overrides the static
+        base-sample quota — the unequal-share sample-split shards render
+        floor/ceil shares of the global budget with ONE compiled kernel
+        whose static quota (self.base_samples) is the ceiling
+        (parallel/mesh.py)."""
         (state, samp, entry, seeded, xs, ysl, o, d, att, acc, bounce,
          alive_f, csum, csumsq, rays, emit_f, parked) = carry
         parked = list(parked)
-        base = self.base_samples
+        base = self.base_samples if base_q is None else base_q
         w = self.width
         zeros = jnp.zeros_like(rays)
         alive = alive_f != 0.0
@@ -886,11 +914,15 @@ class PathTracer:
         pix = y.astype(jnp.uint32) * jnp.uint32(self.width) + x.astype(jnp.uint32)
         return prng.seed_pixel(pix, jnp.asarray(seed), jnp.asarray(frame_number))
 
-    def base_phase(self, cam: Cam, xf, yf, state0, active, run):
+    def base_phase(self, cam: Cam, xf, yf, state0, active, run, quota=None):
         """Phase 1: `base` samples per (active) pixel. Returns
-        (state_after, csum V3, csumsq V3, rays)."""
+        (state_after, csum V3, csumsq V3, rays). `quota` (traced f32
+        scalar, optional) overrides the static base quota — the
+        unequal-share sample-split path (parallel/mesh.py)."""
         zeros = jnp.zeros_like(xf)
-        quota1 = zeros + float(self.base_samples)
+        quota1 = zeros + (
+            float(self.base_samples) if quota is None else quota
+        )
         if active is not None:
             quota1 = jnp.where(active, quota1, 0.0)
         carry = run(self.regen_carry0(cam, xf, yf, state0, quota1))

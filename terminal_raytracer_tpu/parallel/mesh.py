@@ -24,8 +24,10 @@ Two orthogonal parallel axes — both ride ICI only:
   before the reference's normalization (shader.wgsl:600-610). The only
   deviation from single-chip output is RNG: shards draw from decorrelated
   seed chains — the same "parity modulo RNG" the reference's own
-  nondeterministic host seeding implies (lib.rs:423). Requires
-  max(4, spp/4) divisible by n_sp.
+  nondeterministic host seeding implies (lib.rs:423). The base budget
+  splits like the extra budget: floor/ceil shares with the remainder to
+  the lowest shard indices (a runtime per-shard quota into one compiled
+  kernel), so ANY (spp, n_sp) combination is valid.
 """
 
 from __future__ import annotations
@@ -89,12 +91,12 @@ def make_sharded_render_step(
     rows = h // n_px
     spp = scene.samples_per_pixel
     base_full = tracer_mod.base_sample_count(spp)
-    if n_sp > 1 and base_full % n_sp:
-        raise ValueError(
-            f"base sample budget max(4, spp/4)={base_full} not divisible by "
-            f"sp={n_sp}; pick spp so that max(4, spp//4) %% {n_sp} == 0"
-        )
-    base_sh = base_full // n_sp
+    # Per-shard base shares: floor for everyone, remainder to the lowest
+    # shard indices (like the extra-budget split below) — shard i renders
+    # base_lo or base_lo+1 samples via a runtime quota into one compiled
+    # kernel, so no (spp, n_sp) combination is rejected.
+    base_lo, base_rem = divmod(base_full, n_sp)
+    base_hi = base_lo + (1 if base_rem else 0)
 
     if backend == "auto":
         backend = "pallas" if jax.default_backend().startswith("tpu") else "jnp"
@@ -118,8 +120,9 @@ def make_sharded_render_step(
             px_i = jax.lax.axis_index("px")
             y0 = px_i.astype(jnp.int32) * rows
             if backend == "pallas":
-                cur, var, tot, rays = shard_kernel(pose, seed, frame_number,
-                                                   y0)
+                cur, var, tot, rays, _occ = shard_kernel(
+                    pose, seed, frame_number, y0
+                )
             else:
                 y = y0 + jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0)
                 x = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
@@ -133,20 +136,23 @@ def make_sharded_render_step(
     else:
         # Sample-split with reference-exact adaptive statistics (module
         # docstring). Both backends decompose into base phase -> psum ->
-        # budget -> extra phase -> psum -> global normalization.
+        # budget -> extra phase -> psum -> global normalization. With a
+        # non-divisible base budget (base_rem > 0) the per-shard quota is a
+        # RUNTIME scalar (floor or floor+1) into one compiled kernel whose
+        # static quota is the ceiling.
         tracer = tracer_mod.PathTracer(scene, loop_mode="while",
-                                       base_quota=base_sh,
+                                       base_quota=base_hi,
                                        transport=transport)
         if backend == "pallas":
             from ..ops import pallas_kernel
 
             base_fn, _ktracer, _pair = pallas_kernel.make_base_kernel(
-                scene, shard_rows=rows, base_quota=base_sh,
-                transport=transport,
+                scene, shard_rows=rows, base_quota=base_hi,
+                base_dynamic=base_rem > 0, transport=transport,
             )
             extra_fn = (
                 pallas_kernel.make_sorted_extra_phase(
-                    scene, h_out=rows, samp0_base=base_sh,
+                    scene, h_out=rows, samp0_base=base_lo,
                     transport=transport,
                 )
                 if base_full < spp
@@ -162,6 +168,10 @@ def make_sharded_render_step(
             seed_l = jnp.asarray(seed, jnp.uint32) + sp_i.astype(
                 jnp.uint32
             ) * jnp.uint32(SEED_STRIDE)
+            # This shard's base share (remainder to the lowest indices).
+            my_base = jnp.int32(base_lo) + jnp.where(
+                sp_i.astype(jnp.int32) < base_rem, 1, 0
+            )
 
             cam = tracer_mod.cam_from_pose(pose)
             y = y0 + jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0)
@@ -170,14 +180,18 @@ def make_sharded_render_step(
             yf = y.astype(jnp.float32)
 
             if backend == "pallas":
-                csum, csumsq, state, rays_l = base_fn(pose, seed_l,
-                                                      frame_number, y0)
+                csum, csumsq, state, rays_l, _it_a = base_fn(
+                    pose, seed_l, frame_number, y0,
+                    base_q=my_base if base_rem else None,
+                )
                 rays = jnp.sum(rays_l)
             else:
                 state0 = tracer.seed_lanes(x, y, seed_l, frame_number)
                 run = lambda c: tracer._run_regen_jnp(cam, xf, yf, c)
                 state, csum, csumsq, rays_l = tracer.base_phase(
-                    cam, xf, yf, state0, None, run
+                    cam, xf, yf, state0, None, run,
+                    quota=(my_base.astype(jnp.float32) if base_rem
+                           else None),
                 )
                 rays = jnp.sum(rays_l)
 
@@ -216,11 +230,16 @@ def make_sharded_render_step(
             )
 
             if backend == "pallas":
-                esum, rays_b = extra_fn(pose, state, my_extra, y0)
+                esum, rays_b, _it_b = extra_fn(
+                    pose, state, my_extra, y0,
+                    samp0=my_base if base_rem else None,
+                )
             else:
                 zeros = jnp.zeros_like(xf)
                 esum, rays_b_l = tracer.extra_phase(
-                    cam, xf, yf, state, my_extra, zeros, run
+                    cam, xf, yf, state, my_extra, zeros, run,
+                    samp0=(jnp.zeros_like(x) + my_base if base_rem
+                           else None),
                 )
                 rays_b = jnp.sum(rays_b_l)
             esum_g = _psum_v3(esum, "sp")

@@ -62,8 +62,9 @@ class Engine:
         # (frame_number pinned to 0 — temporal accumulation would smear
         # moving geometry), and the animation clock advances per render.
         self.animate = animate
+        animated_keys = None
         if animate is not None:
-            from ..models.animate import ANIMATORS
+            from ..models.animate import ANIMATOR_KEYS, ANIMATORS
             from ..ops.dynamic import pack_scene
 
             if animate not in ANIMATORS:
@@ -74,10 +75,21 @@ class Engine:
             self._animator = ANIMATORS[animate]
             self._arrays0 = pack_scene(scene)
             self._anim_t = 0
+            # Only this animator's keys stream at runtime; the rest of the
+            # scene folds back to baked constants (near-static-speed
+            # animation for e.g. orbit's static planes).
+            animated_keys = ANIMATOR_KEYS.get(animate)
         self.step = make_render_step(scene, full_color=full_color, backend=backend,
                                      unbiased=unbiased, transport=transport,
-                                     accel=accel, dynamic=animate is not None)
+                                     accel=accel, dynamic=animate is not None,
+                                     animated=animated_keys)
         self.state = init_state(scene)
+        # Step-construction options, kept for the lazily-built chunked
+        # headless renderers (run_headless folds k frames per dispatch).
+        self._step_opts = dict(full_color=full_color, backend=backend,
+                               unbiased=unbiased, transport=transport,
+                               accel=accel)
+        self._chunk_renderers = {}
         self.blitter = Blitter(scene.height, scene.width, full_color, threads)
         # The variance heat map is always drawn as truecolor blocks.
         self._fc_blitter = (
@@ -146,9 +158,12 @@ class Engine:
         else:
             rgb = out.rgb
             glyphs = None if self.full_color else out.glyphs
-        rgb, glyphs, rays, mean_samples = jax.device_get(
-            (rgb, glyphs, out.rays, self._mean(out.state.samples))
+        occ = getattr(out, "occupancy", None)
+        rgb, glyphs, rays, mean_samples, occ = jax.device_get(
+            (rgb, glyphs, out.rays, self._mean(out.state.samples), occ)
         )
+        self._fetched_at = time.perf_counter()  # pairs rays with its interval
+        self._last_occ = -1.0 if occ is None else float(occ)
         return rgb, glyphs, rays, mean_samples, heatmap
 
     # ------------------------------------------------------------------
@@ -215,23 +230,38 @@ class Engine:
             payload = blitter.encode(
                 np.asarray(rgb), None if glyphs is None else np.asarray(glyphs)
             )
-        mray = self.timers.update_ray_rate(float(rays)) / 1e6
+        mray = self.timers.update_ray_rate(
+            float(rays), fetched_at=getattr(self, "_fetched_at", None)
+        ) / 1e6
         status = self.timers.status_line(
             self.frame_count,
             self.scene.frames_to_accumulate,
             mray_s=mray,
             samples=float(mean_samples),
+            occupancy=getattr(self, "_last_occ", -1.0),
         )
         with self.timers.phase("io"):
             term.write_frame(payload, status, self.scene.height)
 
     # ------------------------------------------------------------------
 
-    def run_headless(self, n_frames: int, until_noise: float = None):
+    HEADLESS_CHUNK = 8  # accumulation frames folded into one dispatch
+
+    def run_headless(self, n_frames: int, until_noise: float = None,
+                     chunk: "int | str" = "auto"):
         """Render n accumulated frames without a terminal; returns the final
         fetched (rgb, glyphs, rays, mean_samples). Frame numbering continues
         from self.frame_count so a --load-state resume keeps accumulating
         instead of overwriting the restored buffer at alpha=1.
+
+        `chunk`: accumulation frames folded into ONE compiled dispatch
+        (lax.scan over the step — offline.make_chunk_renderer). Small
+        frames are dispatch-overhead-bound, so chaining k=8 recovers most
+        of the whole-sequence scan path's throughput; results are
+        bit-identical to per-frame driving on the same seed sequence.
+        'auto' = 8, dropping to per-frame when a per-frame host decision is
+        needed (`until_noise` checks noise between frames; `--animate`
+        evaluates the animator per frame).
 
         `until_noise`: convergence stop (extension — the reference only
         counts frames): stop as soon as the estimated noise of the
@@ -241,6 +271,46 @@ class Engine:
         mode can afford."""
         if n_frames < 1:
             raise ValueError(f"n_frames must be >= 1, got {n_frames}")
+        if until_noise is not None and self.animate is not None:
+            # Animated frames render fresh (frame_count stays 0), so the
+            # accumulated-noise estimate never advances — the stop would
+            # silently never fire. The CLI rejects the combination too;
+            # guard the library API the same way.
+            raise ValueError("until_noise is incompatible with an animated "
+                             "engine: animation never accumulates, so the "
+                             "noise estimate cannot converge")
+        if chunk == "auto":
+            chunk = (1 if (self.animate is not None or
+                           until_noise is not None)
+                     else min(self.HEADLESS_CHUNK, n_frames))
+        chunk = max(int(chunk), 1)
+
+        if chunk > 1 and self.animate is None:
+            out = None
+            remaining = n_frames
+            while remaining > 0:
+                k = min(chunk, remaining)
+                render = self._chunk_renderers.get(k)
+                if render is None:
+                    from .offline import make_chunk_renderer
+
+                    render = make_chunk_renderer(self.scene, k,
+                                                 **self._step_opts)
+                    self._chunk_renderers[k] = render
+                frame0 = self.frame_count
+                # Mirror the per-frame loop's (seed, frame) pairs exactly:
+                # one host RNG draw per frame, offset by its frame index.
+                seeds = []
+                for _ in range(k):
+                    seeds.append(self._seed())
+                    self.frame_count += 1
+                out, _rays_k = render(self.state, self.camera.pose(),
+                                      np.asarray(seeds, np.uint32),
+                                      np.int32(frame0))
+                self.state = out.state
+                remaining -= k
+            return self._fetch(out)
+
         out = None
         for _ in range(n_frames):
             out = self.render_one(self.frame_count)

@@ -22,7 +22,140 @@ import numpy as np
 from ..models import scene as scene_mod
 from ..ops import tonemap as tm
 from ..ops.vecmath import V3
-from .state import FrameState, init_state, make_render_step
+from .state import FrameOutput, FrameState, init_state, make_render_step
+
+
+def make_chunk_renderer(
+    scene: scene_mod.Scene,
+    k: int,
+    full_color: bool = True,
+    backend: str = "auto",
+    accel: str = "auto",
+    transport: str = None,
+    unbiased: bool = False,
+):
+    """k accumulation frames as ONE compiled dispatch: a ``lax.scan`` over
+    the render step, tonemapping once from the final accumulation.
+
+    This is the headless loop's middle ground between per-frame dispatch
+    (interactive: input arrives between frames) and the whole-sequence scan
+    (offline: zero dispatches, but the frame count bakes into the program).
+    Small frames are dispatch-overhead-bound — one ~1-2 ms device program
+    per ~0.3 ms of compute — so folding k=8 frames per dispatch recovers
+    most of the scan path's throughput while keeping the host loop (noise
+    checks, progress, state fetches) between chunks.
+
+    Returns ``chunk(state, pose, seeds_k, frame0) -> (FrameOutput,
+    rays_per_frame)``: the FrameOutput is the post-chunk state + final
+    tonemapped frame with ``rays`` of the LAST frame (matching what the
+    per-frame driving loop would display); ``rays_per_frame`` is the (k,)
+    per-frame ray-count vector (benchmarks sum it over timed frames).
+    Accumulation replicates frame_number frame0..frame0+k-1 exactly, so a
+    chunked run is bit-identical to k per-frame steps on the same seeds.
+    """
+    step = make_render_step(scene, full_color=full_color, backend=backend,
+                            jit=False, accel=accel, transport=transport,
+                            unbiased=unbiased)
+
+    def chunk(state: FrameState, pose, seeds, frame0=jnp.int32(0)):
+        def body(state, inp):
+            seed, frame_number = inp
+            out = step(state, pose, seed, frame_number)
+            return out.state, out.rays
+
+        frames = jnp.asarray(frame0, jnp.int32) + jnp.arange(
+            k, dtype=jnp.int32
+        )
+        state, rays = jax.lax.scan(body, state, (jnp.asarray(seeds), frames))
+
+        acc_v = V3(state.acc[0], state.acc[1], state.acc[2])
+        if full_color:
+            rgb = tm.tonemap_fullcolor(acc_v)
+            glyphs = jnp.zeros(rgb.shape[:2], jnp.uint8)
+        else:
+            rgb, glyphs = tm.tonemap_ascii(acc_v)
+        out = FrameOutput(state=state, rgb=rgb, glyphs=glyphs, rays=rays[-1])
+        return out, rays
+
+    return jax.jit(chunk, donate_argnums=(0,))
+
+
+def make_noise_scan_renderer(
+    scene: scene_mod.Scene,
+    n_frames: int,
+    threshold: float,
+    chunk: int = 8,
+    full_color: bool = True,
+    backend: str = "auto",
+    accel: str = "auto",
+    transport: str = None,
+):
+    """``--until-noise`` composed with ``--scan``: a ``lax.while_loop``
+    over chunk-of-frames scans, entirely on device (VERDICT r2 #8).
+
+    Each while iteration scans `chunk` accumulation frames, then the
+    condition re-checks the convergence scalar — mean per-pixel sample
+    variance over total samples accumulated (the same estimate
+    Engine.run_headless computes between frames) — so the stop is
+    chunk-granular but the whole run stays ONE XLA program with zero host
+    round-trips. `n_frames` caps the run exactly; `chunk` is clamped to a
+    divisor-friendly size (8/4/2/1) so the cap is always respected.
+
+    Returns ``render(state0, pose, seeds, frame0=0) -> (state, rgb,
+    glyphs, rays_total, frames_done)`` with ``seeds`` a (n_frames,) u32
+    array; ``frames_done`` (i32 scalar) is the number of frames actually
+    rendered.
+    """
+    while chunk > 1 and n_frames % chunk:
+        chunk //= 2
+    n_chunks = n_frames // chunk
+    step = make_render_step(scene, full_color=full_color, backend=backend,
+                            jit=False, accel=accel, transport=transport)
+    thr = float(threshold)
+
+    def render(state: FrameState, pose, seeds, frame0=jnp.int32(0)):
+        seeds_c = jnp.asarray(seeds).reshape(n_chunks, chunk)
+        frame0 = jnp.asarray(frame0, jnp.int32)
+
+        def noise_of(state, frames_done):
+            var_mean = jnp.mean(state.variance)
+            spp_mean = jnp.mean(state.samples)
+            total = spp_mean * frames_done.astype(jnp.float32)
+            return var_mean / jnp.maximum(total, 1e-9)
+
+        def cond(carry):
+            state, ci, _rays = carry
+            done = frame0 + ci * chunk
+            converged = (ci > 0) & (noise_of(state, done) < thr)
+            return (ci < n_chunks) & ~converged
+
+        def body(carry):
+            state, ci, rays = carry
+
+            def scan_body(st, inp):
+                seed, frame_number = inp
+                out = step(st, pose, seed, frame_number)
+                return out.state, out.rays
+
+            frames = frame0 + ci * chunk + jnp.arange(chunk,
+                                                      dtype=jnp.int32)
+            state, rays_k = jax.lax.scan(
+                scan_body, state, (seeds_c[ci], frames)
+            )
+            return state, ci + 1, rays + jnp.sum(rays_k)
+
+        state, ci, rays = jax.lax.while_loop(
+            cond, body, (state, jnp.int32(0), jnp.float32(0.0))
+        )
+        acc_v = V3(state.acc[0], state.acc[1], state.acc[2])
+        if full_color:
+            rgb = tm.tonemap_fullcolor(acc_v)
+            glyphs = jnp.zeros(rgb.shape[:2], jnp.uint8)
+        else:
+            rgb, glyphs = tm.tonemap_ascii(acc_v)
+        return state, rgb, glyphs, rays, ci * chunk
+
+    return jax.jit(render, donate_argnums=(0,))
 
 
 def make_scan_renderer(
@@ -41,29 +174,15 @@ def make_scan_renderer(
     frame0+n_frames-1; frame0=0 starts with a reset, frame0>0 continues a
     restored accumulation (--load-state resume).
     """
-    step = make_render_step(scene, full_color=full_color, backend=backend,
-                            jit=False, accel=accel, transport=transport)
+    chunk = make_chunk_renderer(scene, n_frames, full_color=full_color,
+                                backend=backend, accel=accel,
+                                transport=transport)
 
     def render(state: FrameState, pose, seeds, frame0=jnp.int32(0)):
-        def body(state, inp):
-            seed, frame_number = inp
-            out = step(state, pose, seed, frame_number)
-            return out.state, out.rays
+        out, rays = chunk(state, pose, seeds, frame0)
+        return out.state, out.rgb, out.glyphs, jnp.sum(rays)
 
-        frames = jnp.asarray(frame0, jnp.int32) + jnp.arange(
-            n_frames, dtype=jnp.int32
-        )
-        state, rays = jax.lax.scan(body, state, (seeds, frames))
-
-        acc_v = V3(state.acc[0], state.acc[1], state.acc[2])
-        if full_color:
-            rgb = tm.tonemap_fullcolor(acc_v)
-            glyphs = jnp.zeros(rgb.shape[:2], jnp.uint8)
-        else:
-            rgb, glyphs = tm.tonemap_ascii(acc_v)
-        return state, rgb, glyphs, jnp.sum(rays)
-
-    return jax.jit(render, donate_argnums=(0,))
+    return render
 
 
 def make_orbit_scan_renderer(
@@ -126,6 +245,7 @@ def make_animation_scan_renderer(
     full_color: bool = True,
     backend: str = "auto",
     transport: Optional[str] = None,
+    animated=None,
 ):
     """A whole ANIMATION as one compiled XLA program: ``lax.scan`` over
     per-frame geometry/material arrays (the ops.dynamic.pack_scene layout,
@@ -138,7 +258,8 @@ def make_animation_scan_renderer(
     glyphs u8 [n, H, W], rays_total)``.
     """
     step = make_render_step(scene, full_color=full_color, backend=backend,
-                            jit=False, dynamic=True, transport=transport)
+                            jit=False, dynamic=True, transport=transport,
+                            animated=animated)
 
     def render(pose, arrays_seq, seeds):
         state0 = init_state(scene)

@@ -47,6 +47,10 @@ class FrameOutput(NamedTuple):
     rgb: jnp.ndarray  # [H, W, 3] u8
     glyphs: jnp.ndarray  # [H, W] u8 (zeros in full-color mode)
     rays: jnp.ndarray  # f32 scalar: traversal sweeps this frame
+    # f32 scalar: measured sweep-weighted lane occupancy in [0, 1] — owed
+    # sweeps (rays) over executed lane-iteration sweeps. -1 where the
+    # backend doesn't surface it (jnp oracle, single-kernel schedulers).
+    occupancy: jnp.ndarray = None
 
 
 def init_state(scene: scene_mod.Scene) -> FrameState:
@@ -67,6 +71,7 @@ def make_render_step(
     transport: str = None,
     accel: str = "auto",
     dynamic: bool = False,
+    animated=None,
 ):
     """Build `step(state, pose16, seed, frame_number) -> FrameOutput`.
 
@@ -78,6 +83,9 @@ def make_render_step(
     ops.dynamic.pack_scene layout) and reads geometry/materials from it at
     runtime — the --animate mode; values change per frame, nothing
     retraces.
+    animated: with dynamic, the key subset that actually varies — the rest
+    folds back to baked constants (models.animate.ANIMATOR_KEYS for the
+    built-in animators; None = everything runtime).
     """
     if backend == "auto":
         backend = "pallas" if jax.default_backend().startswith("tpu") else "jnp"
@@ -85,7 +93,7 @@ def make_render_step(
     if backend == "jnp":
         tracer = tracer_mod.PathTracer(scene, unbiased=unbiased,
                                        transport=transport, accel=accel,
-                                       dynamic=dynamic)
+                                       dynamic=dynamic, dyn_animated=animated)
         render_frame = (tracer.render_frame_dynamic if dynamic
                         else tracer.render_frame)
     elif backend == "pallas":
@@ -93,20 +101,22 @@ def make_render_step(
 
         render_frame = pallas_kernel.make_render_frame(
             scene, unbiased=unbiased, transport=transport, accel=accel,
-            dynamic=dynamic)
+            dynamic=dynamic, animated=animated)
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
     def step(state: FrameState, pose, seed, frame_number,
              arrays=None) -> FrameOutput:
-        if dynamic:
-            current, variance, samples, rays = render_frame(
-                pose, seed, frame_number, arrays
-            )
+        args = (pose, seed, frame_number, arrays) if dynamic else (
+            pose, seed, frame_number)
+        res = render_frame(*args)
+        # The pallas render_frames append the measured occupancy; the
+        # oracle doesn't surface one.
+        if len(res) == 5:
+            current, variance, samples, rays, occ = res
         else:
-            current, variance, samples, rays = render_frame(
-                pose, seed, frame_number
-            )
+            current, variance, samples, rays = res
+            occ = jnp.float32(-1.0)
 
         # Temporal accumulation (shader.wgsl:612-620).
         fn = jnp.asarray(frame_number, jnp.float32)
@@ -126,6 +136,7 @@ def make_render_step(
             rgb=rgb,
             glyphs=glyphs,
             rays=rays,
+            occupancy=occ,
         )
 
     if jit:

@@ -20,6 +20,7 @@ class FrameTimers:
         self._frame_times = deque(maxlen=FPS_WINDOW)
         self._last_frame = None
         self._ray_rate_ema = None
+        self._last_fetch_t = None
 
     def start_frame(self):
         self._frame_start = time.perf_counter()
@@ -54,20 +55,29 @@ class FrameTimers:
         times = sorted(self._frame_times)
         return 1.0 / max(times[len(times) // 2], 1e-9)
 
-    def update_ray_rate(self, rays: float) -> float:
+    def update_ray_rate(self, rays: float, fetched_at: float = None) -> float:
         """Fold one frame's ray count into an exponential moving average of
         throughput (rays/s) and return it. Adaptive scenes draw different
         budgets per frame, so the instantaneous quotient jitters; the EMA
         tracks a shifting rate faster than a median over the FPS window
-        while still damping single-frame spikes."""
-        if self._frame_times:
-            rate = rays / max(self._frame_times[-1], 1e-9)
+        while still damping single-frame spikes.
+
+        `fetched_at`: perf_counter timestamp taken right after this frame's
+        device fetch completed. The rate pairs the fetched frame's ray
+        count with the interval between consecutive fetch completions —
+        under the pipelined engine the device computes exactly one frame
+        per such interval, so count and duration belong to the SAME frame
+        (the raw _frame_times entries are offset by one there)."""
+        now = time.perf_counter() if fetched_at is None else fetched_at
+        if self._last_fetch_t is not None:
+            rate = rays / max(now - self._last_fetch_t, 1e-9)
             if self._ray_rate_ema is None:
                 self._ray_rate_ema = rate
             else:
                 self._ray_rate_ema += MRAY_EMA_ALPHA * (
                     rate - self._ray_rate_ema
                 )
+        self._last_fetch_t = now
         return self._ray_rate_ema or 0.0
 
     @property
@@ -78,15 +88,20 @@ class FrameTimers:
         return times[len(times) // 2]
 
     def status_line(self, frame_count: int, frames_to_accumulate: int,
-                    mray_s: float = 0.0, samples: float = 0.0) -> str:
+                    mray_s: float = 0.0, samples: float = 0.0,
+                    occupancy: float = -1.0) -> str:
         """Same fields as lib.rs:551-558 (TPU/device wait replaces 'GPU'),
-        plus Mray/s and the adaptive sampler's mean samples/pixel."""
+        plus Mray/s, the adaptive sampler's mean samples/pixel, and — when
+        the sorted Pallas pipeline surfaces it — the measured lane
+        occupancy (owed sweeps / executed lane-iteration sweeps)."""
         total_ms = (time.perf_counter() - self._frame_start) * 1e3
         p = {k: v * 1e3 for k, v in self._phases.items()}
         other = total_ms - sum(p.values())
+        occ = f" | occ: {occupancy * 100.0:.0f}%" if occupancy >= 0.0 else ""
         return (
             f"Frame: {frame_count}/{frames_to_accumulate} | FPS: {self.fps:.1f} | "
             f"TPU: {p.get('tpu', 0):.0f}ms | CPU: {p.get('cpu', 0):.0f}ms | "
             f"IO: {p.get('io', 0):.0f}ms | Other: {other:.0f}ms | "
-            f"Total: {total_ms:.0f}ms | {mray_s:.0f} Mray/s | spp: {samples:.1f}"
+            f"Total: {total_ms:.0f}ms | {mray_s:.0f} Mray/s | "
+            f"spp: {samples:.1f}{occ}"
         )

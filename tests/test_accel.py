@@ -81,14 +81,17 @@ def test_culled_pallas_matches_oracle():
 
 
 def test_accel_selection():
+    from terminal_raytracer_tpu.ops.arrayscene import ArrayPrims
     from terminal_raytracer_tpu.ops.tracer import PathTracer
 
-    # auto == baked at every scale (measured: culling loses on TPU, see
-    # PathTracer.__init__ / tools/perf_probe3.py); 'grid' is opt-in.
+    # auto == baked at shipped scale, the array-resident sweep above the
+    # primitive-count threshold (see PathTracer.__init__); culling never
+    # wins (measured, tools/perf_probe3.py) so 'grid' stays opt-in.
     small = load_scene("Cornell_Box")
     assert isinstance(PathTracer(small).prims, geom.ScenePrims)
-    big = small_stress(96)
-    assert isinstance(PathTracer(big).prims, geom.ScenePrims)
+    big = small_stress(96)  # 96 spheres + 1 plane > ARRAY_AUTO_THRESHOLD
+    assert isinstance(PathTracer(big).prims, ArrayPrims)
+    assert isinstance(PathTracer(big, accel="baked").prims, geom.ScenePrims)
     assert isinstance(PathTracer(big, accel="grid").prims,
                       accel_mod.CulledPrims)
 

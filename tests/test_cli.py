@@ -305,3 +305,21 @@ def test_animate_scan_sequence(tmp_path):
     # missing --dump-image -> clear error
     out = run_cli(TINY + ["--frames", "3", "--animate", "bob", "--scan"])
     assert out.returncode == 2 and b"--dump-image" in out.stderr
+
+
+def test_until_noise_scan_composition():
+    """--until-noise composes with --scan (VERDICT r2 #8): a huge threshold
+    stops after the first on-device chunk; the incompatible combinations
+    are rejected up front."""
+    out = run_cli(TINY + ["--frames", "8", "--scan", "--until-noise", "1e9"])
+    assert out.returncode == 0, out.stderr.decode()
+
+    out = run_cli(TINY + ["--frames", "2", "--animate", "orbit",
+                          "--until-noise", "0.5"])
+    assert out.returncode == 2
+    assert "--until-noise" in out.stderr.decode()
+
+    out = run_cli(TINY + ["--frames", "2", "--turntable", "2", "--scan",
+                          "--until-noise", "0.5", "--dump-image", "x.png"])
+    assert out.returncode == 2
+    assert "--turntable" in out.stderr.decode()

@@ -96,7 +96,7 @@ def test_dof_pallas_matches_oracle():
     cur_o, _v, tot_o, rays_o = of(POSE, np.uint32(9), np.int32(0))
     for mode in ("regen", "sorted"):
         pf = jax.jit(pallas_kernel.make_render_frame(scene, mode=mode))
-        cur_p, _vp, tot_p, rays_p = pf(POSE, np.uint32(9), np.int32(0))
+        cur_p, _vp, tot_p, rays_p, _occ = pf(POSE, np.uint32(9), np.int32(0))
         assert float(rays_p) == float(rays_o), mode
         np.testing.assert_array_equal(
             np.asarray(tot_p), np.asarray(tot_o), mode

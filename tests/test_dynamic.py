@@ -64,11 +64,13 @@ def test_dynamic_pallas_matches_oracle():
     co, _vo, to, ro = jax.jit(dyn.render_frame_dynamic)(
         POSE, np.uint32(3), np.int32(0), arrays
     )
-    for mode in ("regen", "sorted"):  # sorted serves dynamic via regen
+    # 'sorted' runs the real two-kernel pipeline under dynamic values (the
+    # SMEM operands thread through both kernels).
+    for mode in ("regen", "sorted"):
         pf = jax.jit(
             pallas_kernel.make_render_frame(scene, mode=mode, dynamic=True)
         )
-        cp, _vp, tp, rp = pf(POSE, np.uint32(3), np.int32(0), arrays)
+        cp, _vp, tp, rp, _occ = pf(POSE, np.uint32(3), np.int32(0), arrays)
         assert float(rp) == float(ro), mode
         np.testing.assert_array_equal(np.asarray(tp), np.asarray(to), mode)
         np.testing.assert_allclose(
@@ -89,6 +91,60 @@ def test_dynamic_mis_transport():
         outs[transport] = (np.asarray(c.x), float(r))
     assert outs["reference"][1] == outs["mis"][1]  # same paths
     assert not np.array_equal(outs["reference"][0], outs["mis"][0])
+
+
+def test_animated_subset_folding_bit_identical_to_baked():
+    """With an `animated` key subset, the non-animated values fold back to
+    baked constants — at template values the result must stay bit-identical
+    to the fully-baked tracer, for the oracle AND the sorted Pallas
+    pipeline."""
+    from terminal_raytracer_tpu.models.animate import ANIMATOR_KEYS
+
+    scene = _scene("Cornell_Box")
+    arrays = pack_scene(scene)
+    cb, _vb, tb, rb = jax.jit(PathTracer(scene).render_frame)(
+        POSE, np.uint32(21), np.int32(0)
+    )
+    for name, keys in ANIMATOR_KEYS.items():
+        dyn = PathTracer(scene, dynamic=True, dyn_animated=keys)
+        cd, _vd, td, rd = jax.jit(dyn.render_frame_dynamic)(
+            POSE, np.uint32(21), np.int32(0), arrays
+        )
+        assert float(rb) == float(rd), name
+        np.testing.assert_array_equal(np.asarray(tb), np.asarray(td), name)
+        np.testing.assert_array_equal(np.asarray(cb.x), np.asarray(cd.x),
+                                      name)
+    pf = jax.jit(pallas_kernel.make_render_frame(
+        scene, mode="sorted", dynamic=True,
+        animated=ANIMATOR_KEYS["orbit"],
+    ))
+    cp, _vp, tp, rp, _occ = pf(POSE, np.uint32(21), np.int32(0), arrays)
+    assert float(rp) == float(rb)
+    np.testing.assert_array_equal(np.asarray(tp), np.asarray(tb))
+    np.testing.assert_allclose(np.asarray(cp.x), np.asarray(cb.x), atol=2e-5)
+
+
+def test_animator_keys_declarations_accurate():
+    """ANIMATOR_KEYS must cover exactly what each animator varies — the
+    folding machinery bakes everything else, so an undeclared moving key
+    would silently freeze."""
+    from terminal_raytracer_tpu.models.animate import ANIMATOR_KEYS
+
+    scene = _scene("Cornell_Box")
+    a0 = pack_scene(scene)
+    for name, fn in ANIMATORS.items():
+        keys = ANIMATOR_KEYS[name]
+        touched = set()
+        for t in (0, 3, 11, 40):
+            at = fn(a0, t)
+            for k in a0:
+                if not np.array_equal(at[k], a0[k]):
+                    touched.add(k)
+        undeclared = touched - set(keys)
+        assert not undeclared, (name, undeclared)
+        # and the declared set is live on this scene (where counts > 0)
+        live = {k for k in keys if a0[k].size > 0}
+        assert touched & live, name
 
 
 def test_animators_shapes_and_motion():

@@ -124,7 +124,7 @@ def test_fuzz_pallas_matches_oracle(case):
     of = jax.jit(tracer_mod.PathTracer(scene).render_frame)
     cur_o, _vo, tot_o, rays_o = of(POSE, np.uint32(42), np.int32(0))
     pf = jax.jit(pallas_kernel.make_render_frame(scene, mode="sorted"))
-    cur_p, _vp, tot_p, rays_p = pf(POSE, np.uint32(42), np.int32(0))
+    cur_p, _vp, tot_p, rays_p, _occ = pf(POSE, np.uint32(42), np.int32(0))
     assert float(rays_p) == float(rays_o), f"case {case}"
     np.testing.assert_array_equal(
         np.asarray(tot_p), np.asarray(tot_o), f"case {case}"

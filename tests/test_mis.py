@@ -248,7 +248,7 @@ def test_mis_pallas_matches_oracle():
         pf = jax.jit(
             pallas_kernel.make_render_frame(scene, mode=mode, transport="mis")
         )
-        cur_p, var_p, tot_p, rays_p = pf(POSE, np.uint32(11), np.int32(0))
+        cur_p, var_p, tot_p, rays_p, _occ = pf(POSE, np.uint32(11), np.int32(0))
         err = f"mode={mode}"
         for a, b in ((cur_p.x, cur_o.x), (cur_p.y, cur_o.y),
                      (cur_p.z, cur_o.z)):

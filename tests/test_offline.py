@@ -37,6 +37,31 @@ def test_scan_matches_python_loop():
     assert float(rays_s) == total_rays
 
 
+def test_chunked_headless_matches_per_frame():
+    """Engine.run_headless with the chunked dispatch (k frames per compiled
+    call) is bit-identical to per-frame driving on the same deterministic
+    seed sequence — including a non-divisible n_frames (8+8+3)."""
+    from terminal_raytracer_tpu.runtime.engine import Engine
+
+    scene = load_scene("scene2").with_overrides(
+        width=48, height=16, samples_per_pixel=4, max_depth=3
+    )
+    fetched = {}
+    for chunk in ("auto", 1):
+        eng = Engine(scene, full_color=False, backend="jnp",
+                     deterministic=7)
+        fetched[chunk] = eng.run_headless(19, chunk=chunk)
+        assert eng.frame_count == 19
+        fetched[f"state{chunk}"] = np.asarray(eng.state.acc)
+    rgb_c, gly_c, rays_c, spp_c, _ = fetched["auto"]
+    rgb_p, gly_p, rays_p, spp_p, _ = fetched[1]
+    np.testing.assert_array_equal(np.asarray(rgb_c), np.asarray(rgb_p))
+    np.testing.assert_array_equal(np.asarray(gly_c), np.asarray(gly_p))
+    assert float(rays_c) == float(rays_p)  # last frame's count either way
+    assert float(spp_c) == float(spp_p)
+    np.testing.assert_array_equal(fetched["stateauto"], fetched["state1"])
+
+
 def test_render_accumulated_convenience():
     from terminal_raytracer_tpu.runtime.offline import render_accumulated
 
@@ -93,3 +118,63 @@ def test_orbit_scan_renderer():
         np.stack([seeds[0]] * n_poses),
     )
     np.testing.assert_array_equal(np.asarray(solo)[2], np.asarray(solo)[0])
+
+
+def test_noise_scan_stops_and_caps():
+    """--until-noise composed with --scan (VERDICT r2 #8): a huge threshold
+    stops after the first chunk; threshold 0 runs to the frame cap and is
+    bit-identical to the plain scan on the same seeds."""
+    from terminal_raytracer_tpu.runtime.offline import (
+        make_noise_scan_renderer,
+    )
+
+    scene = load_scene("scene2").with_overrides(
+        width=48, height=16, samples_per_pixel=4, max_depth=3
+    )
+    pose = Camera().pose()
+    seeds = (np.arange(8, dtype=np.uint64) * 977 + 13).astype(np.uint32)
+
+    render_hi = make_noise_scan_renderer(
+        scene, 8, threshold=1e9, chunk=2, full_color=True, backend="jnp"
+    )
+    _st, _rgb, _gly, _rays, done = jax.device_get(
+        render_hi(init_state(scene), pose, jnp.asarray(seeds))
+    )
+    assert int(done) == 2  # first chunk always renders, then converged
+
+    render_lo = make_noise_scan_renderer(
+        scene, 8, threshold=0.0, chunk=2, full_color=True, backend="jnp"
+    )
+    st_n, rgb_n, _g, rays_n, done_n = render_lo(
+        init_state(scene), pose, jnp.asarray(seeds)
+    )
+    assert int(jax.device_get(done_n)) == 8  # cap respected
+
+    render = make_scan_renderer(scene, n_frames=8, full_color=True,
+                                backend="jnp")
+    st_s, rgb_s, _g2, rays_s = render(init_state(scene), pose,
+                                      jnp.asarray(seeds))
+    np.testing.assert_array_equal(np.asarray(st_n.acc), np.asarray(st_s.acc))
+    np.testing.assert_array_equal(np.asarray(rgb_n), np.asarray(rgb_s))
+    assert float(jax.device_get(rays_n)) == float(jax.device_get(rays_s))
+
+
+def test_noise_scan_chunk_clamps_to_divisor():
+    """A chunk that doesn't divide the cap clamps down (8->...->1) so the
+    cap stays exact."""
+    from terminal_raytracer_tpu.runtime.offline import (
+        make_noise_scan_renderer,
+    )
+
+    scene = load_scene("scene2").with_overrides(
+        width=48, height=16, samples_per_pixel=4, max_depth=2
+    )
+    pose = Camera().pose()
+    seeds = (np.arange(7, dtype=np.uint64) * 31 + 5).astype(np.uint32)
+    render = make_noise_scan_renderer(
+        scene, 7, threshold=0.0, chunk=8, full_color=True, backend="jnp"
+    )
+    _st, _rgb, _gly, _rays, done = jax.device_get(
+        render(init_state(scene), pose, jnp.asarray(seeds))
+    )
+    assert int(done) == 7

@@ -120,12 +120,52 @@ def test_indivisible_height_raises():
         make_sharded_render_step(scene, mesh)
 
 
-def test_indivisible_base_budget_raises():
-    # spp=24 -> base = max(4, 24//4) = 6, not divisible by sp=4.
+def test_indivisible_base_budget_matches_single_chip_semantics():
+    """VERDICT r2 #4: spp=24 -> base = max(4, 24//4) = 6 splits over sp=4
+    as unequal shares (2,2,1,1) via a runtime per-shard quota — no config
+    is rejected. The merged estimator still follows the single-chip budget
+    formula applied to the merged variance."""
     scene = _scene(samples_per_pixel=24)
     mesh = make_mesh(n_px=2, n_sp=4)
-    with pytest.raises(ValueError, match="not divisible"):
-        make_sharded_render_step(scene, mesh)
+    step, mk_state = make_sharded_render_step(scene, mesh, backend="jnp")
+    out = step(mk_state(), POSE, np.uint32(5), np.int32(0))
+    acc = np.asarray(out.state.acc)
+    assert np.isfinite(acc).all() and acc.shape == (3, 32, 64)
+
+    var = np.asarray(out.state.variance)
+    samples = np.asarray(out.state.samples)
+    base, spp = 6.0, 24.0
+    expect = base + np.where(
+        var > 10.0, np.minimum(spp - base, np.floor(var * 50.0)), 0.0
+    )
+    np.testing.assert_array_equal(samples, expect)
+
+    # Statistical agreement with the single-chip full-spp render (same
+    # estimator, decorrelated RNG).
+    ref = make_render_step(scene, backend="jnp")(
+        init_state(scene), POSE, np.uint32(5), np.int32(0)
+    )
+    assert abs(acc.mean() - np.asarray(ref.state.acc).mean()) < 0.05
+
+
+def test_indivisible_base_budget_pallas_matches_jnp():
+    """The runtime-quota base kernel + samp0-override extra phase agree
+    bit-for-bit with the jnp decomposition on an indivisible split
+    (spp=8 -> base=4 over sp=8: shares 1,1,1,1,0,0,0,0 — including
+    zero-share shards, the VERDICT r2 #4 example shape)."""
+    scene = _scene(width=128, height=8, samples_per_pixel=8, max_depth=2)
+    mesh = make_mesh(n_px=1, n_sp=8)
+    step_p, mk_p = make_sharded_render_step(scene, mesh, backend="pallas")
+    step_j, mk_j = make_sharded_render_step(scene, mesh, backend="jnp")
+    a = step_p(mk_p(), POSE, np.uint32(9), np.int32(0))
+    b = step_j(mk_j(), POSE, np.uint32(9), np.int32(0))
+    assert float(a.rays) == float(b.rays)
+    np.testing.assert_allclose(
+        np.asarray(a.state.acc), np.asarray(b.state.acc), atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.state.samples), np.asarray(b.state.samples)
+    )
 
 
 def test_pallas_sharded_matches_jnp_sharded():
