@@ -64,6 +64,14 @@ TRI_KEYS = ("t_ax", "t_ay", "t_az",
             "t_colr", "t_colg", "t_colb",
             "t_emir", "t_emig", "t_emib", "t_refl", "t_lia")
 
+# Manual fori body unroll factor: amortizes the loop's scalar bookkeeping
+# (and pipelines the SMEM scalar loads) over several per-primitive sweeps.
+# Measured on v5e (tools/perf_probe11.py, stress:256/512/1024): u8 is
+# 1.6-1.9x u1 and MATCHES the unrolled baked sweep at 256 primitives
+# (37.0 vs 37.2 Mray/s) at 16x faster compile (21 s vs 334 s); u16/u32
+# gain nothing further. Tunable per-build via ArrayPrims(unroll=).
+DEFAULT_UNROLL = 8
+
 
 def pack_scene_soa(scene: scene_mod.Scene):
     """Scene -> {key: (count,) f32 ndarray} in the layout above, derived
@@ -168,12 +176,13 @@ class ArrayPrims:
 
     PREREAD = False
 
-    def __init__(self, scene: scene_mod.Scene, unroll: int = 1):
+    def __init__(self, scene: scene_mod.Scene, unroll: int = None):
         self.scene = scene
         self.n_spheres = len(scene.spheres)
         self.n_planes = len(scene.planes)
         self.n_triangles = len(scene.triangles)
-        self.unroll = max(int(unroll), 1)
+        self.unroll = max(int(DEFAULT_UNROLL if unroll is None else unroll),
+                          1)
         self.host_arrays = pack_scene_soa(scene)
         counts = {"s": self.n_spheres, "p": self.n_planes,
                   "t": self.n_triangles}
@@ -198,9 +207,27 @@ class ArrayPrims:
     # ---- the fori_loop sweeps --------------------------------------------
 
     def _fori(self, n, body, carry):
+        """fori_loop with MANUAL partial unroll: Mosaic's fori lowering
+        only supports unroll=1 or full unroll, so factor-u unrolling is u
+        inlined body calls per iteration plus a statically-unrolled tail."""
         if n == 0:
             return carry
-        return jax.lax.fori_loop(0, n, body, carry, unroll=self.unroll)
+        u = min(self.unroll, n)
+        if u <= 1:
+            return jax.lax.fori_loop(0, n, body, carry)
+        main = n - (n % u)
+        if main:
+
+            def body_u(j, c):
+                i0 = j * u
+                for t in range(u):
+                    c = body(i0 + t, c)
+                return c
+
+            carry = jax.lax.fori_loop(0, main // u, body_u, carry)
+        for i in range(main, n):
+            carry = body(i, carry)
+        return carry
 
     def _hit_update(self, rec: _Rec, better, t, n_i: V3, pre: str, i,
                     lia) -> _Rec:

@@ -12,11 +12,14 @@ One TPU process; exits cleanly (never kill it mid-run).
 """
 
 import argparse
+import os
 import statistics
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 
 def bench_case(scene, accel, frames, reps):
@@ -58,25 +61,32 @@ def main():
     ap.add_argument("--sizes", default="64,128,256,512,1024")
     ap.add_argument("--skip-baked-above", type=int, default=300,
                     help="baked compile time explodes O(N); skip above")
+    ap.add_argument("--unrolls", default="1,4,8",
+                    help="array-sweep fori unroll factors to measure")
     args = ap.parse_args()
 
     from terminal_raytracer_tpu.models import load_scene
+    from terminal_raytracer_tpu.ops import arrayscene
 
+    unrolls = [int(u) for u in args.unrolls.split(",")]
     for n in [int(s) for s in args.sizes.split(",")]:
         scene = load_scene(f"stress:{n}")
-        row = [f"stress:{n:5d}"]
         rays = {}
-        for accel in ("baked", "array"):
-            if accel == "baked" and n > args.skip_baked_above:
-                row.append("baked: skipped (compile)")
-                continue
-            m, c, r0 = bench_case(scene, accel, args.frames, args.reps)
-            rays[accel] = r0
-            row.append(f"{accel}: {m:7.1f} Mray/s (compile {c:5.1f}s)")
-        if len(rays) == 2:
-            ok = rays["baked"] == rays["array"]
-            row.append(f"rays {'==' if ok else '!= MISMATCH'}")
-        print(" | ".join(row), flush=True)
+        if n <= args.skip_baked_above:
+            m, c, r0 = bench_case(scene, "baked", args.frames, args.reps)
+            rays["baked"] = r0
+            print(f"stress:{n:5d} baked    : {m:7.1f} Mray/s "
+                  f"(compile {c:5.1f}s)", flush=True)
+        for u in unrolls:
+            arrayscene.DEFAULT_UNROLL = u
+            m, c, r0 = bench_case(scene, "array", args.frames, args.reps)
+            rays[f"array u{u}"] = r0
+            print(f"stress:{n:5d} array u{u:<2d}: {m:7.1f} Mray/s "
+                  f"(compile {c:5.1f}s)", flush=True)
+        arrayscene.DEFAULT_UNROLL = 1
+        vals = set(rays.values())
+        print(f"stress:{n:5d} rays "
+              f"{'==' if len(vals) == 1 else f'MISMATCH {rays}'}", flush=True)
 
 
 if __name__ == "__main__":
