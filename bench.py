@@ -64,6 +64,9 @@ CONFIGS = {
     # dynamic (animated) scenes: geometry streams through SMEM as runtime
     # values (ops/dynamic.py; --animate); north-star params, orbit animator
     "dynamic": dict(scene="Cornell_Box", spp=16, depth=32, dynamic=True),
+    # animated AT SCALE: dynamic x array traversal (ops/arrayscene.py
+    # ArrayDynPrims) — runtime values AND O(1) kernel code in N
+    "dynamic1024": dict(scene="stress:1024", dynamic=True),
 }
 
 

@@ -347,3 +347,186 @@ class ArrayPrims:
         blocked = self._fori(self.n_planes, plane, blocked)
         blocked = self._fori(self.n_triangles, triangle, blocked)
         return blocked != 0.0
+
+
+# ---------------------------------------------------------------------------
+# Dynamic (animated) scenes at scale
+# ---------------------------------------------------------------------------
+
+# Per-light compact operand keys (traced scalars, pre-read in-kernel like
+# DynPrims values — the light set is tiny). Sphere lights / triangle lights.
+LIGHT_S_KEYS = ("ls_cx", "ls_cy", "ls_cz", "ls_r", "ls_er", "ls_eg", "ls_eb")
+LIGHT_T_KEYS = ("lt_ax", "lt_ay", "lt_az", "lt_bx", "lt_by", "lt_bz",
+                "lt_cx", "lt_cy", "lt_cz", "lt_er", "lt_eg", "lt_eb")
+
+_FOUR_PI = 4.0 * 3.14159265359  # matches ops/dynamic.DynPrims._sweep
+
+
+class ArrayDynPrims(ArrayPrims):
+    """Dynamic (animated) scenes with the ArrayPrims traversal: runtime
+    geometry/material values AND O(1) kernel code size in primitive count
+    — the composition of --animate (ops/dynamic.py) with --accel array.
+
+    bind() takes the ops.dynamic.pack_scene mapping (the dynamic step's
+    `arrays` input) and computes the derived SoA quantities (plane unit
+    normals, triangle edges/normals, 1/r, light 1/area) IN-GRAPH with the
+    exact op sequence DynPrims uses for traced values (vm.normalize /
+    vm.cross / vm.length on (N,) lanes), so a dynamic-array render is
+    bit-identical to the fully-dynamic DynPrims render at equal values.
+
+    NEE lights keep DynPrims semantics: the static light topology indexes
+    compact per-light value arrays (`LIGHT_*_KEYS`) that ride as pre-read
+    SMEM scalars in the kernels — O(n_lights), not O(N)."""
+
+    def __init__(self, scene: scene_mod.Scene, unroll: int = None):
+        super().__init__(scene, unroll=unroll)
+        # Static light topology, like DynPrims (planes never sampled,
+        # shader.wgsl:390-391).
+        self.light_topology = []
+        for i, s in enumerate(scene.spheres):
+            if s.material.is_light:
+                self.light_topology.append((scene_mod.SPHERE, i))
+        for i, t in enumerate(scene.triangles):
+            if t.material.is_light:
+                self.light_topology.append((scene_mod.TRIANGLE, i))
+        self._ls_idx = np.array(
+            [i for k, i in self.light_topology if k == scene_mod.SPHERE],
+            np.int32,
+        )
+        self._lt_idx = np.array(
+            [i for k, i in self.light_topology if k == scene_mod.TRIANGLE],
+            np.int32,
+        )
+        ns_l, nt_l = len(self._ls_idx), len(self._lt_idx)
+        self.light_layout = (
+            [(k, ns_l) for k in LIGHT_S_KEYS if ns_l] +
+            [(k, nt_l) for k in LIGHT_T_KEYS if nt_l]
+        )
+        self.dyn_layout = list(self.dyn_layout) + self.light_layout
+        # Static masks for the in-graph light_inv_area computation.
+        self._s_is_light = np.array(
+            [s.material.is_light for s in scene.spheres], bool)
+        self._t_is_light = np.array(
+            [t.material.is_light for t in scene.triangles], bool)
+
+    # ---- in-graph derivation (pack_scene -> operand values) ---------------
+
+    def operand_values(self, packed):
+        """pack_scene-layout mapping (traced or numpy) -> {operand key:
+        (count,) f32 array} for every dyn_layout key. All derived math is
+        jnp, mirroring DynPrims' traced-value op sequences exactly."""
+        a = {k: jnp.asarray(v, jnp.float32) for k, v in packed.items()}
+        out = {}
+        for k in ("s_cx", "s_cy", "s_cz", "s_r"):
+            out[k] = a[k]
+        if self.n_spheres:
+            r = a["s_r"]
+            out["s_invr"] = 1.0 / r
+            out["s_lia"] = jnp.where(
+                jnp.asarray(self._s_is_light),
+                1.0 / (_FOUR_PI * r * r), 0.0,
+            )
+        else:
+            out["s_invr"] = a["s_r"]
+            out["s_lia"] = a["s_r"]
+        for pre in ("s", "p", "t"):
+            for ch in ("colr", "colg", "colb", "emir", "emig", "emib",
+                       "refl"):
+                out[f"{pre}_{ch}"] = a[f"{pre}_{ch}"]
+        for k in ("p_px", "p_py", "p_pz", "p_nx", "p_ny", "p_nz"):
+            out[k] = a[k]
+        if self.n_planes:
+            u = vm.normalize(V3(a["p_nx"], a["p_ny"], a["p_nz"]))
+            out["p_ux"], out["p_uy"], out["p_uz"] = u.x, u.y, u.z
+        else:
+            out["p_ux"] = out["p_uy"] = out["p_uz"] = a["p_nx"]
+        for k in ("t_ax", "t_ay", "t_az"):
+            out[k] = a[k]
+        if self.n_triangles:
+            v0 = V3(a["t_ax"], a["t_ay"], a["t_az"])
+            v1 = V3(a["t_bx"], a["t_by"], a["t_bz"])
+            v2 = V3(a["t_cx"], a["t_cy"], a["t_cz"])
+            e1, e2 = v1 - v0, v2 - v0
+            cr = vm.cross(e1, e2)
+            cr_len = vm.length(cr)
+            u = cr / cr_len
+            out["t_e1x"], out["t_e1y"], out["t_e1z"] = e1.x, e1.y, e1.z
+            out["t_e2x"], out["t_e2y"], out["t_e2z"] = e2.x, e2.y, e2.z
+            out["t_ux"], out["t_uy"], out["t_uz"] = u.x, u.y, u.z
+            out["t_lia"] = jnp.where(
+                jnp.asarray(self._t_is_light), 1.0 / (0.5 * cr_len), 0.0
+            )
+        else:
+            z = a["t_ax"]
+            for k in ("t_e1x", "t_e1y", "t_e1z", "t_e2x", "t_e2y", "t_e2z",
+                      "t_ux", "t_uy", "t_uz", "t_lia"):
+                out[k] = z
+        # Compact per-light values (static topology indices).
+        if len(self._ls_idx):
+            idx = jnp.asarray(self._ls_idx)
+            for op, key in zip(LIGHT_S_KEYS,
+                               ("s_cx", "s_cy", "s_cz", "s_r",
+                                "s_emir", "s_emig", "s_emib")):
+                out[op] = a[key][idx]
+        if len(self._lt_idx):
+            idx = jnp.asarray(self._lt_idx)
+            for op, key in zip(LIGHT_T_KEYS,
+                               ("t_ax", "t_ay", "t_az", "t_bx", "t_by",
+                                "t_bz", "t_cx", "t_cy", "t_cz",
+                                "t_emir", "t_emig", "t_emib")):
+                out[op] = a[key][idx]
+        return out
+
+    def kernel_operands(self, packed):
+        """Host-side: the operand tuple for a render call (dyn_layout
+        order), derived in-graph from the pack_scene `arrays` input."""
+        vals = self.operand_values(packed)
+        return tuple(vals[k] for k, _n in self.dyn_layout)
+
+    # ---- binding -----------------------------------------------------------
+
+    def bind(self, packed) -> "ArrayDynPrims":
+        """Oracle path: bind the pack_scene mapping (derives SoA +
+        light values in-graph)."""
+        self._a = self.operand_values(packed)
+        return self
+
+    def bind_refs(self, refs) -> "ArrayDynPrims":
+        """Kernel path: SoA sweep keys bind their SMEM refs (the fori
+        sweep reads ref[i] at traced indices); the compact light keys
+        pre-read into traced scalars (DynPrims-style — O(n_lights))."""
+        light_keys = {k for k, _n in self.light_layout}
+        a = {}
+        for k, n in self.dyn_layout:
+            a[k] = ([refs[k][i] for i in range(n)] if k in light_keys
+                    else refs[k])
+        self._a = a
+        return self
+
+    # ---- NEE light list (tracer.direct_light consumes) ---------------------
+
+    def light_list(self):
+        """Same structure as DynPrims.light_list, from the compact
+        per-light values."""
+        a = self._a
+        out = []
+        s_pos = {int(i): j for j, i in enumerate(self._ls_idx)}
+        t_pos = {int(i): j for j, i in enumerate(self._lt_idx)}
+        for kind, i in self.light_topology:
+            if kind == scene_mod.SPHERE:
+                j = s_pos[i]
+                c = V3(a["ls_cx"][j], a["ls_cy"][j], a["ls_cz"][j])
+                emi = V3(a["ls_er"][j], a["ls_eg"][j], a["ls_eb"][j])
+                out.append((kind, (c, a["ls_r"][j]), emi))
+            else:
+                j = t_pos[i]
+                v0 = V3(a["lt_ax"][j], a["lt_ay"][j], a["lt_az"][j])
+                v1 = V3(a["lt_bx"][j], a["lt_by"][j], a["lt_bz"][j])
+                v2 = V3(a["lt_cx"][j], a["lt_cy"][j], a["lt_cz"][j])
+                e1, e2 = v1 - v0, v2 - v0
+                cr = vm.cross(e1, e2)
+                cr_len = vm.length(cr)
+                emi = V3(a["lt_er"][j], a["lt_eg"][j], a["lt_eb"][j])
+                out.append((kind, (v0, v1, v2, cr / cr_len, 0.5 * cr_len),
+                            emi))
+        return out

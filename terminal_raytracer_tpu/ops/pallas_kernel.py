@@ -112,14 +112,20 @@ def _dyn_bind_front(tracer, rest):
     layout = _dyn_layout(tracer)
     if not layout:
         return rest
-    if getattr(tracer.prims, "PREREAD", True):
+    if hasattr(tracer.prims, "bind_refs"):
+        # ArrayDynPrims: SoA sweep keys keep their refs, compact light
+        # keys pre-read (O(n_lights)).
+        tracer.prims.bind_refs(
+            {k: ref for (k, _n), ref in zip(layout, rest)}
+        )
+    elif getattr(tracer.prims, "PREREAD", True):
         vals = {
             k: [ref[i] for i in range(n)]
             for (k, n), ref in zip(layout, rest)
         }
+        tracer.prims.bind(vals)
     else:
-        vals = {k: ref for (k, _n), ref in zip(layout, rest)}
-    tracer.prims.bind(vals)
+        tracer.prims.bind({k: ref for (k, _n), ref in zip(layout, rest)})
     return rest[len(layout):]
 
 
@@ -139,6 +145,16 @@ def _auto_scene_ops(tracer):
 def _dyn_ops(layout, arrays):
     """Host-side: the operand tuple for a render call, in layout order."""
     return tuple(jnp.asarray(arrays[k], jnp.float32) for k, _n in layout)
+
+
+def _dyn_values(tracer, arrays):
+    """Host-side operand tuple from a dynamic step's pack_scene `arrays`
+    input: ArrayDynPrims derives its SoA + light operands in-graph
+    (kernel_operands); DynPrims operands are the arrays themselves."""
+    prims = tracer.prims
+    if hasattr(prims, "kernel_operands"):
+        return prims.kernel_operands(arrays)
+    return _dyn_ops(prims.dyn_layout, arrays)
 
 
 def _carry_dtype_counts(tracer, tile_h, tile_w):
@@ -365,7 +381,7 @@ def make_render_frame(
             seed = jnp.asarray(seed, jnp.uint32).reshape((1,))
             frame = jnp.asarray(frame_number, jnp.int32).reshape((1,))
             y0 = jnp.asarray(y0, jnp.int32).reshape((1,))
-            scene_ops = _dyn_ops(dyn_operands, arrays)
+            scene_ops = _dyn_values(tracer, arrays)
             r, g, b, var, tot, rays = call(pose, seed, frame, y0, *scene_ops)
             # occ = -1: the single-kernel schedulers don't surface their
             # iteration counts (the sorted default does).
@@ -1116,7 +1132,7 @@ def make_sorted_render_frame(
 
         def render_frame(pose, seed, frame_number, arrays, y0=0):
             return render_body(pose, seed, frame_number, y0,
-                               _dyn_ops(dyn_operands, arrays))
+                               _dyn_values(tracer, arrays))
     else:
 
         def render_frame(pose, seed, frame_number, y0=0):

@@ -214,9 +214,19 @@ class PathTracer:
         # subset back to baked constants (see DynPrims).
         self.dynamic = dynamic
         if dynamic:
-            from . import dynamic as dyn_mod
+            if accel == "array":
+                # Animated scenes at scale: the fori-sweep traversal over
+                # RUNTIME SoA values (derived in-graph) — O(1) code size,
+                # unlike DynPrims' per-primitive unrolling. The animated
+                # key subset is ignored here (nothing folds: every value
+                # is an array element either way).
+                from . import arrayscene
 
-            self.prims = dyn_mod.DynPrims(scene, animated=dyn_animated)
+                self.prims = arrayscene.ArrayDynPrims(scene)
+            else:
+                from . import dynamic as dyn_mod
+
+                self.prims = dyn_mod.DynPrims(scene, animated=dyn_animated)
         elif accel == "grid":
             from . import accel as accel_mod
 

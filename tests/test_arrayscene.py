@@ -83,3 +83,52 @@ def test_auto_threshold():
     big = stress_scene(ARRAY_AUTO_THRESHOLD + 64)
     assert PathTracer(small).accel == "baked"
     assert PathTracer(big).accel == "array"
+
+
+def test_dynamic_array_matches_dynprims():
+    """Animated scenes at scale (ArrayDynPrims): runtime pack_scene values
+    through the fori sweep + traced light values must be BIT-identical to
+    the fully-dynamic DynPrims render at equal (moved) values — on a
+    sphere-light stress field and on Cornell (animated triangle lights)."""
+    from terminal_raytracer_tpu.models.animate import orbit
+    from terminal_raytracer_tpu.ops.arrayscene import ArrayDynPrims
+    from terminal_raytracer_tpu.ops.dynamic import pack_scene
+
+    for name in ("stress:48", "Cornell_Box"):
+        scene = _small(name)
+        arrays = orbit(pack_scene(scene), 5)
+        dp = PathTracer(scene, dynamic=True, accel="baked")
+        ap = PathTracer(scene, dynamic=True, accel="array")
+        assert isinstance(ap.prims, ArrayDynPrims), name
+        cd, vd, td, rd = jax.device_get(jax.jit(dp.render_frame_dynamic)(
+            POSE, np.uint32(7), np.int32(0), arrays))
+        ca, va, ta, ra = jax.device_get(jax.jit(ap.render_frame_dynamic)(
+            POSE, np.uint32(7), np.int32(0), arrays))
+        assert float(rd) == float(ra), name
+        np.testing.assert_array_equal(np.asarray(td), np.asarray(ta), name)
+        np.testing.assert_array_equal(np.asarray(vd), np.asarray(va), name)
+        np.testing.assert_array_equal(np.asarray(cd.x), np.asarray(ca.x),
+                                      name)
+
+
+def test_dynamic_array_pallas_matches_oracle():
+    """Both Pallas schedulers run the dynamic-array mode (SoA refs + light
+    scalars through SMEM) and agree with the ArrayDynPrims oracle."""
+    from terminal_raytracer_tpu.models.animate import orbit
+    from terminal_raytracer_tpu.ops.dynamic import pack_scene
+
+    scene = stress_scene(48, seed=3, width=128, height=16,
+                         samples_per_pixel=8, max_depth=2)
+    arrays = orbit(pack_scene(scene), 5)
+    ap = PathTracer(scene, dynamic=True, accel="array")
+    co, _vo, to, ro = jax.device_get(jax.jit(ap.render_frame_dynamic)(
+        POSE, np.uint32(3), np.int32(0), arrays))
+    for mode in ("regen", "sorted"):
+        pf = jax.jit(pallas_kernel.make_render_frame(
+            scene, mode=mode, dynamic=True, accel="array"))
+        cp, _vp, tp, rp, _occ = jax.device_get(
+            pf(POSE, np.uint32(3), np.int32(0), arrays))
+        assert float(rp) == float(ro), mode
+        np.testing.assert_array_equal(np.asarray(tp), np.asarray(to), mode)
+        np.testing.assert_allclose(np.asarray(cp.x), np.asarray(co.x),
+                                   atol=2e-5, err_msg=mode)
