@@ -350,10 +350,11 @@ def _turntable_path(pattern: str, k: int) -> str:
     return f"{stem}_{k:03d}{ext or '.png'}"
 
 
-def _check_sequence_pattern(pattern: str) -> str:
+def _check_sequence_pattern(pattern: str) -> "str | None":
     """Validate a --dump-image sequence pattern BEFORE rendering: a stray
-    or non-integer '%' (e.g. '100%.png', 'out%s.png') would otherwise raise
-    only after the full render completes. Returns an error string or None."""
+    or incomplete '%' (e.g. '100%.png') would otherwise raise only after
+    the full render completes. ('%s' formats an int fine, so it passes —
+    outputs stay unique per frame.) Returns an error string or None."""
     try:
         _turntable_path(pattern, 0)
     except (TypeError, ValueError) as e:

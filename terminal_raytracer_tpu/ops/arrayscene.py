@@ -74,57 +74,32 @@ DEFAULT_UNROLL = 8
 
 
 def pack_scene_soa(scene: scene_mod.Scene):
-    """Scene -> {key: (count,) f32 ndarray} in the layout above, derived
-    quantities precomputed with the baked path's stepwise-f32 host math."""
-    out = {}
+    """Scene -> {key: (count,) f32 ndarray} covering the layout above:
+    ops.dynamic.pack_scene's geometry/material arrays (one extraction
+    path, shared with the dynamic modes) plus the derived quantities,
+    precomputed with the baked path's stepwise-f32 host math."""
+    from . import dynamic as dyn_mod
 
-    def mat(prefix, prims):
-        for ch, sel in (
-            ("colr", lambda m: m.color[0]), ("colg", lambda m: m.color[1]),
-            ("colb", lambda m: m.color[2]),
-            ("emir", lambda m: m.emission[0]),
-            ("emig", lambda m: m.emission[1]),
-            ("emib", lambda m: m.emission[2]),
-            ("refl", lambda m: m.reflectivity),
-        ):
-            out[f"{prefix}_{ch}"] = np.array(
-                [sel(p.material) for p in prims], np.float32
-            )
+    out = dict(dyn_mod.pack_scene(scene))
 
-    sph = scene.spheres
-    out["s_cx"] = np.array([s.center[0] for s in sph], np.float32)
-    out["s_cy"] = np.array([s.center[1] for s in sph], np.float32)
-    out["s_cz"] = np.array([s.center[2] for s in sph], np.float32)
-    out["s_r"] = np.array([s.radius for s in sph], np.float32)
     out["s_invr"] = np.array(
-        [np.float32(1.0) / np.float32(s.radius) for s in sph], np.float32
+        [np.float32(1.0) / np.float32(s.radius) for s in scene.spheres],
+        np.float32,
     )
     out["s_lia"] = np.array(
         [1.0 / (4.0 * 3.14159265359 * float(s.radius) ** 2)
-         if s.material.is_light else 0.0 for s in sph], np.float32
+         if s.material.is_light else 0.0 for s in scene.spheres], np.float32
     )
-    mat("s", sph)
 
-    pls = scene.planes
-    out["p_px"] = np.array([p.point[0] for p in pls], np.float32)
-    out["p_py"] = np.array([p.point[1] for p in pls], np.float32)
-    out["p_pz"] = np.array([p.point[2] for p in pls], np.float32)
-    out["p_nx"] = np.array([p.normal[0] for p in pls], np.float32)
-    out["p_ny"] = np.array([p.normal[1] for p in pls], np.float32)
-    out["p_nz"] = np.array([p.normal[2] for p in pls], np.float32)
     units = []
-    for p in pls:
+    for p in scene.planes:
         n = np.asarray(p.normal, np.float32)
         units.append(n / np.float32(np.sqrt(np.dot(n, n))))
-    units = (np.stack(units) if pls
+    units = (np.stack(units) if scene.planes
              else np.zeros((0, 3), np.float32)).astype(np.float32)
     out["p_ux"], out["p_uy"], out["p_uz"] = units.T
-    mat("p", pls)
 
     tris = scene.triangles
-    out["t_ax"] = np.array([t.v0[0] for t in tris], np.float32)
-    out["t_ay"] = np.array([t.v0[1] for t in tris], np.float32)
-    out["t_az"] = np.array([t.v0[2] for t in tris], np.float32)
     e1s, e2s, uns, lias = [], [], [], []
     for t in tris:
         e1, e2, n_unit, area = geom._tri_edges_f32(t)
@@ -140,7 +115,6 @@ def pack_scene_soa(scene: scene_mod.Scene):
     out["t_e2x"], out["t_e2y"], out["t_e2z"] = e2s.T
     out["t_ux"], out["t_uy"], out["t_uz"] = uns.T
     out["t_lia"] = np.array(lias, np.float32)
-    mat("t", tris)
     return {k: np.ascontiguousarray(v, np.float32) for k, v in out.items()}
 
 

@@ -164,7 +164,13 @@ class ScenePrims:
         # Hit.light_inv_area channel (MIS mode).
         self._light_inv_area: List[float] = []
         for tag, prim in prim_list:
-            emissive = any(float(e) > 0.0 for e in prim.material.emission)
+            # NEE samples a primitive iff sum(emission) > 1e-3 — the
+            # reference's light_power test (shader.wgsl:345-346), which
+            # Material.is_light mirrors. light_inv_area must gate on the
+            # same set: it is the pdf of the NEE strategy MIS weighs
+            # against, so a sub-threshold emitter (never NEE-sampled)
+            # keeps lia = 0 and its BSDF hits keep full weight.
+            emissive = prim.material.is_light
             if emissive and tag == scene_mod.SPHERE:
                 area = 4.0 * 3.14159265359 * float(prim.radius) ** 2
                 self._light_inv_area.append(1.0 / area)

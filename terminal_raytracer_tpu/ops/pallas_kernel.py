@@ -1089,7 +1089,6 @@ def make_sorted_render_frame(
     )
     base, spp = tracer.base_samples, tracer.spp
     h_out = shard_rows if shard_rows is not None else scene.height
-    dyn_operands = _dyn_layout(tracer)
 
     extra_phase = None
     if base < spp:

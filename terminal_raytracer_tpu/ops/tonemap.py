@@ -12,7 +12,8 @@ Semantics match lib.rs exactly:
 * full-color mode: sqrt gamma, x255, clamp, truncate to u8 (lib.rs:510-512);
 * ASCII mode: pow(0.3) gamma for the color channels, Rec.709 luma
   (0.2126/0.7152/0.0722) of the *linear* color, glyph index =
-  trunc(min(luma^0.3 * 66, 66)) into the 68-glyph ramp (lib.rs:516-524).
+  trunc(min(luma^0.3 * 67, 67)) into the 68-glyph ramp — the scale is
+  len-1 (lib.rs:516-524).
 """
 
 from __future__ import annotations

@@ -309,15 +309,25 @@ class Engine:
                                       np.int32(frame0))
                 self.state = out.state
                 remaining -= k
+                if until_noise is not None:
+                    # Explicit chunk + convergence stop: check between
+                    # chunks (chunk-granular, like the --scan noise loop).
+                    if self._noise_estimate(out.state) < until_noise:
+                        break
             return self._fetch(out)
 
         out = None
         for _ in range(n_frames):
             out = self.render_one(self.frame_count)
             if until_noise is not None:
-                var_mean = float(jax.device_get(self._mean(out.state.variance)))
-                spp_mean = float(jax.device_get(self._mean(out.state.samples)))
-                noise = var_mean / max(spp_mean * self.frame_count, 1e-9)
-                if noise < until_noise:
+                if self._noise_estimate(out.state) < until_noise:
                     break
         return self._fetch(out)
+
+    def _noise_estimate(self, state) -> float:
+        """Estimated noise of the accumulated mean: mean per-pixel sample
+        variance over total samples accumulated (the same scalar the
+        --scan noise loop checks on device, offline.make_noise_scan_renderer)."""
+        var_mean = float(jax.device_get(self._mean(state.variance)))
+        spp_mean = float(jax.device_get(self._mean(state.samples)))
+        return var_mean / max(spp_mean * self.frame_count, 1e-9)

@@ -178,3 +178,16 @@ def test_noise_scan_chunk_clamps_to_divisor():
         render(init_state(scene), pose, jnp.asarray(seeds))
     )
     assert int(done) == 7
+
+
+def test_chunked_headless_until_noise_stops():
+    """Explicit chunk > 1 composes with until_noise: the convergence stop
+    checks between chunks instead of being silently skipped."""
+    from terminal_raytracer_tpu.runtime.engine import Engine
+
+    scene = load_scene("scene2").with_overrides(
+        width=48, height=16, samples_per_pixel=4, max_depth=2
+    )
+    eng = Engine(scene, full_color=False, backend="jnp", deterministic=7)
+    eng.run_headless(40, until_noise=1e9, chunk=4)
+    assert eng.frame_count == 4  # stopped after the first chunk

@@ -74,7 +74,7 @@ def main():
 
             @jax.jit
             def run_base(seed):
-                csum, csumsq, state, rays = base_fn(pose, seed, frame)
+                csum, csumsq, state, rays, _it = base_fn(pose, seed, frame)
                 acc = jnp.sum(csum.x[:1, :1]) + jnp.sum(rays[:1, :1])
                 return acc.astype(jnp.uint32) % jnp.uint32(97) + jnp.uint32(7)
 

@@ -51,7 +51,7 @@ def main():
 
     @jax.jit
     def base_stats(seed):
-        csum, csumsq, state, rays = base_fn(pose, seed, frame)
+        csum, csumsq, state, rays, _it = base_fn(pose, seed, frame)
         var = tracer.variance_of(csum, csumsq)
         needs, add = tracer.extra_quota(var)
         return state, add
@@ -65,7 +65,7 @@ def main():
     for label, add_in in (("zero", jnp.zeros_like(add)), ("real", add)):
         @jax.jit
         def run_ep(seed, add_in=add_in):
-            esum, rays = ep(pose, state, add_in)
+            esum, rays, _it = ep(pose, state, add_in)
             acc = jnp.sum(esum.x[:1, :1]) + rays + seed.astype(jnp.float32)
             return acc.astype(jnp.uint32) % jnp.uint32(97) + jnp.uint32(7)
 
