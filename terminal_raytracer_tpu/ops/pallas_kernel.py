@@ -502,6 +502,7 @@ def make_base_kernel(
     accel: str = "auto",
     dynamic: bool = False,
     animated=None,
+    fold_budget: bool = False,
 ):
     """Kernel A builder: the packed-stream base phase as a standalone
     callable.
@@ -514,6 +515,17 @@ def make_base_kernel(
     ``shard_rows`` (the per-device row block under shard_map) or the full
     image height, and ``y0`` is the block's global row offset (pixel seeds
     and camera rays use global coordinates, so shards tile seamlessly).
+
+    ``fold_budget``: the kernel epilogue also computes each entry's
+    luminance variance and adaptive extra budget (tracer.variance_of +
+    tracer.extra_quota — the SAME traced ops, so results stay bit-exact
+    vs the jnp glue) and ``base_fn`` returns two extra ``(h_out, w)``
+    planes ``(..., var, additional)``. This folds the between-kernel
+    budget math of the sorted pipeline into kernel A — one dispatch and
+    one HBM round-trip over the image planes less per frame. Ignored
+    (no-op) when base >= spp: there is no extra phase to budget for.
+    The multi-chip sample-split path must NOT fold: its variance is
+    computed from psum-merged global sums (parallel/mesh.py).
 
     Launch geometry is a 1-D grid over a *packed pixel stream* (like
     kernel B): lane L of the n_lanes = tiles * tile_h * tile_w stream
@@ -553,6 +565,8 @@ def make_base_kernel(
     h, w = scene.height, scene.width
     h_out = shard_rows if shard_rows is not None else h
     base = tracer.base_samples
+    fold_budget = bool(fold_budget) and base < tracer.spp
+    bpe = 10 if fold_budget else 8  # output bands per entry
     n_pix = h_out * w
     lpt = tile_h * tile_w  # lanes per tile
 
@@ -561,7 +575,11 @@ def make_base_kernel(
 
     if pair == "auto":
         if base <= 8:
-            k0 = 8
+            # k=8 measured +8.5% at base=4 (north star); with the
+            # array-resident sweep the O(pair) park/seed block is noise
+            # next to the O(N)-primitive sweep, and k=16 buys another
+            # +14% at stress:256 (flat at 1024 — tools/perf_probe14.py).
+            k0 = 16 if tracer.accel == "array" else 8
             pair = min(range(1, k0 + 5),
                        key=lambda k: (_waste(k), abs(k - k0)))
         else:
@@ -660,21 +678,29 @@ def make_base_kernel(
         out_refs = out_refs[:-1]
         parked = read()[-1]
         for e in range(pair):
-            cs_x, cs_y, cs_z = (parked[4 * e + 0].x, parked[4 * e + 0].y,
-                                parked[4 * e + 0].z)
+            cs = parked[4 * e + 0]
             cq = parked[4 * e + 1]
             st = parked[4 * e + 2]
             ry = parked[4 * e + 3]
             (cr_ref, cg_ref, cb_ref, qr_ref, qg_ref, qb_ref, state_ref,
-             rays_ref) = out_refs[8 * e: 8 * e + 8]
-            cr_ref[:, :] = cs_x
-            cg_ref[:, :] = cs_y
-            cb_ref[:, :] = cs_z
+             rays_ref) = out_refs[bpe * e: bpe * e + 8]
+            cr_ref[:, :] = cs.x
+            cg_ref[:, :] = cs.y
+            cb_ref[:, :] = cs.z
             qr_ref[:, :] = cq.x
             qg_ref[:, :] = cq.y
             qb_ref[:, :] = cq.z
             state_ref[:, :] = st
             rays_ref[:, :] = ry
+            if fold_budget:
+                # Same traced ops as the jnp glue (tracer.variance_of /
+                # extra_quota) — bit-exact, just computed tile-local
+                # before the results ever leave VMEM.
+                var = tracer.variance_of(cs, cq)
+                _needs, additional = tracer.extra_quota(var)
+                var_ref, add_ref = out_refs[bpe * e + 8: bpe * e + 10]
+                var_ref[:, :] = var
+                add_ref[:, :] = additional
 
     stream_f32 = jax.ShapeDtypeStruct((tiles * tile_h, tile_w), jnp.float32)
     stream_u32 = jax.ShapeDtypeStruct((tiles * tile_h, tile_w), jnp.uint32)
@@ -691,8 +717,9 @@ def make_base_kernel(
         in_specs=[pl.BlockSpec(**smem)] * 4 + [tile_spec] * 2
         + [pl.BlockSpec(**smem)] * (int(base_dynamic) + len(dyn_operands)),
         # per-entry result bands + the trailing per-tile iteration plane
-        out_specs=[tile_spec] * (8 * pair + 1),
-        out_shape=([stream_f32] * 6 + [stream_u32, stream_f32]) * pair
+        out_specs=[tile_spec] * (bpe * pair + 1),
+        out_shape=([stream_f32] * 6 + [stream_u32, stream_f32]
+                   + [stream_f32] * (bpe - 8)) * pair
         + [stream_f32],
         scratch_shapes=stream_scratch + sweep_scratch,
         interpret=interp,
@@ -720,7 +747,7 @@ def make_base_kernel(
             # Entry e of lane L is flat pixel e*n_lanes + L, so
             # concatenating the per-entry streams IS the row-major image
             # (plus tail padding) — a pure reshape, no gather.
-            parts = [bands[8 * e + q].reshape(-1) for e in range(pair)]
+            parts = [bands[bpe * e + q].reshape(-1) for e in range(pair)]
             flat = parts[0] if pair == 1 else jnp.concatenate(parts)
             return flat[:n_pix].reshape(h_out, w)
 
@@ -731,7 +758,10 @@ def make_base_kernel(
         # Executed lane-iterations (occupancy denominator): every lane of
         # a tile — tail-padding ballast included — runs its tile's
         # iterations.
-        lane_iters = jnp.sum(bands[8 * pair])
+        lane_iters = jnp.sum(bands[bpe * pair])
+        if fold_budget:
+            return (csum, csumsq, state, rays, lane_iters,
+                    assemble(8), assemble(9))
         return csum, csumsq, state, rays, lane_iters
 
     base_fn.call = call_a  # raw kernel access (profiling/experiments)
@@ -1086,6 +1116,7 @@ def make_sorted_render_frame(
         scene, tile_h=tile_h, tile_w=tile_w, interpret=interpret,
         unbiased=unbiased, transport=transport, shard_rows=shard_rows,
         pair=pair, accel=accel, dynamic=dynamic, animated=animated,
+        fold_budget=True,
     )
     base, spp = tracer.base_samples, tracer.spp
     h_out = shard_rows if shard_rows is not None else scene.height
@@ -1107,19 +1138,25 @@ def make_sorted_render_frame(
     sweeps_per_iter = 1.0 + float(tracer.n_lights)
 
     def render_body(pose, seed, frame_number, y0, scene_ops):
-        csum, csumsq, state, rays_a, it_a = base_fn(
-            pose, seed, frame_number, y0, scene_ops=scene_ops
-        )
-        var = tracer.variance_of(csum, csumsq)
+        out_a = base_fn(pose, seed, frame_number, y0, scene_ops=scene_ops)
+        csum, csumsq, state, rays_a, it_a = out_a[:5]
 
         if base >= spp:
+            var = tracer.variance_of(csum, csumsq)
             current = csum * (1.0 / spp)
             total = jnp.zeros_like(var) + float(base)
             rays = jnp.sum(rays_a)
             occ = rays / jnp.maximum(it_a * sweeps_per_iter, 1.0)
             return current, var, total, rays, occ
 
-        needs, additional = tracer.extra_quota(var)
+        # Kernel A already computed var + the adaptive budget in its
+        # epilogue (fold_budget) — no between-kernel elementwise pass.
+        # needs == (additional > 0) exactly: the reference's constants
+        # make budgets all-or-nothing (var > 10 => floor(var*50) >= 500
+        # >= spp - base, shader.wgsl:561-562), so a needy pixel's budget
+        # is never rounded to zero.
+        var, additional = out_a[5], out_a[6]
+        needs = additional > 0.0
         esum, rays_b, it_b = extra_phase(pose, state, additional, y0,
                                          scene_ops=scene_ops)
         current, total = tracer.combine_phases(csum, esum, needs, additional)
