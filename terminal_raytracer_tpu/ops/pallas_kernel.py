@@ -292,7 +292,7 @@ def make_render_frame(
     def kernel_regen(pose_ref, seed_ref, frame_ref, y0_ref, *rest):
         rest = _bind_dyn(rest)
         rest = _maybe_bind_sweep(tracer, rest)
-        (r_ref, g_ref, b_ref, var_ref, tot_ref, rays_ref,
+        (r_ref, g_ref, b_ref, var_ref, tot_ref, rays_ref, it_ref,
          u32_s, i32_s, f32_s) = rest
         xs, ys, active = _tile_coords(y0_ref[0])
         cam = tracer_mod.cam_from_pose(pose_ref)
@@ -317,9 +317,14 @@ def make_render_frame(
                 _carry_to_refs(carry, refs)
                 return (it + 1, tracer.regen_pending(carry))
 
-            jax.lax.while_loop(
+            final = jax.lax.while_loop(
                 cond, body, (jnp.int32(0), tracer.regen_pending(carry0))
             )
+            # Occupancy denominator: broadcast the tile's executed
+            # iteration count over its lanes, so sum(plane) over all tiles
+            # IS the executed lane-iteration total.
+            it_ref[:, :] = jnp.zeros(
+                (tile_h, tile_w), jnp.float32) + final[0].astype(jnp.float32)
             return _carry_from_refs(treedef, leaf_dtypes, refs)
 
         out = tracer.render_lanes_regen(
@@ -358,6 +363,7 @@ def make_render_frame(
         raise ValueError(f"unknown kernel mode {mode!r}")
     scratch_shapes = scratch_shapes + sweep_scratch
 
+    n_out = 7 if mode == "regen" else 6
     call = pl.pallas_call(
         kernel,
         grid=grid,
@@ -367,12 +373,35 @@ def make_render_frame(
             pl.BlockSpec(**smem),  # frame (1,)
             pl.BlockSpec(**smem),  # y0 row offset (1,)
         ] + [pl.BlockSpec(**smem)] * len(dyn_operands),  # scene values
-        out_specs=[tile_spec] * 6,
+        out_specs=[tile_spec] * n_out,
         # r, g, b, variance, total samples, per-pixel ray counts
-        out_shape=[plane] * 6,
+        # (+ regen: the per-tile executed-iteration plane)
+        out_shape=[plane] * n_out,
         scratch_shapes=scratch_shapes,
         interpret=interp,
     )
+
+    # Measured sweep-weighted lane occupancy (owed sweeps / executed
+    # lane-iteration sweeps), same definition as the sorted pipeline's.
+    # regen surfaces its executed while-loop trip counts; lockstep's
+    # denominator is STATIC — every lane of every tile runs the full
+    # fixed-trip spp x max_depth schedule (render_lanes loop_mode='fori').
+    sweeps_per_iter = 1.0 + float(tracer.n_lights)
+    n_lanes = grid[0] * grid[1] * tile_h * tile_w
+    # base + extra fixed-trip loops = max(base, spp) samples x max_depth
+    # bounces (the extra loop is statically absent when base >= spp).
+    lockstep_iters = float(
+        n_lanes * max(tracer.base_samples, tracer.spp) * scene.max_depth)
+
+    def _finish(outs):
+        if mode == "regen":
+            r, g, b, var, tot, rays, iters = outs
+            lane_iters = jnp.sum(iters)
+        else:
+            r, g, b, var, tot, rays = outs
+            lane_iters = lockstep_iters
+        occ = jnp.sum(rays) / jnp.maximum(lane_iters * sweeps_per_iter, 1.0)
+        return V3(r, g, b), var, tot, jnp.sum(rays), occ
 
     if dynamic:
 
@@ -382,10 +411,7 @@ def make_render_frame(
             frame = jnp.asarray(frame_number, jnp.int32).reshape((1,))
             y0 = jnp.asarray(y0, jnp.int32).reshape((1,))
             scene_ops = _dyn_values(tracer, arrays)
-            r, g, b, var, tot, rays = call(pose, seed, frame, y0, *scene_ops)
-            # occ = -1: the single-kernel schedulers don't surface their
-            # iteration counts (the sorted default does).
-            return V3(r, g, b), var, tot, jnp.sum(rays), jnp.float32(-1.0)
+            return _finish(call(pose, seed, frame, y0, *scene_ops))
     else:
         auto_ops = _auto_scene_ops(tracer)
 
@@ -394,9 +420,7 @@ def make_render_frame(
             seed = jnp.asarray(seed, jnp.uint32).reshape((1,))
             frame = jnp.asarray(frame_number, jnp.int32).reshape((1,))
             y0 = jnp.asarray(y0, jnp.int32).reshape((1,))
-            r, g, b, var, tot, rays = call(pose, seed, frame, y0,
-                                           *(auto_ops or ()))
-            return V3(r, g, b), var, tot, jnp.sum(rays), jnp.float32(-1.0)
+            return _finish(call(pose, seed, frame, y0, *(auto_ops or ())))
 
     return render_frame
 
@@ -1100,6 +1124,7 @@ def make_sorted_render_frame(
     accel: str = "auto",
     dynamic: bool = False,
     animated=None,
+    fold_budget: bool = True,
 ):
     """The two-kernel sorted pipeline, composed from make_base_kernel +
     make_sorted_extra_phase. With `shard_rows`, renders a row block at
@@ -1111,12 +1136,16 @@ def make_sorted_render_frame(
     value-independent) and `render_frame` gains the trailing `arrays`
     argument — animated scenes get the full sorted-pipeline occupancy, not
     a regen fallback. Reference analog: per-frame buffer update + the same
-    kernel (src/lib.rs:442-455)."""
+    kernel (src/lib.rs:442-455).
+
+    `fold_budget=False` keeps the variance/budget math as XLA glue between
+    the kernels instead of kernel A's epilogue (A/B instrument; results
+    are bit-identical either way)."""
     base_fn, tracer, _pair = make_base_kernel(
         scene, tile_h=tile_h, tile_w=tile_w, interpret=interpret,
         unbiased=unbiased, transport=transport, shard_rows=shard_rows,
         pair=pair, accel=accel, dynamic=dynamic, animated=animated,
-        fold_budget=True,
+        fold_budget=fold_budget,
     )
     base, spp = tracer.base_samples, tracer.spp
     h_out = shard_rows if shard_rows is not None else scene.height
@@ -1149,14 +1178,18 @@ def make_sorted_render_frame(
             occ = rays / jnp.maximum(it_a * sweeps_per_iter, 1.0)
             return current, var, total, rays, occ
 
-        # Kernel A already computed var + the adaptive budget in its
-        # epilogue (fold_budget) — no between-kernel elementwise pass.
-        # needs == (additional > 0) exactly: the reference's constants
-        # make budgets all-or-nothing (var > 10 => floor(var*50) >= 500
-        # >= spp - base, shader.wgsl:561-562), so a needy pixel's budget
-        # is never rounded to zero.
-        var, additional = out_a[5], out_a[6]
-        needs = additional > 0.0
+        if fold_budget:
+            # Kernel A already computed var + the adaptive budget in its
+            # epilogue (fold_budget) — no between-kernel elementwise pass.
+            # needs == (additional > 0) exactly: the reference's constants
+            # make budgets all-or-nothing (var > 10 => floor(var*50) >= 500
+            # >= spp - base, shader.wgsl:561-562), so a needy pixel's
+            # budget is never rounded to zero.
+            var, additional = out_a[5], out_a[6]
+            needs = additional > 0.0
+        else:
+            var = tracer.variance_of(csum, csumsq)
+            needs, additional = tracer.extra_quota(var)
         esum, rays_b, it_b = extra_phase(pose, state, additional, y0,
                                          scene_ops=scene_ops)
         current, total = tracer.combine_phases(csum, esum, needs, additional)

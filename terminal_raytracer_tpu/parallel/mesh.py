@@ -120,9 +120,13 @@ def make_sharded_render_step(
             px_i = jax.lax.axis_index("px")
             y0 = px_i.astype(jnp.int32) * rows
             if backend == "pallas":
-                cur, var, tot, rays, _occ = shard_kernel(
+                cur, var, tot, rays, occ = shard_kernel(
                     pose, seed, frame_number, y0
                 )
+                # Shard-local executed sweep capacity (the occupancy
+                # denominator, occ = rays / cap) — psum-mergeable across
+                # shards where the ratio itself is not.
+                cap = rays / jnp.maximum(occ, 1e-9)
             else:
                 y = y0 + jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0)
                 x = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
@@ -131,7 +135,8 @@ def make_sharded_render_step(
                     cam, x, y, seed, frame_number
                 )
                 rays = jnp.sum(rays)
-            return cur, var, tot, rays
+                cap = None  # the jnp oracle doesn't surface iterations
+            return cur, var, tot, rays, cap
 
     else:
         # Sample-split with reference-exact adaptive statistics (module
@@ -179,8 +184,9 @@ def make_sharded_render_step(
             xf = x.astype(jnp.float32)
             yf = y.astype(jnp.float32)
 
+            spi = 1.0 + float(tracer.n_lights)
             if backend == "pallas":
-                csum, csumsq, state, rays_l, _it_a = base_fn(
+                csum, csumsq, state, rays_l, it_a = base_fn(
                     pose, seed_l, frame_number, y0,
                     base_q=my_base if base_rem else None,
                 )
@@ -210,7 +216,9 @@ def make_sharded_render_step(
             if base_full >= spp:
                 current = csum_g * (1.0 / spp)
                 total = jnp.zeros_like(var) + float(base_full)
-                return current, var, total, rays
+                cap = (jax.lax.psum(it_a * spi, "sp")
+                       if backend == "pallas" else None)
+                return current, var, total, rays, cap
 
             # Global extra budget (shader.wgsl:561-562), partitioned across
             # the 'sp' shards (remainder to the lowest shard indices).
@@ -230,7 +238,7 @@ def make_sharded_render_step(
             )
 
             if backend == "pallas":
-                esum, rays_b, _it_b = extra_fn(
+                esum, rays_b, it_b = extra_fn(
                     pose, state, my_extra, y0,
                     samp0=my_base if base_rem else None,
                 )
@@ -254,10 +262,13 @@ def make_sharded_render_step(
                 (csum_g + esum_g) * (1.0 / total),
                 csum_g * (1.0 / spp),
             )
-            return current, var, total, rays
+            cap = (jax.lax.psum((it_a + it_b) * spi, "sp")
+                   if backend == "pallas" else None)
+            return current, var, total, rays, cap
 
     def step(state: FrameState, pose, seed, frame_number) -> FrameOutput:
-        cur, variance, samples, rays = shard_render(pose, seed, frame_number)
+        cur, variance, samples, rays, cap = shard_render(
+            pose, seed, frame_number)
         fn = jnp.asarray(frame_number, jnp.float32)
         alpha = jnp.where(fn == 0.0, 1.0, 1.0 / (fn + 1.0))
         cur_s = jnp.stack([cur.x, cur.y, cur.z])
@@ -268,11 +279,19 @@ def make_sharded_render_step(
             glyphs = jnp.zeros(rgb.shape[:2], jnp.uint8)
         else:
             rgb, glyphs = tm.tonemap_ascii(acc_v)
+        rays_g = jax.lax.psum(rays, "px")
+        if cap is None:
+            occ_g = jnp.float32(-1.0)
+        else:
+            # Mesh-wide measured occupancy: global owed sweeps over global
+            # executed sweep capacity (per-shard iters psum-merged).
+            occ_g = rays_g / jnp.maximum(jax.lax.psum(cap, "px"), 1.0)
         return FrameOutput(
             state=FrameState(acc=acc, variance=variance, samples=samples),
             rgb=rgb,
             glyphs=glyphs,
-            rays=jax.lax.psum(rays, "px"),
+            rays=rays_g,
+            occupancy=occ_g,
         )
 
     state_specs = FrameState(
@@ -283,6 +302,7 @@ def make_sharded_render_step(
         rgb=P("px", None, None),
         glyphs=P("px", None),
         rays=P(),
+        occupancy=P(),
     )
     # check_vma off: the tracer's loop carries start from constant zeros,
     # which the varying-manual-axes checker flags against the loop's varying

@@ -48,8 +48,11 @@ class FrameOutput(NamedTuple):
     glyphs: jnp.ndarray  # [H, W] u8 (zeros in full-color mode)
     rays: jnp.ndarray  # f32 scalar: traversal sweeps this frame
     # f32 scalar: measured sweep-weighted lane occupancy in [0, 1] — owed
-    # sweeps (rays) over executed lane-iteration sweeps. -1 where the
-    # backend doesn't surface it (jnp oracle, single-kernel schedulers).
+    # sweeps (rays) over executed lane-iteration sweeps. All Pallas
+    # schedulers surface it (sorted/regen measured; lockstep's denominator
+    # is its static fixed-trip schedule), as does the sharded mesh step
+    # (per-shard capacities psum-merged). -1 on the jnp oracle, which
+    # doesn't surface iteration counts.
     occupancy: jnp.ndarray = None
 
 

@@ -87,22 +87,27 @@ def test_rays_counted_only_for_real_pixels():
 
 
 def test_occupancy_metric():
-    """The sorted pipeline surfaces its measured sweep-weighted lane
+    """Every Pallas scheduler surfaces measured sweep-weighted lane
     occupancy (VERDICT r2 #6): a fraction in (0, 1], consistent with
-    rays / (lane_iters * (1 + n_lights)); schedulers that don't surface
-    one report -1, as does the jnp oracle via make_render_step."""
+    rays / (lane_iters * (1 + n_lights)). The sorted pipeline should beat
+    (or match) lockstep's — that ordering is the whole point of the
+    scheduler. The jnp oracle reports -1 (no iteration counts)."""
     from terminal_raytracer_tpu.runtime import init_state, make_render_step
 
     scene = load_scene("scene2").with_overrides(
         width=128, height=16, samples_per_pixel=8, max_depth=3
     )
-    pf = jax.jit(pallas_kernel.make_render_frame(scene, mode="sorted"))
-    _c, _v, _t, rays, occ = jax.device_get(pf(POSE, np.uint32(5), np.int32(0)))
-    assert 0.0 < float(occ) <= 1.0
-    pf_r = jax.jit(pallas_kernel.make_render_frame(scene, mode="regen"))
-    _c, _v, _t, _r, occ_r = jax.device_get(
-        pf_r(POSE, np.uint32(5), np.int32(0)))
-    assert float(occ_r) == -1.0
+    occs = {}
+    for mode in ("sorted", "regen", "lockstep"):
+        pf = jax.jit(pallas_kernel.make_render_frame(scene, mode=mode))
+        _c, _v, _t, rays, occ = jax.device_get(
+            pf(POSE, np.uint32(5), np.int32(0)))
+        occs[mode] = float(occ)
+        assert 0.0 < occs[mode] <= 1.0, (mode, occs[mode])
+    # Lockstep's denominator is its full fixed-trip schedule — the measured
+    # schedulers exist precisely because they waste fewer lane-iterations.
+    assert occs["sorted"] >= occs["lockstep"]
+    assert occs["regen"] >= occs["lockstep"]
 
     step = make_render_step(scene, backend="pallas")
     out = step(init_state(scene), POSE, np.uint32(5), np.int32(0))

@@ -166,6 +166,10 @@ def test_indivisible_base_budget_pallas_matches_jnp():
     np.testing.assert_array_equal(
         np.asarray(a.state.samples), np.asarray(b.state.samples)
     )
+    # Mesh-wide occupancy: per-shard sweep capacities psum-merged across
+    # BOTH axes — a real fraction on pallas, -1 on the jnp oracle.
+    assert 0.0 < float(a.occupancy) <= 1.0
+    assert float(b.occupancy) == -1.0
 
 
 def test_pallas_sharded_matches_jnp_sharded():
@@ -183,6 +187,8 @@ def test_pallas_sharded_matches_jnp_sharded():
     np.testing.assert_allclose(
         np.asarray(a.state.acc), np.asarray(b.state.acc), atol=1e-6
     )
+    assert 0.0 < float(a.occupancy) <= 1.0  # px-merged measured occupancy
+    assert float(b.occupancy) == -1.0
 
 
 def test_pixel_sharding_mis_transport():
