@@ -61,6 +61,9 @@ CONFIGS = {
     # code size, like the reference's storage-buffer loop
     "stress256": dict(scene="stress:256"),
     "stress1024": dict(scene="stress:1024"),
+    # many-TRIANGLE mesh scene (models/mesh.py icosphere, 1280 faces +
+    # light + floor): the triangle sweep at mesh scale, same array path
+    "mesh1280": dict(scene="icosphere:3"),
     # dynamic (animated) scenes: geometry streams through SMEM as runtime
     # values (ops/dynamic.py; --animate); north-star params, orbit animator
     "dynamic": dict(scene="Cornell_Box", spp=16, depth=32, dynamic=True),

@@ -31,7 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
     # --- extensions ---
     p.add_argument("--scene", default=None,
                    help="(ext) packaged scene name (Cornell_Box, demo, "
-                        "scene2) or procedural stress:N[:seed]")
+                        "scene2, mesh_demo) or procedural stress:N[:seed] / "
+                        "icosphere:S[:seed]")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "pallas", "jnp"],
                    help="(ext) compute backend (default: pallas on TPU)")

@@ -67,3 +67,51 @@ def stress_scene(
         planes=planes,
         triangles=(),
     )
+
+
+def icosphere_scene(
+    subdivisions: int = 3,
+    seed: int = 0,
+    width: int = 200,
+    height: int = 100,
+    samples_per_pixel: int = 8,
+    max_depth: int = 6,
+) -> scene_mod.Scene:
+    """The many-TRIANGLE benchmark scene (`icosphere:S`): a 20 * 4**S-face
+    icosphere mesh (models/mesh.py) over a floor plane, lit by one emissive
+    sphere — the triangle counterpart of `stress_scene`, exercising the
+    array-resident triangle sweep at mesh scale. `seed` jitters the mesh
+    yaw so repeated configs decorrelate (like stress:N:seed)."""
+    from . import mesh as mesh_mod
+
+    rng = np.random.RandomState(seed)
+    verts, faces = mesh_mod.icosphere(subdivisions)
+    tris = mesh_mod.mesh_triangles(
+        verts, faces,
+        scene_mod.Material(color=(0.75, 0.62, 0.35), emission=(0.0, 0.0, 0.0),
+                           reflectivity=0.25),
+        scale=1.8, translate=(0.0, 2.0, -6.0),
+        rotate_y_degrees=float(rng.uniform(0.0, 360.0)) if seed else 0.0,
+    )
+    spheres = (scene_mod.Sphere(
+        center=(2.5, 7.0, -4.0), radius=1.5,
+        material=scene_mod.Material(color=(1.0, 1.0, 1.0),
+                                    emission=(14.0, 14.0, 14.0),
+                                    reflectivity=0.0),
+    ),)
+    planes = (scene_mod.Plane(
+        point=(0.0, 0.0, 0.0), normal=(0.0, 1.0, 0.0),
+        material=scene_mod.Material(color=(0.55, 0.55, 0.6),
+                                    emission=(0.0, 0.0, 0.0),
+                                    reflectivity=0.0),
+    ),)
+    return scene_mod.Scene(
+        width=width, height=height,
+        samples_per_pixel=samples_per_pixel, max_depth=max_depth,
+        frames_to_accumulate=100,
+        camera=scene_mod.Camera_Config(fov_degrees=float(np.float32(55.0)),
+                                       char_aspect_ratio=float(np.float32(0.55))),
+        spheres=spheres,
+        planes=planes,
+        triangles=tris,
+    )

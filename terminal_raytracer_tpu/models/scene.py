@@ -285,7 +285,20 @@ def _material(d: dict) -> Material:
     )
 
 
-def scene_from_dict(cfg: dict) -> Scene:
+def scene_from_dict(cfg: dict, base_dir=None) -> Scene:
+    """Build a Scene from a parsed JSON dict. ``base_dir`` resolves relative
+    mesh OBJ paths (the directory of the scene file, when loaded from one).
+
+    Schema superset: an optional ``meshes`` array (absent in the
+    reference's serde structs) expands OBJ files into ordinary triangles at
+    load time — models/mesh.py. Mesh triangles append AFTER the JSON
+    ``triangles``, preserving the reference's observable flatten order for
+    everything the reference can express."""
+    mesh_tris = []
+    for m in cfg.get("meshes", []):
+        from . import mesh as mesh_mod
+
+        mesh_tris.extend(mesh_mod.triangles_from_spec(m, base_dir=base_dir))
     cam = cfg["camera"]
     return Scene(
         width=int(cfg["width"]),
@@ -313,7 +326,7 @@ def scene_from_dict(cfg: dict) -> Scene:
         triangles=tuple(
             Triangle(_f32v(t["v0"]), _f32v(t["v1"]), _f32v(t["v2"]), _material(t))
             for t in cfg.get("triangles", [])
-        ),
+        ) + tuple(mesh_tris),
     )
 
 
@@ -324,7 +337,24 @@ def load_scene(path_or_name: Optional[str] = None) -> Scene:
 
     With no argument, loads the packaged Cornell Box — the reference embeds
     the same default scene in its binary (lib.rs:104-108).
+
+    `icosphere:S[:seed]` (models/gen.py) is the many-TRIANGLE procedural
+    scene: an icosphere of 20 * 4**S faces over a floor — the triangle
+    counterpart of `stress:N`, exercising the array-resident mesh sweep.
     """
+    if isinstance(path_or_name, str) and path_or_name.startswith("icosphere:"):
+        from .gen import icosphere_scene
+
+        parts = path_or_name.split(":")
+        try:
+            s = int(parts[1])
+            seed = int(parts[2]) if len(parts) > 2 else 0
+        except (IndexError, ValueError):
+            raise ValueError(
+                f"bad procedural scene spec {path_or_name!r}; expected "
+                f"icosphere:S or icosphere:S:seed"
+            ) from None
+        return icosphere_scene(s, seed=seed)
     if isinstance(path_or_name, str) and path_or_name.startswith("stress:"):
         from .gen import stress_scene
 
@@ -356,7 +386,7 @@ def load_scene(path_or_name: Optional[str] = None) -> Scene:
         cfg = json.loads(path.read_text())
     except json.JSONDecodeError as e:
         raise ValueError(f"malformed scene JSON at {path}: {e}") from e
-    return scene_from_dict(cfg)
+    return scene_from_dict(cfg, base_dir=path.parent)
 
 
 def list_scenes():

@@ -22,7 +22,12 @@ plane unit normals, triangle edges/normals/areas) are precomputed
 host-side with geometry.ScenePrims' exact stepwise-f32 arithmetic, and the
 loop applies the same strictly-closer overwrite chain (shader.wgsl:279).
 An `accel='array'` render is bit-identical to `accel='baked'` on every
-scene both can compile.
+scene both can compile, up to one CPU-only caveat: XLA-CPU may contract
+FMAs differently inside a fori_loop body than in the baked unrolled code,
+a <= 1-ulp t divergence on general-position geometry (observed on mesh
+scenes — see `_fori`). The packaged scenes and the sphere stress fields
+are bit-exact in practice (tests/test_arrayscene); mesh scenes pin exact
+ray counts + tight allclose (tests/test_mesh).
 
 Lights/NEE stay baked: the scene is static, the light set is tiny, and
 tracer.PathTracer builds its compile-time light list independently of the
@@ -183,7 +188,17 @@ class ArrayPrims:
     def _fori(self, n, body, carry):
         """fori_loop with MANUAL partial unroll: Mosaic's fori lowering
         only supports unroll=1 or full unroll, so factor-u unrolling is u
-        inlined body calls per iteration plus a statically-unrolled tail."""
+        inlined body calls per iteration plus a statically-unrolled tail.
+
+        CPU-only caveat (does not apply in the Pallas kernels): XLA-CPU's
+        FMA contraction can differ between this loop's body and
+        straight-line code, a <= 1-ulp t divergence vs the baked sweep on
+        general-position geometry (observed on mesh scenes; and inverting
+        the experiment — unrolling small counts here — flips OTHER scenes
+        off by 1 ulp instead, so bitwise baked/array equality on CPU is
+        codegen luck either way). The packaged scenes and sphere stress
+        fields are pinned bit-exact as-is (tests/test_arrayscene); mesh
+        scenes pin exact ray counts + tight allclose (tests/test_mesh)."""
         if n == 0:
             return carry
         u = min(self.unroll, n)
