@@ -107,6 +107,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="(ext) with --frames: dump a jax.profiler trace of "
                         "the render to DIR (view with TensorBoard/Perfetto)")
+    p.add_argument("--shard", metavar="SPEC", default=None,
+                   help="(ext) multi-chip rendering over a device mesh "
+                        "(parallel/mesh.py): N = N-way pixel-row data "
+                        "parallelism, or px:N / sp:N / px:N,sp:M to also "
+                        "split samples with reference-exact adaptive "
+                        "statistics")
     return p
 
 
@@ -150,6 +156,22 @@ def main(argv=None) -> int:
         print("error: --until-noise with --turntable needs per-pose "
               "frame driving (drop --scan)", file=sys.stderr)
         return 2
+    if args.shard:
+        # The sharded step (parallel/mesh.py) drives interactive/headless
+        # rendering; the offline scan/turntable compilers and the dynamic
+        # step are single-chip programs.
+        for flag, bad in (("--scan", args.scan),
+                          ("--turntable", args.turntable is not None),
+                          ("--animate", bool(args.animate)),
+                          ("--unbiased", args.unbiased)):
+            if bad:
+                print(f"error: --shard is incompatible with {flag}",
+                      file=sys.stderr)
+                return 2
+        if args.accel != "auto":
+            print("error: --shard picks the traversal itself; drop --accel",
+                  file=sys.stderr)
+            return 2
     try:
         scene = load_scene(args.path or args.scene)
         scene = scene.with_overrides(
@@ -190,19 +212,25 @@ def main(argv=None) -> int:
     else:
         print("outputting with ASCII characters")
 
-    engine = Engine(
-        scene,
-        full_color=args.full_color,
-        backend=args.backend,
-        threads=args.threads,
-        verbose=args.verbose,
-        deterministic=args.deterministic,
-        pipeline=not args.no_pipeline,
-        unbiased=args.unbiased,
-        transport="mis" if args.mis else None,
-        accel=args.accel,
-        animate=args.animate,
-    )
+    try:
+        engine = Engine(
+            scene,
+            full_color=args.full_color,
+            backend=args.backend,
+            threads=args.threads,
+            verbose=args.verbose,
+            deterministic=args.deterministic,
+            pipeline=not args.no_pipeline,
+            unbiased=args.unbiased,
+            transport="mis" if args.mis else None,
+            accel=args.accel,
+            animate=args.animate,
+            shard=args.shard,
+        )
+    except ValueError as e:
+        # e.g. a bad --shard spec, or more shards than devices
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
     if args.load_state:
         from .utils.statefile import load_state

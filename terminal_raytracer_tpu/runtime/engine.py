@@ -36,6 +36,36 @@ from .timing import FrameTimers
 IDLE_SLEEP = 0.010  # accumulation finished (lib.rs:562-563)
 
 
+def _parse_shard(spec: str):
+    """--shard spec -> (n_px, n_sp). Accepted forms: "N" (N-way pixel-row
+    data parallelism), "px:N", "sp:N", "px:N,sp:M" (axes in either order).
+    See parallel/mesh.py for the axis semantics."""
+    n_px, n_sp = 1, 1
+    try:
+        for part in str(spec).split(","):
+            part = part.strip()
+            if ":" in part:
+                axis, _, n = part.partition(":")
+                if axis == "px":
+                    n_px = int(n)
+                elif axis == "sp":
+                    n_sp = int(n)
+                else:
+                    raise ValueError(axis)
+            else:
+                n_px = int(part)
+    except (ValueError, TypeError):
+        raise ValueError(
+            f"bad --shard spec {spec!r}; expected N, px:N, sp:N, or "
+            f"px:N,sp:M"
+        ) from None
+    if n_px < 1 or n_sp < 1 or n_px * n_sp < 2:
+        raise ValueError(
+            f"--shard {spec!r} must name at least 2 devices (px * sp >= 2)"
+        )
+    return n_px, n_sp
+
+
 class Engine:
     def __init__(
         self,
@@ -51,12 +81,27 @@ class Engine:
         transport: str = None,
         accel: str = "auto",
         animate: str = None,
+        shard: str = None,
     ):
         self.scene = scene
         self.full_color = full_color
         self.verbose = verbose
         self.pipeline = pipeline
         self.camera = camera if camera is not None else Camera()
+        # --shard: multi-chip rendering (parallel/mesh.py shard_map over a
+        # ('px','sp') device mesh). Spec: "N" (N-way pixel-row DP),
+        # "px:N", "sp:N", or "px:N,sp:M". The sharded step replaces the
+        # single-chip step one-for-one (same call shape/FrameOutput).
+        self.shard = _parse_shard(shard) if shard else None
+        if self.shard is not None:
+            if animate is not None:
+                raise ValueError("--shard does not support --animate "
+                                 "(the sharded step renders static scenes)")
+            if unbiased:
+                raise ValueError("--shard does not support --unbiased")
+            if accel != "auto":
+                raise ValueError("--shard picks the traversal itself; "
+                                 "drop --accel")
         # --animate: geometry/materials stream through the compiled step as
         # runtime arrays (ops/dynamic.py); every frame is rendered fresh
         # (frame_number pinned to 0 — temporal accumulation would smear
@@ -79,11 +124,29 @@ class Engine:
             # scene folds back to baked constants (near-static-speed
             # animation for e.g. orbit's static planes).
             animated_keys = ANIMATOR_KEYS.get(animate)
-        self.step = make_render_step(scene, full_color=full_color, backend=backend,
-                                     unbiased=unbiased, transport=transport,
-                                     accel=accel, dynamic=animate is not None,
-                                     animated=animated_keys)
-        self.state = init_state(scene)
+        if self.shard is not None:
+            from ..parallel import make_mesh, make_sharded_render_step
+
+            n_px, n_sp = self.shard
+            n_dev = len(jax.devices())
+            if n_px * n_sp > n_dev:
+                raise ValueError(
+                    f"shard px:{n_px},sp:{n_sp} needs {n_px * n_sp} devices, "
+                    f"have {n_dev}"
+                )
+            mesh = make_mesh(n_px, n_sp)
+            self.step, sharded_init = make_sharded_render_step(
+                scene, mesh, full_color=full_color, backend=backend,
+                transport=transport,
+            )
+            self.state = sharded_init()
+        else:
+            self.step = make_render_step(scene, full_color=full_color,
+                                         backend=backend, unbiased=unbiased,
+                                         transport=transport, accel=accel,
+                                         dynamic=animate is not None,
+                                         animated=animated_keys)
+            self.state = init_state(scene)
         # Step-construction options, kept for the lazily-built chunked
         # headless renderers (run_headless folds k frames per dispatch).
         self._step_opts = dict(full_color=full_color, backend=backend,
@@ -281,9 +344,16 @@ class Engine:
                              "noise estimate cannot converge")
         if chunk == "auto":
             chunk = (1 if (self.animate is not None or
-                           until_noise is not None)
+                           until_noise is not None or
+                           self.shard is not None)
                      else min(self.HEADLESS_CHUNK, n_frames))
         chunk = max(int(chunk), 1)
+        if chunk > 1 and self.shard is not None:
+            # The chunk renderer rebuilds a single-chip step; folding
+            # frames under shard_map is a lax.scan over the sharded step —
+            # not wired up. Per-frame driving keeps the semantics obvious.
+            raise ValueError("explicit chunking is not supported with "
+                             "--shard (per-frame driving only)")
 
         if chunk > 1 and self.animate is None:
             out = None

@@ -215,3 +215,85 @@ def test_pixel_sharding_mis_transport():
     assert not np.array_equal(
         np.asarray(out.state.acc), np.asarray(base.state.acc)
     )
+
+
+# ---- Engine/CLI integration (--shard) ---------------------------------------
+
+
+def test_parse_shard_specs():
+    from terminal_raytracer_tpu.runtime.engine import _parse_shard
+
+    assert _parse_shard("4") == (4, 1)
+    assert _parse_shard("px:2") == (2, 1)
+    assert _parse_shard("sp:2") == (1, 2)
+    assert _parse_shard("px:2,sp:4") == (2, 4)
+    assert _parse_shard("sp:4, px:2") == (2, 4)
+    for bad in ("0", "px:1", "foo:2", "px:2,sp:x", ""):
+        with pytest.raises(ValueError):
+            _parse_shard(bad)
+
+
+def test_engine_shard_matches_single_chip():
+    """Engine(shard='px:N') is the user-facing wrapper of the sharded step:
+    pixel-row DP must reproduce the single-chip render bit-for-bit (same
+    seed chain; global pixel coords per shard)."""
+    from terminal_raytracer_tpu.runtime.engine import Engine
+
+    scene = _scene()
+    ref = Engine(scene, backend="jnp", deterministic=5)
+    rgb_r, _g, rays_r, spp_r, _h = ref.run_headless(3, chunk=1)
+    sh = Engine(scene, backend="jnp", deterministic=5, shard="px:4")
+    rgb_s, _g, rays_s, spp_s, _h = sh.run_headless(3)
+    assert float(rays_s) == float(rays_r)
+    assert float(spp_s) == float(spp_r)
+    np.testing.assert_array_equal(np.asarray(rgb_s), np.asarray(rgb_r))
+
+
+def test_engine_shard_px_sp():
+    """The full ('px','sp') mesh through the Engine: runs, accumulates, and
+    draws the reference budget statistics (rays within the all-or-nothing
+    budget band of the single-chip render)."""
+    from terminal_raytracer_tpu.runtime.engine import Engine
+
+    scene = _scene(samples_per_pixel=8)
+    eng = Engine(scene, backend="jnp", deterministic=7, shard="px:2,sp:2")
+    rgb, _g, rays, spp, _h = eng.run_headless(2)
+    assert rgb.shape == (scene.height, scene.width, 3)
+    assert float(rays) > 0 and np.isfinite(np.asarray(rgb)).all()
+    assert eng.frame_count == 2
+
+
+def test_engine_shard_rejections():
+    from terminal_raytracer_tpu.runtime.engine import Engine
+
+    scene = _scene()
+    with pytest.raises(ValueError, match="animate"):
+        Engine(scene, backend="jnp", shard="px:2", animate="orbit")
+    with pytest.raises(ValueError, match="unbiased"):
+        Engine(scene, backend="jnp", shard="px:2", unbiased=True)
+    with pytest.raises(ValueError, match="accel"):
+        Engine(scene, backend="jnp", shard="px:2", accel="array")
+    with pytest.raises(ValueError, match="devices"):
+        Engine(scene, backend="jnp", shard="px:16")
+    with pytest.raises(ValueError, match="chunking"):
+        Engine(scene, backend="jnp", shard="px:2").run_headless(4, chunk=4)
+
+
+def test_cli_shard_flag(capsys):
+    """--shard through the real CLI entry point (headless, 8-dev CPU mesh),
+    plus the flag-combination rejections."""
+    from terminal_raytracer_tpu.cli import main
+
+    rc = main(["--scene", "scene2", "--width", "64", "--height", "32",
+               "--spp", "4", "--depth", "3", "--frames", "2",
+               "--backend", "jnp", "--shard", "px:2"])
+    assert rc == 0
+    capsys.readouterr()
+    for extra in (["--scan"], ["--turntable", "4", "--dump-image", "t%d.png"],
+                  ["--animate", "orbit"], ["--unbiased"],
+                  ["--accel", "array"]):
+        rc = main(["--scene", "scene2", "--frames", "2", "--shard", "px:2",
+                   *extra])
+        assert rc == 2, extra
+    rc = main(["--scene", "scene2", "--frames", "1", "--shard", "bogus"])
+    assert rc == 2
