@@ -297,3 +297,29 @@ def test_cli_shard_flag(capsys):
         assert rc == 2, extra
     rc = main(["--scene", "scene2", "--frames", "1", "--shard", "bogus"])
     assert rc == 2
+
+
+def test_engine_shard_resumes_saved_state(tmp_path):
+    """A --load-state checkpoint written by a single-chip engine restores
+    into a sharded engine (jit shards the host arrays) and continues
+    accumulation bit-identically to the single-chip resume."""
+    from terminal_raytracer_tpu.runtime.engine import Engine
+    from terminal_raytracer_tpu.utils.statefile import load_state, save_state
+
+    scene = _scene()
+    e1 = Engine(scene, backend="jnp", deterministic=3)
+    e1.run_headless(2, chunk=1)
+    p = str(tmp_path / "st.npz")
+    save_state(p, e1.state, e1.frame_count, e1.camera)
+
+    e2 = Engine(scene, backend="jnp", deterministic=3, shard="px:4")
+    e2.state, e2.frame_count, e2.camera = load_state(
+        p, expect_shape=(scene.height, scene.width))
+    rgb2, _g, rays2, _s, _h = e2.run_headless(2)
+
+    e3 = Engine(scene, backend="jnp", deterministic=3)
+    e3.state, e3.frame_count, e3.camera = load_state(
+        p, expect_shape=(scene.height, scene.width))
+    rgb3, _g, rays3, _s, _h = e3.run_headless(2, chunk=1)
+    assert float(rays2) == float(rays3)
+    np.testing.assert_array_equal(np.asarray(rgb2), np.asarray(rgb3))
