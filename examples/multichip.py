@@ -1,0 +1,37 @@
+"""Multi-chip rendering: shard the image over every available device.
+
+On a real multi-chip TPU host this scales pixel rows across chips over
+ICI; to try it on CPU:
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python examples/multichip.py
+
+(The same thing is available from the CLI as --shard N | px:N,sp:M.)
+"""
+
+import jax
+import numpy as np
+
+from terminal_raytracer_tpu.models import Camera, load_scene
+from terminal_raytracer_tpu.parallel import make_mesh, make_sharded_render_step
+
+n_dev = len(jax.devices())
+scene = load_scene("scene2")
+if not jax.default_backend().startswith("tpu"):
+    scene = scene.with_overrides(width=128, height=64, samples_per_pixel=8,
+                                 max_depth=4)
+if scene.height % n_dev:
+    raise SystemExit(f"height {scene.height} must divide by {n_dev} devices")
+
+mesh = make_mesh(n_px=n_dev, n_sp=1)  # pure pixel-row data parallelism
+step, init_state = make_sharded_render_step(scene, mesh)
+print(f"{n_dev} devices, mesh {dict(mesh.shape)}; "
+      f"{scene.height // n_dev} rows per device")
+
+state, cam = init_state(), Camera()
+for f in range(8):
+    out = step(state, cam.pose(), np.uint32(1 + f), np.int32(f))
+    state = out.state
+print(f"rendered {scene.width}x{scene.height}, "
+      f"{float(out.rays):.3e} rays in the last frame; "
+      f"rgb gathered to host: {np.asarray(out.rgb).shape}")
