@@ -194,3 +194,30 @@ def test_mesh_pallas_matches_oracle():
     assert float(rp) == float(ro)
     np.testing.assert_array_equal(np.asarray(tp), np.asarray(to))
     np.testing.assert_allclose(np.asarray(cp.x), np.asarray(co.x), atol=2e-5)
+
+
+def test_mesh_composes_with_animate():
+    """An animated scene containing mesh triangles: the animator's keys
+    stream at runtime, the mesh folds back to baked constants. Frames must
+    differ (geometry moves) and match the fully-dynamic render at equal
+    values (the DynPrims folding contract, test_dynamic.py)."""
+    from terminal_raytracer_tpu.models.animate import ANIMATOR_KEYS, orbit
+    from terminal_raytracer_tpu.ops.dynamic import pack_scene
+
+    scene = load_scene("mesh_demo").with_overrides(
+        width=64, height=16, samples_per_pixel=2, max_depth=3)
+    arrays0 = pack_scene(scene)
+    tr = PathTracer(scene, dynamic=True, dyn_animated=ANIMATOR_KEYS["orbit"])
+    f = jax.jit(tr.render_frame_dynamic)
+
+    c0, _v, _t, r0 = jax.device_get(
+        f(POSE, np.uint32(5), np.int32(0), orbit(arrays0, 0)))
+    c5, _v, _t, r5 = jax.device_get(
+        f(POSE, np.uint32(5), np.int32(0), orbit(arrays0, 5)))
+    assert not np.array_equal(np.asarray(c0.x), np.asarray(c5.x))
+
+    full = PathTracer(scene, dynamic=True)  # every key runtime
+    cf, _v, _t, rf = jax.device_get(jax.jit(full.render_frame_dynamic)(
+        POSE, np.uint32(5), np.int32(0), orbit(arrays0, 5)))
+    assert float(r5) == float(rf)
+    np.testing.assert_array_equal(np.asarray(c5.x), np.asarray(cf.x))
