@@ -20,13 +20,15 @@ scene = load_scene("scene2")
 if not jax.default_backend().startswith("tpu"):
     scene = scene.with_overrides(width=128, height=64, samples_per_pixel=8,
                                  max_depth=4)
-if scene.height % n_dev:
-    raise SystemExit(f"height {scene.height} must divide by {n_dev} devices")
+# Pixel-row sharding needs height % n_px == 0: use the largest device
+# count that divides this scene's height (e.g. scene2's 100 rows on an
+# 8-chip host -> px:4).
+n_px = max(d for d in range(1, n_dev + 1) if scene.height % d == 0)
 
-mesh = make_mesh(n_px=n_dev, n_sp=1)  # pure pixel-row data parallelism
+mesh = make_mesh(n_px=n_px, n_sp=1)  # pure pixel-row data parallelism
 step, init_state = make_sharded_render_step(scene, mesh)
 print(f"{n_dev} devices, mesh {dict(mesh.shape)}; "
-      f"{scene.height // n_dev} rows per device")
+      f"{scene.height // n_px} rows per device")
 
 state, cam = init_state(), Camera()
 for f in range(8):

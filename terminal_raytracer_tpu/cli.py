@@ -157,21 +157,16 @@ def main(argv=None) -> int:
               "frame driving (drop --scan)", file=sys.stderr)
         return 2
     if args.shard:
-        # The sharded step (parallel/mesh.py) drives interactive/headless
-        # rendering; the offline scan/turntable compilers and the dynamic
-        # step are single-chip programs.
+        # The offline scan/turntable compilers are single-chip programs the
+        # Engine never sees; everything Engine-owned (--animate/--unbiased/
+        # --accel, bad specs, device counts) is validated by Engine itself
+        # and surfaces through the try/except around its construction.
         for flag, bad in (("--scan", args.scan),
-                          ("--turntable", args.turntable is not None),
-                          ("--animate", bool(args.animate)),
-                          ("--unbiased", args.unbiased)):
+                          ("--turntable", args.turntable is not None)):
             if bad:
                 print(f"error: --shard is incompatible with {flag}",
                       file=sys.stderr)
                 return 2
-        if args.accel != "auto":
-            print("error: --shard picks the traversal itself; drop --accel",
-                  file=sys.stderr)
-            return 2
     try:
         scene = load_scene(args.path or args.scene)
         scene = scene.with_overrides(
@@ -206,6 +201,21 @@ def main(argv=None) -> int:
     if interactive and not args.no_clamp:
         tw, th = terminal_size()
         scene = scene.clamp_to_terminal(tw, th)  # lib.rs:113-115
+        if args.shard:
+            # The sharded step needs height % n_px == 0; the terminal clamp
+            # picks arbitrary heights, so round down to the nearest
+            # multiple (floor 2) instead of erroring out of interactive
+            # multi-chip mode.
+            from .runtime.engine import _parse_shard
+
+            try:
+                n_px, _n_sp = _parse_shard(args.shard)
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            h = max(scene.height - scene.height % n_px, 2)
+            if h % n_px == 0 and h != scene.height:
+                scene = scene.with_overrides(height=h)
 
     if args.full_color:
         print("outputting with █ characters")  # main.rs:27-31

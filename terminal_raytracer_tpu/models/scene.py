@@ -295,10 +295,12 @@ def scene_from_dict(cfg: dict, base_dir=None) -> Scene:
     ``triangles``, preserving the reference's observable flatten order for
     everything the reference can express."""
     mesh_tris = []
-    for m in cfg.get("meshes", []):
+    if cfg.get("meshes"):
         from . import mesh as mesh_mod
 
-        mesh_tris.extend(mesh_mod.triangles_from_spec(m, base_dir=base_dir))
+        for m in cfg["meshes"]:
+            mesh_tris.extend(
+                mesh_mod.triangles_from_spec(m, base_dir=base_dir))
     cam = cfg["camera"]
     return Scene(
         width=int(cfg["width"]),

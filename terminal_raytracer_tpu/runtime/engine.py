@@ -40,25 +40,30 @@ def _parse_shard(spec: str):
     """--shard spec -> (n_px, n_sp). Accepted forms: "N" (N-way pixel-row
     data parallelism), "px:N", "sp:N", "px:N,sp:M" (axes in either order).
     See parallel/mesh.py for the axis semantics."""
-    n_px, n_sp = 1, 1
+    seen = {}
     try:
-        for part in str(spec).split(","):
-            part = part.strip()
+        parts = [p.strip() for p in str(spec).split(",")]
+        for part in parts:
             if ":" in part:
                 axis, _, n = part.partition(":")
-                if axis == "px":
-                    n_px = int(n)
-                elif axis == "sp":
-                    n_sp = int(n)
-                else:
+                if axis not in ("px", "sp"):
                     raise ValueError(axis)
+                if axis in seen:
+                    raise ValueError(f"duplicate {axis}")
+                seen[axis] = int(n)
             else:
-                n_px = int(part)
+                # Bare N = N-way pixel-row DP; only valid as the whole spec
+                # (mixing it with axis forms would silently override).
+                if len(parts) > 1:
+                    raise ValueError("bare N must stand alone")
+                seen["px"] = int(part)
     except (ValueError, TypeError):
         raise ValueError(
             f"bad --shard spec {spec!r}; expected N, px:N, sp:N, or "
-            f"px:N,sp:M"
+            f"px:N,sp:M (each axis at most once)"
         ) from None
+    n_px = seen.get("px", 1)
+    n_sp = seen.get("sp", 1)
     if n_px < 1 or n_sp < 1 or n_px * n_sp < 2:
         raise ValueError(
             f"--shard {spec!r} must name at least 2 devices (px * sp >= 2)"

@@ -228,7 +228,10 @@ def test_parse_shard_specs():
     assert _parse_shard("sp:2") == (1, 2)
     assert _parse_shard("px:2,sp:4") == (2, 4)
     assert _parse_shard("sp:4, px:2") == (2, 4)
-    for bad in ("0", "px:1", "foo:2", "px:2,sp:x", ""):
+    # Duplicate axes and bare-N-mixed-with-axis forms would silently
+    # override each other — rejected outright.
+    for bad in ("0", "px:1", "foo:2", "px:2,sp:x", "", "px:2,4",
+                "px:2,px:8", "2,2"):
         with pytest.raises(ValueError):
             _parse_shard(bad)
 
