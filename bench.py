@@ -12,10 +12,15 @@ vs_baseline is value / 500 — the ratio to the BASELINE.json *target* of
 >= 500 Mray/s/chip (the reference itself publishes no numbers, BASELINE.md);
 it is a target ratio, not a measured-reference ratio.
 
-Protocol: 48 chained frames x 3 reps, report the MEDIAN rep (BASELINE.md
-quotes these medians). Rays are summed over the timed frames themselves
-(adaptive scenes draw different budgets per frame, so the warm-up frame's
-count is not representative).
+Protocol: N chained frames x 3 reps, report the MEDIAN rep (BASELINE.md
+quotes these medians). N is per-config (CONFIGS[...]["frames"]; 480 for
+per-frame-dispatched configs, 960 for the chained small configs) — sized so
+the ONE host sync that ends a timed rep (~25-30 ms tunnel RTT in this dev
+setup) is <5% of the rep's device time. Round <=2 used a flat N=48, which
+silently charged that sync to the device: the north star under-read ~13%
+and the sub-ms configs up to 5x (measured, tools/perf_probe19.py). Rays are
+summed over the timed frames themselves (adaptive scenes draw different
+budgets per frame, so the warm-up frame's count is not representative).
 
 Correctness gate: unless --no-check, a small config is rendered with both
 backend=pallas and backend=jnp on the same seeds and compared (ray-count
@@ -41,35 +46,42 @@ import numpy as np
 TARGET_MRAY_S = 500.0
 
 CONFIGS = {
+    # "frames" = timed frames per rep (protocol v3): long enough that the
+    # one rep-ending host sync is <5% of the rep. --frames overrides.
     # BASELINE.json configs
-    "north_star": dict(scene="Cornell_Box", spp=16, depth=32),  # config 2
+    "north_star": dict(scene="Cornell_Box", spp=16, depth=32,
+                       frames=480),  # config 2
     # Sub-2ms-compute configs are dispatch-overhead-bound under per-frame
     # driving (one ~1-2 ms device dispatch per ~0.3 ms of compute) and the
     # timings swung ±30% between sessions. chain=8 measures them through
     # the chained headless path (8 frames per dispatch,
     # offline.make_chunk_renderer) — what `--frames` actually runs.
     "cornell_80x40": dict(  # config 1: tiny ASCII
-        scene="Cornell_Box", width=80, height=40, spp=1, depth=4, chain=8
+        scene="Cornell_Box", width=80, height=40, spp=1, depth=4, chain=8,
+        frames=960,
     ),
-    "cornell_shipped": dict(scene="Cornell_Box"),  # 400x200, 128 spp, depth 3
-    "demo": dict(scene="demo", chain=8),  # adaptive many-sphere scene
-    "scene2": dict(scene="scene2", chain=8),
+    "cornell_shipped": dict(scene="Cornell_Box",
+                            frames=480),  # 400x200, 128 spp, depth 3
+    "demo": dict(scene="demo", chain=8,
+                 frames=960),  # adaptive many-sphere scene
+    "scene2": dict(scene="scene2", chain=8, frames=960),
     # config 3: 100-frame temporal accumulation compiled as one lax.scan
     "scan100": dict(scene="Cornell_Box", spp=16, depth=32, scan=100),
     # many-primitive scenes: accel='auto' picks the array-resident
     # fori_loop sweep (ops/arrayscene.py) above ~96 primitives — fixed
     # code size, like the reference's storage-buffer loop
-    "stress256": dict(scene="stress:256"),
-    "stress1024": dict(scene="stress:1024"),
+    "stress256": dict(scene="stress:256", frames=480),
+    "stress1024": dict(scene="stress:1024", frames=192),
     # many-TRIANGLE mesh scene (models/mesh.py icosphere, 1280 faces +
     # light + floor): the triangle sweep at mesh scale, same array path
-    "mesh1280": dict(scene="icosphere:3"),
+    "mesh1280": dict(scene="icosphere:3", frames=192),
     # dynamic (animated) scenes: geometry streams through SMEM as runtime
     # values (ops/dynamic.py; --animate); north-star params, orbit animator
-    "dynamic": dict(scene="Cornell_Box", spp=16, depth=32, dynamic=True),
+    "dynamic": dict(scene="Cornell_Box", spp=16, depth=32, dynamic=True,
+                    frames=480),
     # animated AT SCALE: dynamic x array traversal (ops/arrayscene.py
     # ArrayDynPrims) — runtime values AND O(1) kernel code in N
-    "dynamic1024": dict(scene="stress:1024", dynamic=True),
+    "dynamic1024": dict(scene="stress:1024", dynamic=True, frames=192),
 }
 
 
@@ -85,15 +97,25 @@ def _load(cfg):
     return scene, Camera()
 
 
-def run_bench(config_name: str, backend: str, frames: int, reps: int,
+def _frames_for(config_name: str, override) -> int:
+    """Timed frames per rep: explicit --frames, else the config's protocol
+    count (CONFIGS[...]["frames"]), else 48."""
+    if override is not None:
+        return int(override)
+    return int(CONFIGS[config_name].get("frames", 48))
+
+
+def run_bench(config_name: str, backend: str, frames, reps: int,
               verbose: bool):
     """Returns (median Mray/s, median fps, mean occupancy or None) over
-    `reps` timed repetitions."""
+    `reps` timed repetitions. `frames=None` uses the config's protocol
+    frame count."""
     import jax
 
     from terminal_raytracer_tpu.runtime import init_state, make_render_step
 
     cfg = CONFIGS[config_name]
+    frames = _frames_for(config_name, frames)
     scene, cam = _load(cfg)
     pose = cam.pose()
 
@@ -335,7 +357,9 @@ def main():
     ap.add_argument("--config", default="north_star", choices=sorted(CONFIGS))
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "pallas", "jnp"])
-    ap.add_argument("--frames", type=int, default=48)
+    ap.add_argument("--frames", type=int, default=None,
+                    help="timed frames per rep (default: the config's "
+                         "protocol count)")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--all", action="store_true",
@@ -389,7 +413,8 @@ def main():
         "unit": "Mray/s",
         "vs_baseline": round(mray_s / TARGET_MRAY_S, 4),
         "fps": round(fps, 2),
-        "protocol": f"median of {args.reps} reps x {args.frames} frames",
+        "protocol": f"median of {args.reps} reps x "
+                    f"{_frames_for(args.config, args.frames)} frames",
         "vs_baseline_is": "ratio to the 500 Mray/s target (no published "
                           "reference numbers)",
     }
