@@ -61,10 +61,22 @@ class Material(NamedTuple):
     color: Tuple[float, float, float]
     emission: Tuple[float, float, float]
     reflectivity: float
+    # Dielectric extension (capability superset — the reference's schema
+    # ends at reflectivity, lib.rs:73-98): `transparency` is the
+    # probability the scatter takes the refractive glass branch
+    # (Fresnel-weighted reflect-or-refract, ops/tracer.py); 0 keeps the
+    # material reference-exact (diffuse/mirror only, no extra ops or RNG
+    # draws anywhere). `ior` is that branch's index of refraction.
+    transparency: float = 0.0
+    ior: float = 1.5
 
     @property
     def is_light(self) -> bool:
         return sum(self.emission) > LIGHT_POWER_EPS
+
+    @property
+    def is_dielectric(self) -> bool:
+        return self.transparency > 0.0
 
 
 class Sphere(NamedTuple):
@@ -154,6 +166,28 @@ class Scene:
                 raise ValueError(
                     f"spheres[{i}] radius must be > 0, got {s.radius!r}"
                 )
+        for tag_name, prims in (("spheres", self.spheres),
+                                ("planes", self.planes),
+                                ("triangles", self.triangles)):
+            for i, p in enumerate(prims):
+                m = p.material
+                if not (0.0 <= m.transparency <= 1.0):
+                    raise ValueError(
+                        f"{tag_name}[{i}] transparency must be in [0, 1], "
+                        f"got {m.transparency!r}"
+                    )
+                if m.transparency > 0.0:
+                    if not m.ior > 0.0:
+                        raise ValueError(
+                            f"{tag_name}[{i}] ior must be > 0 on a "
+                            f"dielectric, got {m.ior!r}"
+                        )
+                    if m.reflectivity + m.transparency > 1.0:
+                        raise ValueError(
+                            f"{tag_name}[{i}] reflectivity + transparency "
+                            f"must be <= 1 (branch probabilities), got "
+                            f"{m.reflectivity!r} + {m.transparency!r}"
+                        )
 
     # ---- derived views ----------------------------------------------------
 
@@ -180,6 +214,13 @@ class Scene:
     @property
     def primitive_count(self) -> int:
         return len(self.spheres) + len(self.planes) + len(self.triangles)
+
+    @property
+    def has_dielectrics(self) -> bool:
+        """True iff any primitive takes the refractive glass branch —
+        the static gate for the dielectric scatter code (ops/tracer.py):
+        scenes without it compile to the exact reference program."""
+        return any(p.material.is_dielectric for _, p in self.primitives)
 
     def centroid(self) -> np.ndarray:
         """Mean position of the finite geometry (sphere centers, triangle
@@ -255,22 +296,27 @@ class Scene:
                 np.array([p.material.color for p in prims], np.float32).reshape(-1, 3),
                 np.array([p.material.emission for p in prims], np.float32).reshape(-1, 3),
                 np.array([p.material.reflectivity for p in prims], np.float32),
+                np.array([p.material.transparency for p in prims], np.float32),
+                np.array([p.material.ior for p in prims], np.float32),
             )
 
-        s_col, s_emi, s_ref = mat_cols(self.spheres)
-        p_col, p_emi, p_ref = mat_cols(self.planes)
-        t_col, t_emi, t_ref = mat_cols(self.triangles)
+        s_col, s_emi, s_ref, s_tra, s_ior = mat_cols(self.spheres)
+        p_col, p_emi, p_ref, p_tra, p_ior = mat_cols(self.planes)
+        t_col, t_emi, t_ref, t_tra, t_ior = mat_cols(self.triangles)
         return {
             "sphere_center": np.array([s.center for s in self.spheres], np.float32).reshape(-1, 3),
             "sphere_radius": np.array([s.radius for s in self.spheres], np.float32),
             "sphere_color": s_col, "sphere_emission": s_emi, "sphere_reflectivity": s_ref,
+            "sphere_transparency": s_tra, "sphere_ior": s_ior,
             "plane_point": np.array([p.point for p in self.planes], np.float32).reshape(-1, 3),
             "plane_normal": np.array([p.normal for p in self.planes], np.float32).reshape(-1, 3),
             "plane_color": p_col, "plane_emission": p_emi, "plane_reflectivity": p_ref,
+            "plane_transparency": p_tra, "plane_ior": p_ior,
             "triangle_v0": np.array([t.v0 for t in self.triangles], np.float32).reshape(-1, 3),
             "triangle_v1": np.array([t.v1 for t in self.triangles], np.float32).reshape(-1, 3),
             "triangle_v2": np.array([t.v2 for t in self.triangles], np.float32).reshape(-1, 3),
             "triangle_color": t_col, "triangle_emission": t_emi, "triangle_reflectivity": t_ref,
+            "triangle_transparency": t_tra, "triangle_ior": t_ior,
         }
 
 
@@ -282,6 +328,10 @@ def _material(d: dict) -> Material:
         color=_f32v(d["color"]),
         emission=_f32v(d["emission"]),
         reflectivity=_f32(d["reflectivity"]),
+        # Optional dielectric extension fields (absent in the reference's
+        # serde structs, lib.rs:73-98; defaults keep reference parity).
+        transparency=_f32(d.get("transparency", 0.0)),
+        ior=_f32(d.get("ior", 1.5)),
     )
 
 

@@ -251,6 +251,11 @@ class CulledPrims:
             (geom.ScenePrims(g.prims), g.aabb) for g in groups
         ]
         self._scratch = None
+        # Dielectric channels ride two extra scratch planes (statically
+        # absent for reference scenes; pad primitives default transp 0).
+        self.has_glass = scene.has_dielectrics
+        if self.has_glass:
+            self.N_SCRATCH = CulledPrims.N_SCRATCH + 2
 
     def bind(self, scratch_ref):
         self._scratch = scratch_ref
@@ -281,8 +286,8 @@ class CulledPrims:
         for sub, aabb in self._groups:
             def body(sub=sub):
                 closest0 = s[0]
-                (t, found, _p, n_b, col_b, emi_b, refl_b,
-                 lia_b) = sub.raw_closest(o, d, t_min, closest0)
+                (t, found, _p, n_b, col_b, emi_b, refl_b, lia_b, tp_b,
+                 io_b) = sub.raw_closest(o, d, t_min, closest0)
                 # t == closest0 where not found, so the write is safe
                 # unconditionally; material planes merge by winner mask.
                 s[0] = t
@@ -298,6 +303,9 @@ class CulledPrims:
                 s[10] = jnp.where(found, emi_b.z, s[10])
                 s[11] = jnp.where(found, refl_b, s[11])
                 s[12] = jnp.where(found, lia_b, s[12])
+                if self.has_glass:
+                    s[13] = jnp.where(found, tp_b, s[13])
+                    s[14] = jnp.where(found, io_b, s[14])
 
             if aabb is None:
                 body()
@@ -311,11 +319,14 @@ class CulledPrims:
         emi = V3(s[8], s[9], s[10])
         refl = s[11]
         lia = s[12]
+        transp = s[13] if self.has_glass else None
+        ior = s[14] if self.has_glass else None
         p = o + d * closest
         front = vm.dot(d, normal) < 0.0
         normal = vm.where(front, normal, -normal)
         lia = jnp.where(front, lia, 0.0)  # see geometry.closest_hit
-        return geom.Hit(found, closest, p, normal, col, emi, refl, lia)
+        return geom.Hit(found, closest, p, normal, col, emi, refl, lia,
+                        transparency=transp, ior=ior, front=front)
 
     def occluded(self, o: V3, d: V3, t_min, t_max, mask=None):
         if self._scratch is None:

@@ -140,6 +140,10 @@ class _Rec(NamedTuple):
     eb: jnp.ndarray
     rf: jnp.ndarray
     li: jnp.ndarray
+    # Dielectric channels — None (an empty pytree slot, zero carry cost)
+    # unless the scene has dielectrics.
+    tp: jnp.ndarray = None
+    io: jnp.ndarray = None
 
 
 class ArrayPrims:
@@ -162,12 +166,20 @@ class ArrayPrims:
         self.n_triangles = len(scene.triangles)
         self.unroll = max(int(DEFAULT_UNROLL if unroll is None else unroll),
                           1)
+        # Dielectric channels thread through the sweep carry only when the
+        # scene actually has them (two extra selects per primitive
+        # iteration otherwise wasted on every stress-scale sweep).
+        self.has_glass = scene.has_dielectrics
         self.host_arrays = pack_scene_soa(scene)
         counts = {"s": self.n_spheres, "p": self.n_planes,
                   "t": self.n_triangles}
+        keys = (*SPHERE_KEYS, *PLANE_KEYS, *TRI_KEYS)
+        if self.has_glass:
+            keys = keys + ("s_transp", "s_ior", "p_transp", "p_ior",
+                           "t_transp", "t_ior")
         self.dyn_layout: List[Tuple[str, int]] = [
             (k, counts[k[0]])
-            for k in (*SPHERE_KEYS, *PLANE_KEYS, *TRI_KEYS)
+            for k in keys
             if counts[k[0]] > 0
         ]
         # Oracle default: the arrays as jnp device constants (numpy would
@@ -238,6 +250,10 @@ class ArrayPrims:
             eb=sel(a[f"{pre}_emib"][i], rec.eb),
             rf=sel(a[f"{pre}_refl"][i], rec.rf),
             li=sel(lia, rec.li),
+            tp=(sel(a[f"{pre}_transp"][i], rec.tp)
+                if rec.tp is not None else None),
+            io=(sel(a[f"{pre}_ior"][i], rec.io)
+                if rec.io is not None else None),
         )
 
     def _sweep_closest(self, o: V3, d: V3, t_min, rec: _Rec) -> _Rec:
@@ -293,7 +309,8 @@ class ArrayPrims:
         lane sweeps everything, as the reference does)."""
         del mask
         zeros = jnp.zeros_like(o.x)
-        rec = _Rec(zeros + t_max, *([zeros] * 12))
+        glass_init = (zeros, zeros) if self.has_glass else (None, None)
+        rec = _Rec(zeros + t_max, *([zeros] * 12), *glass_init)
         rec = self._sweep_closest(o, d, t_min, rec)
         found = rec.found != 0.0
         p = o + d * rec.closest
@@ -303,7 +320,8 @@ class ArrayPrims:
         lia = jnp.where(front, rec.li, 0.0)  # see geometry.closest_hit
         return geom.Hit(found, rec.closest, p, normal,
                         V3(rec.cr, rec.cg, rec.cb),
-                        V3(rec.er, rec.eg, rec.eb), rec.rf, lia)
+                        V3(rec.er, rec.eg, rec.eb), rec.rf, lia,
+                        transparency=rec.tp, ior=rec.io, front=front)
 
     def occluded(self, o: V3, d: V3, t_min, t_max, mask=None) -> jnp.ndarray:
         """Any-hit shadow sweep (shader.wgsl:399-402)."""
@@ -418,9 +436,11 @@ class ArrayDynPrims(ArrayPrims):
         else:
             out["s_invr"] = a["s_r"]
             out["s_lia"] = a["s_r"]
+        mat_chs = ("colr", "colg", "colb", "emir", "emig", "emib", "refl")
+        if self.has_glass:
+            mat_chs = mat_chs + ("transp", "ior")
         for pre in ("s", "p", "t"):
-            for ch in ("colr", "colg", "colb", "emir", "emig", "emib",
-                       "refl"):
+            for ch in mat_chs:
                 out[f"{pre}_{ch}"] = a[f"{pre}_{ch}"]
         for k in ("p_px", "p_py", "p_pz", "p_nx", "p_ny", "p_nz"):
             out[k] = a[k]

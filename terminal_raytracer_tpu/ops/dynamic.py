@@ -48,6 +48,12 @@ PLANE_KEYS = ("p_px", "p_py", "p_pz", "p_nx", "p_ny", "p_nz")
 TRI_KEYS = ("t_ax", "t_ay", "t_az", "t_bx", "t_by", "t_bz",
             "t_cx", "t_cy", "t_cz")
 MAT_KEYS = ("colr", "colg", "colb", "emir", "emig", "emib", "refl")
+# Dielectric material channels (models/scene.py Material extension). Only
+# part of the operand layout when the template scene actually has
+# dielectrics — scenes without keep their exact pre-glass layouts and
+# compiled programs (the tracer's glass branch is statically gated on the
+# same condition).
+GLASS_KEYS = ("transp", "ior")
 
 
 def scene_keys(scene: scene_mod.Scene) -> List[Tuple[str, int]]:
@@ -55,12 +61,13 @@ def scene_keys(scene: scene_mod.Scene) -> List[Tuple[str, int]]:
     topology, in a stable order."""
     ns, np_, nt = (len(scene.spheres), len(scene.planes),
                    len(scene.triangles))
+    mat = MAT_KEYS + (GLASS_KEYS if scene.has_dielectrics else ())
     out = [(k, ns) for k in SPHERE_KEYS]
-    out += [(f"s_{m}", ns) for m in MAT_KEYS]
+    out += [(f"s_{m}", ns) for m in mat]
     out += [(k, np_) for k in PLANE_KEYS]
-    out += [(f"p_{m}", np_) for m in MAT_KEYS]
+    out += [(f"p_{m}", np_) for m in mat]
     out += [(k, nt) for k in TRI_KEYS]
-    out += [(f"t_{m}", nt) for m in MAT_KEYS]
+    out += [(f"t_{m}", nt) for m in mat]
     return out
 
 
@@ -68,12 +75,13 @@ def pack_scene(scene: scene_mod.Scene) -> Dict[str, np.ndarray]:
     """Scene -> the flat scalar-array dict (the animatable state)."""
     a = scene.to_arrays()
 
-    def mats(prefix, col, emi, ref):
+    def mats(prefix, col, emi, ref, tra, ior):
         return {
             f"{prefix}_colr": col[:, 0], f"{prefix}_colg": col[:, 1],
             f"{prefix}_colb": col[:, 2], f"{prefix}_emir": emi[:, 0],
             f"{prefix}_emig": emi[:, 1], f"{prefix}_emib": emi[:, 2],
-            f"{prefix}_refl": ref,
+            f"{prefix}_refl": ref, f"{prefix}_transp": tra,
+            f"{prefix}_ior": ior,
         }
 
     out = {
@@ -89,11 +97,14 @@ def pack_scene(scene: scene_mod.Scene) -> Dict[str, np.ndarray]:
         "t_cz": a["triangle_v2"][:, 2],
     }
     out.update(mats("s", a["sphere_color"], a["sphere_emission"],
-                    a["sphere_reflectivity"]))
+                    a["sphere_reflectivity"], a["sphere_transparency"],
+                    a["sphere_ior"]))
     out.update(mats("p", a["plane_color"], a["plane_emission"],
-                    a["plane_reflectivity"]))
+                    a["plane_reflectivity"], a["plane_transparency"],
+                    a["plane_ior"]))
     out.update(mats("t", a["triangle_color"], a["triangle_emission"],
-                    a["triangle_reflectivity"]))
+                    a["triangle_reflectivity"], a["triangle_transparency"],
+                    a["triangle_ior"]))
     return {k: np.ascontiguousarray(v, np.float32) for k, v in out.items()}
 
 
@@ -118,6 +129,10 @@ class DynPrims:
         self.n_spheres = len(scene.spheres)
         self.n_planes = len(scene.planes)
         self.n_triangles = len(scene.triangles)
+        # Static gate for the dielectric channels (template-scene property,
+        # like the light topology): scenes without dielectrics keep their
+        # exact pre-glass operand layout and sweep code.
+        self.has_glass = scene.has_dielectrics
         # Static light topology: (kind, index within its kind array), in
         # primitive order, excluding planes (shader.wgsl:390-391).
         self.light_topology: List[Tuple[int, int]] = []
@@ -182,6 +197,14 @@ class DynPrims:
                  a[f"{prefix}_emib"][i])
         return col, emi, a[f"{prefix}_refl"][i]
 
+    def _glass(self, prefix, i):
+        """(transparency, ior) for one primitive, or None when the
+        template scene has no dielectrics (keys absent by design)."""
+        if not self.has_glass:
+            return None
+        a = self._a
+        return a[f"{prefix}_transp"][i], a[f"{prefix}_ior"][i]
+
     @staticmethod
     def _is_static(*vs) -> bool:
         return all(
@@ -224,8 +247,9 @@ class DynPrims:
 
     def _sweep(self):
         """Yield (intersect_fn(o,d,t_min,t_max), normal_fn(p), material,
-        light_inv_area) per primitive in the reference flatten order
-        (spheres, planes, triangles — lib.rs:120-154)."""
+        light_inv_area, glass) per primitive in the reference flatten order
+        (spheres, planes, triangles — lib.rs:120-154); `glass` is
+        (transparency, ior) or None when the template has no dielectrics."""
         four_pi = 4.0 * 3.14159265359
         light_idx = set(self.light_topology)
         for i in range(self.n_spheres):
@@ -241,7 +265,7 @@ class DynPrims:
                 1.0 / (four_pi * r * r)
                 if (scene_mod.SPHERE, i) in light_idx else 0.0
             )
-            yield isect, norm, self._mat("s", i), lia
+            yield isect, norm, self._mat("s", i), lia, self._glass("s", i)
         for i in range(self.n_planes):
             pt, n_raw = self._plane(i)
             n_unit = self._plane_unit(n_raw)
@@ -252,7 +276,7 @@ class DynPrims:
             def norm(p, n_unit=n_unit):
                 return vm.splat(jnp.zeros_like(p.x)) + n_unit
 
-            yield isect, norm, self._mat("p", i), 0.0
+            yield isect, norm, self._mat("p", i), 0.0, self._glass("p", i)
         for i in range(self.n_triangles):
             v0, v1, v2 = self._triangle(i)
             e1, e2, n_unit, half_len = self._tri_derived(v0, v1, v2)
@@ -267,7 +291,7 @@ class DynPrims:
                 1.0 / half_len
                 if (scene_mod.TRIANGLE, i) in light_idx else 0.0
             )
-            yield isect, norm, self._mat("t", i), lia
+            yield isect, norm, self._mat("t", i), lia, self._glass("t", i)
 
     # ---- ScenePrims interface ---------------------------------------------
 
@@ -286,7 +310,9 @@ class DynPrims:
         emi = vm.splat(zeros)
         refl = zeros
         lia_v = zeros
-        for isect, norm, (m_col, m_emi, m_refl), lia in self._sweep():
+        tp_v = zeros if self.has_glass else None
+        io_v = zeros if self.has_glass else None
+        for isect, norm, (m_col, m_emi, m_refl), lia, gl in self._sweep():
             t = isect(o, d, t_min, closest)
             better = (t > 0.0) & (t < closest)
             closest = jnp.where(better, t, closest)
@@ -297,16 +323,20 @@ class DynPrims:
             emi = vm.where(better, vm.splat(zeros) + m_emi, emi)
             refl = jnp.where(better, m_refl, refl)
             lia_v = jnp.where(better, zeros + lia, lia_v)
+            if gl is not None:
+                tp_v = jnp.where(better, zeros + gl[0], tp_v)
+                io_v = jnp.where(better, zeros + gl[1], io_v)
         p = o + d * closest
         front = vm.dot(d, normal) < 0.0
         normal = vm.where(front, normal, -normal)
         lia_v = jnp.where(front, lia_v, 0.0)  # see geometry.closest_hit
-        return geom.Hit(found, closest, p, normal, col, emi, refl, lia_v)
+        return geom.Hit(found, closest, p, normal, col, emi, refl, lia_v,
+                        transparency=tp_v, ior=io_v, front=front)
 
     def occluded(self, o: V3, d: V3, t_min, t_max, mask=None) -> jnp.ndarray:
         del mask
         blocked = jnp.zeros_like(o.x, dtype=bool)
-        for isect, _norm, _mat, _lia in self._sweep():
+        for isect, _norm, _mat, _lia, _gl in self._sweep():
             t = isect(o, d, t_min, t_max)
             blocked = blocked | ((t > 0.0) & (t < t_max))
         return blocked

@@ -109,7 +109,16 @@ class Hit(NamedTuple):
     light (emissive sphere/triangle — the set shader.wgsl:390-391 samples),
     else 0. Only the MIS transport mode (ops/tracer.py) consumes it — the
     balance-heuristic weight of a BSDF path hitting a light needs the area
-    pdf NEE would have used; XLA dead-code-eliminates it elsewhere."""
+    pdf NEE would have used; XLA dead-code-eliminates it elsewhere.
+
+    `transparency` / `ior` / `front`: the dielectric extension channels
+    (models/scene.py Material). `front` is the pre-flip front-face mask
+    (already computed for the normal flip — free); `ior` is only
+    meaningful on lanes where `transparency > 0` (the baked sweep zeros
+    it elsewhere to keep its grouped constant-select free; the tracer
+    re-selects a safe value before dividing). Consumed only when the
+    scene has dielectrics — the tracer's glass branch is statically gated,
+    so reference scenes compile to the exact pre-extension program."""
 
     found: jnp.ndarray  # bool lanes
     t: jnp.ndarray
@@ -119,6 +128,9 @@ class Hit(NamedTuple):
     emission: V3
     reflectivity: jnp.ndarray
     light_inv_area: jnp.ndarray = None
+    transparency: jnp.ndarray = None
+    ior: jnp.ndarray = None
+    front: jnp.ndarray = None
 
 
 def _c3(v) -> V3:
@@ -286,6 +298,13 @@ class ScenePrims:
         )
         refl = grouped([m.reflectivity for m in mats])
         light_inv_area = grouped(self._light_inv_area)
+        # Dielectric channels: all-zero (i.e. a free broadcast constant)
+        # for reference scenes. ior is zeroed on non-dielectric materials
+        # so IT stays free too — the tracer only reads it where
+        # transparency > 0 (Hit docstring).
+        transp = grouped([m.transparency for m in mats])
+        ior = grouped([m.ior if m.transparency > 0.0 else 0.0
+                       for m in mats])
 
         p = o + d * closest
 
@@ -313,7 +332,8 @@ class ScenePrims:
             n_k = vm.normalize((p - c) * inv_r)
             normal = vm.where(winner[k], n_k, normal)
 
-        return closest, found, p, normal, col, emi, refl, light_inv_area
+        return (closest, found, p, normal, col, emi, refl, light_inv_area,
+                transp, ior)
 
     def closest_hit(self, o: V3, d: V3, t_min=RAY_EPS, t_max=T_FAR,
                     mask=None) -> Hit:
@@ -322,9 +342,8 @@ class ScenePrims:
         block-culled accelerator (ops/accel.py) and ignored here — every
         lane sweeps everything, as the reference does."""
         del mask
-        closest, found, p, normal, col, emi, refl, lia = self.raw_closest(
-            o, d, t_min, t_max
-        )
+        (closest, found, p, normal, col, emi, refl, lia, transp,
+         ior) = self.raw_closest(o, d, t_min, t_max)
         # Front-face flip (shader.wgsl:284-287).
         front = vm.dot(d, normal) < 0.0
         normal = vm.where(front, normal, -normal)
@@ -333,7 +352,8 @@ class ScenePrims:
         # sphere) is unreachable by NEE, so its competing pdf is 0 and the
         # BSDF hit keeps full MIS weight.
         lia = jnp.where(front, lia, 0.0)
-        return Hit(found, closest, p, normal, col, emi, refl, lia)
+        return Hit(found, closest, p, normal, col, emi, refl, lia,
+                   transparency=transp, ior=ior, front=front)
 
     def occluded(self, o: V3, d: V3, t_min, t_max, mask=None) -> jnp.ndarray:
         """Any-hit visibility test for shadow rays (shader.wgsl:399-402:

@@ -79,8 +79,8 @@ def _sweep_scratch_shapes(tracer, tile_h, tile_w):
     if not isinstance(tracer.prims, accel_mod.CulledPrims):
         return []
     mk = pltpu.VMEM if _HAS_PLTPU else pl.MemoryRef
-    return [mk((accel_mod.CulledPrims.N_SCRATCH, tile_h, tile_w),
-               jnp.float32)]
+    # Instance attribute: +2 planes when the scene has dielectric channels.
+    return [mk((tracer.prims.N_SCRATCH, tile_h, tile_w), jnp.float32)]
 
 
 def _maybe_bind_sweep(tracer, rest):

@@ -96,6 +96,41 @@ def base_sample_count(spp: int) -> int:
     return max(4, spp // 4)
 
 
+# ---------------------------------------------------------------------------
+# Dielectric (glass) scatter math — capability extension. The reference has
+# no refractive materials (its BSDF is stochastic mirror-or-Lambert only,
+# shader.wgsl:465-480); scenes without dielectrics compile to the exact
+# reference program (the glass branch is statically gated in bounce_step).
+# Pure shape-polymorphic lane math, shared by the jnp oracle and the Pallas
+# kernels like the rest of this module.
+# ---------------------------------------------------------------------------
+
+
+def fresnel_schlick(cos_i, eta):
+    """Schlick's approximation of the unpolarized Fresnel reflectance:
+    r0 + (1 - r0)(1 - cos_i)^5, r0 = ((1 - eta)/(1 + eta))^2 — the
+    normal-incidence reflectance (identical for eta and 1/eta)."""
+    r = (1.0 - eta) / (1.0 + eta)
+    r0 = r * r
+    m = 1.0 - cos_i
+    m2 = m * m
+    return r0 + (1.0 - r0) * (m2 * m2 * m)
+
+
+def refract(d: V3, n: V3, eta):
+    """Refract the unit direction `d` about the unit FRONT-FACE normal `n`
+    (dot(d, n) <= 0) with relative index eta = n_incident / n_transmitted.
+    Returns (t_dir V3, cos_i, tir): the Snell-exact transmitted direction
+    (unit up to f32 rounding), the incident cosine, and the
+    total-internal-reflection mask (t_dir is meaningless where tir)."""
+    cos_i = jnp.minimum(-vm.dot(d, n), 1.0)
+    sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+    tir = sin2_t > 1.0
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    t_dir = d * eta + n * (eta * cos_i - cos_t)
+    return t_dir, cos_i, tir
+
+
 # accel='auto' switches from the unrolled baked sweep to the array-resident
 # fori_loop sweep (ops/arrayscene.py) above this primitive count. The baked
 # sweep's unrolled code grows O(N); the array sweep is O(1) code over SoA
@@ -183,6 +218,12 @@ class PathTracer:
         # carry a may-emit flag, true for a fresh ray.
         self._emit_fresh = -1.0 if transport == "mis" else 1.0
         self.scene = scene
+        # Static gate for the dielectric scatter branch (and its one extra
+        # gated RNG draw): False compiles the exact reference program.
+        # Template-scene property — in dynamic mode, VALUES animate but a
+        # material can't gain a glass branch at runtime (same contract as
+        # the static light topology, ops/dynamic.py).
+        self.has_glass = scene.has_dielectrics
         # Traversal: the plain baked sweep ('baked'), the array-resident
         # fori_loop sweep ('array', ops/arrayscene.py — fixed code size for
         # any primitive count, the analog of the reference's storage-buffer
@@ -300,9 +341,11 @@ class PathTracer:
         would reach sample_direct_lighting (it is only called on hits,
         shader.wgsl:458).
 
-        `refl` (lanes): the hit's reflectivity — consumed only by the 'mis'
-        transport, whose balance weight needs the BSDF's continuous-part
-        pdf (1 - refl) * cos/pi for the sampled light direction.
+        `refl` (lanes): the hit's delta-branch selection probability —
+        reflectivity, plus transparency when the scene has dielectrics
+        (both are delta lobes). Consumed only by the 'mis' transport,
+        whose balance weight needs the BSDF's continuous-part pdf
+        (1 - refl) * cos/pi for the sampled light direction.
         """
         zeros = jnp.zeros_like(p.x)
         direct = vm.splat(zeros)
@@ -447,21 +490,55 @@ class PathTracer:
                                  vm.splat(zeros))
 
         # NEE (wgsl:458-459). Shadow sweeps count as rays for live lanes.
+        # The MIS transport's balance weight needs the delta-branch
+        # selection probability — mirror plus (extension) glass: both are
+        # delta-distributed, so NEE competes only with the diffuse lobe.
+        nee_refl = hit.reflectivity
+        if self.has_glass:
+            nee_refl = nee_refl + hit.transparency
         state, direct = self.direct_light(
             state, hit.p, hit.normal, hit.color, att, live,
-            refl=hit.reflectivity,
+            refl=nee_refl,
         )
         acc = acc + vm.where(live, direct, vm.splat(zeros))
         rays = rays + jnp.where(live, float(self.n_lights), 0.0)
 
-        # Scatter: stochastic mirror-vs-diffuse (wgsl:465-480).
+        # Scatter: stochastic mirror-vs-diffuse (wgsl:465-480), with the
+        # (extension) dielectric branch spliced into the same single
+        # branch-selection draw: r < refl -> mirror; refl <= r <
+        # refl + transparency -> glass (Fresnel-weighted reflect-or-
+        # refract); else diffuse. transparency == 0 everywhere makes the
+        # glass branch statically absent — reference-exact draws and ops.
         state, r_spec = prng.next_f32(state, live)
         is_refl = hit.reflectivity > r_spec
         refl_dir = vm.reflect(d, hit.normal)
+        if self.has_glass:
+            is_glass = (~is_refl) & (
+                (hit.reflectivity + hit.transparency) > r_spec
+            )
+            # hit.ior is only meaningful where transparency > 0 (the baked
+            # sweep zeros it elsewhere); select a safe 1.0 first so masked
+            # lanes never divide by zero.
+            ior = jnp.where(hit.transparency > 0.0, hit.ior, 1.0)
+            eta = jnp.where(hit.front, 1.0 / ior, ior)
+            t_dir, cos_i, tir = refract(d, hit.normal, eta)
+            fres = fresnel_schlick(cos_i, eta)
+            # One extra gated draw: the Fresnel reflect-or-refract choice.
+            state, r_fr = prng.next_f32(state, live & is_glass)
+            glass_reflects = tir | (fres > r_fr)
+            glass_dir = vm.where(glass_reflects, refl_dir, t_dir)
+        else:
+            is_glass = None
+        diffuse_gate = (
+            live & (~is_refl) if is_glass is None
+            else live & (~is_refl) & (~is_glass)
+        )
         state, cos_dir = sampling.cosine_hemisphere(
-            state, hit.normal, live & (~is_refl)
+            state, hit.normal, diffuse_gate
         )
         new_d = vm.where(is_refl, refl_dir, cos_dir)
+        if is_glass is not None:
+            new_d = vm.where(is_glass, glass_dir, new_d)
         att = vm.where(live, att * hit.color, att)
         new_o = hit.p + new_d * geom.RAY_EPS  # offset along scatter dir (wgsl:482)
 
@@ -477,14 +554,15 @@ class PathTracer:
         # Sanitize dead lanes so NaNs can't leak into the next sweep.
         d = vm.where(alive, new_d, V3(zeros, zeros, zeros + 1.0))
         o = vm.where(alive, new_o, vm.splat(zeros))
-        # Next bounce's scatter history: mirror = delta; diffuse = the
-        # continuous-part pdf (mis) / emission disallowed (unbiased).
+        # Next bounce's scatter history: mirror/glass = delta; diffuse =
+        # the continuous-part pdf (mis) / emission disallowed (unbiased).
+        is_delta = is_refl if is_glass is None else (is_refl | is_glass)
         if self.transport == "mis":
             cos_new = jnp.maximum(vm.dot(hit.normal, new_d), 0.0)
-            p_cont = (1.0 - hit.reflectivity) * cos_new * (1.0 / sampling.PI)
-            emit_info = jnp.where(is_refl, -1.0, p_cont)
+            p_cont = (1.0 - nee_refl) * cos_new * (1.0 / sampling.PI)
+            emit_info = jnp.where(is_delta, -1.0, p_cont)
         else:
-            emit_info = jnp.where(is_refl, 1.0, 0.0)
+            emit_info = jnp.where(is_delta, 1.0, 0.0)
         return state, o, d, att, acc, alive, rays, emit_info
 
     # ------------------------------------------------------------------
