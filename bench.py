@@ -75,6 +75,10 @@ CONFIGS = {
     # many-TRIANGLE mesh scene (models/mesh.py icosphere, 1280 faces +
     # light + floor): the triangle sweep at mesh scale, same array path
     "mesh1280": dict(scene="icosphere:3", frames=192),
+    # dielectric extension at north-star params: the Cornell variant with
+    # two glass spheres (Fresnel refract-or-reflect branch, one extra
+    # gated draw) — measures the glass branch's cost against north_star
+    "glass": dict(scene="cornell_glass", spp=16, depth=32, frames=480),
     # dynamic (animated) scenes: geometry streams through SMEM as runtime
     # values (ops/dynamic.py; --animate); north-star params, orbit animator
     "dynamic": dict(scene="Cornell_Box", spp=16, depth=32, dynamic=True,
