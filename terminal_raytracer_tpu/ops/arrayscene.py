@@ -173,10 +173,15 @@ class ArrayPrims:
         self.host_arrays = pack_scene_soa(scene)
         counts = {"s": self.n_spheres, "p": self.n_planes,
                   "t": self.n_triangles}
+        from . import dynamic as dyn_mod
+
         keys = (*SPHERE_KEYS, *PLANE_KEYS, *TRI_KEYS)
         if self.has_glass:
-            keys = keys + ("s_transp", "s_ior", "p_transp", "p_ior",
-                           "t_transp", "t_ior")
+            # One source of truth for the dielectric channel names.
+            keys = keys + tuple(
+                f"{p}_{m}" for p in ("s", "p", "t")
+                for m in dyn_mod.GLASS_KEYS
+            )
         self.dyn_layout: List[Tuple[str, int]] = [
             (k, counts[k[0]])
             for k in keys
@@ -436,9 +441,11 @@ class ArrayDynPrims(ArrayPrims):
         else:
             out["s_invr"] = a["s_r"]
             out["s_lia"] = a["s_r"]
-        mat_chs = ("colr", "colg", "colb", "emir", "emig", "emib", "refl")
-        if self.has_glass:
-            mat_chs = mat_chs + ("transp", "ior")
+        from . import dynamic as dyn_mod
+
+        mat_chs = dyn_mod.MAT_KEYS + (
+            dyn_mod.GLASS_KEYS if self.has_glass else ()
+        )
         for pre in ("s", "p", "t"):
             for ch in mat_chs:
                 out[f"{pre}_{ch}"] = a[f"{pre}_{ch}"]

@@ -120,15 +120,16 @@ def fresnel_schlick(cos_i, eta):
 def refract(d: V3, n: V3, eta):
     """Refract the unit direction `d` about the unit FRONT-FACE normal `n`
     (dot(d, n) <= 0) with relative index eta = n_incident / n_transmitted.
-    Returns (t_dir V3, cos_i, tir): the Snell-exact transmitted direction
-    (unit up to f32 rounding), the incident cosine, and the
-    total-internal-reflection mask (t_dir is meaningless where tir)."""
+    Returns (t_dir V3, cos_i, cos_t, tir): the Snell-exact transmitted
+    direction (unit up to f32 rounding), the incident and transmitted
+    cosines, and the total-internal-reflection mask (t_dir/cos_t are
+    meaningless where tir)."""
     cos_i = jnp.minimum(-vm.dot(d, n), 1.0)
     sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
     tir = sin2_t > 1.0
     cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
     t_dir = d * eta + n * (eta * cos_i - cos_t)
-    return t_dir, cos_i, tir
+    return t_dir, cos_i, cos_t, tir
 
 
 # accel='auto' switches from the unrolled baked sweep to the array-resident
@@ -500,6 +501,15 @@ class PathTracer:
             state, hit.p, hit.normal, hit.color, att, live,
             refl=nee_refl,
         )
+        if self.has_glass and self.transport != "mis":
+            # The reference's NEE evaluates a full Lambertian lobe on
+            # every surface; on mirrors that quirk is kept for parity
+            # (PARITY.md). Glass has no reference counterpart to be
+            # parity with, so scale NEE by the non-glass selection
+            # probability — clear glass gets no matte direct-light ghost.
+            # ('mis' already weighs NEE by the full diffuse-only
+            # probability inside direct_light.)
+            direct = direct * (1.0 - hit.transparency)
         acc = acc + vm.where(live, direct, vm.splat(zeros))
         rays = rays + jnp.where(live, float(self.n_lights), 0.0)
 
@@ -521,8 +531,14 @@ class PathTracer:
             # lanes never divide by zero.
             ior = jnp.where(hit.transparency > 0.0, hit.ior, 1.0)
             eta = jnp.where(hit.front, 1.0 / ior, ior)
-            t_dir, cos_i, tir = refract(d, hit.normal, eta)
-            fres = fresnel_schlick(cos_i, eta)
+            t_dir, cos_i, cos_t, tir = refract(d, hit.normal, eta)
+            # Schlick's (1 - cos)^5 term must use the cosine on the LESS
+            # dense side: the incident cosine when entering (eta < 1), the
+            # transmitted cosine when exiting a denser medium (eta > 1) —
+            # otherwise internal reflectance is ~6x underestimated just
+            # below the critical angle and jumps discontinuously to 1 at
+            # TIR. cos_t -> 0 at the critical angle makes this continuous.
+            fres = fresnel_schlick(jnp.where(eta > 1.0, cos_t, cos_i), eta)
             # One extra gated draw: the Fresnel reflect-or-refract choice.
             state, r_fr = prng.next_f32(state, live & is_glass)
             glass_reflects = tir | (fres > r_fr)

@@ -122,8 +122,11 @@ def test_snells_law():
     c = float(np.cos(np.radians(45.0)))
     d = V3(jnp.float32(s), jnp.float32(-c), jnp.float32(0.0))
     eta = jnp.float32(1.0 / 1.5)
-    t_dir, cos_i, tir = refract(d, n, eta)
+    t_dir, cos_i, cos_t, tir = refract(d, n, eta)
     assert not bool(tir)
+    assert float(cos_t) == pytest.approx(
+        float(np.sqrt(1.0 - (float(eta) * s) ** 2)), abs=1e-6
+    )
     assert float(cos_i) == pytest.approx(c, abs=1e-6)
     # sin(theta_t) = eta * sin(theta_i); direction stays in the x/y plane
     # and keeps its transverse orientation.
@@ -139,7 +142,7 @@ def test_eta_one_is_identity():
     n = V3(jnp.float32(0.0), jnp.float32(1.0), jnp.float32(0.0))
     d = vm.normalize(V3(jnp.float32(0.3), jnp.float32(-0.8),
                         jnp.float32(0.5)))
-    t_dir, _cos_i, tir = refract(d, n, jnp.float32(1.0))
+    t_dir, _cos_i, _cos_t, tir = refract(d, n, jnp.float32(1.0))
     assert not bool(tir)
     for a, b in ((t_dir.x, d.x), (t_dir.y, d.y), (t_dir.z, d.z)):
         assert float(a) == pytest.approx(float(b), abs=1e-6)
@@ -154,7 +157,7 @@ def test_total_internal_reflection_condition():
         s = float(np.sin(np.radians(deg)))
         c = float(np.cos(np.radians(deg)))
         d = V3(jnp.float32(s), jnp.float32(-c), jnp.float32(0.0))
-        _t, _c, tir = refract(d, n, eta)
+        _t, _ci, _ct, tir = refract(d, n, eta)
         assert bool(tir) == expect_tir, deg
 
 
@@ -166,6 +169,33 @@ def test_schlick_normal_incidence():
     # Grazing incidence reflects everything.
     assert float(fresnel_schlick(jnp.float32(0.0), jnp.float32(1.5))
                  ) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_schlick_exit_side_uses_transmitted_cosine():
+    # Exiting a denser medium (eta = 1.5), Schlick's (1-cos)^5 term must
+    # use cos_t, not cos_i: at 40 deg (just below the 41.8 deg critical
+    # angle) exact unpolarized Fresnel is ~0.25-0.3; cos_i would give
+    # ~0.04 and then snap discontinuously to 1 at TIR.
+    n = V3(jnp.float32(0.0), jnp.float32(1.0), jnp.float32(0.0))
+    eta = jnp.float32(1.5)
+    s = float(np.sin(np.radians(40.0)))
+    c = float(np.cos(np.radians(40.0)))
+    d = V3(jnp.float32(s), jnp.float32(-c), jnp.float32(0.0))
+    _t, cos_i, cos_t, tir = refract(d, n, eta)
+    assert not bool(tir)
+    fres = float(fresnel_schlick(
+        jnp.where(eta > 1.0, cos_t, cos_i), eta
+    ))
+    assert fres == pytest.approx(0.243, abs=0.03)
+    # Continuity at the critical angle: cos_t -> 0 drives fres -> 1
+    # (0.72 at 41.7 deg, rising monotonically to 1.0 at 41.81 deg; the
+    # incident-cosine bug would sit at ~0.04 here and jump to 1 at TIR).
+    s_c = float(np.sin(np.radians(41.7)))
+    c_c = float(np.cos(np.radians(41.7)))
+    d_c = V3(jnp.float32(s_c), jnp.float32(-c_c), jnp.float32(0.0))
+    _t2, _ci2, cos_t2, tir2 = refract(d_c, n, eta)
+    assert not bool(tir2)
+    assert float(fresnel_schlick(cos_t2, eta)) > 0.7
 
 
 def test_tir_bounce_is_deterministic_reflection():
@@ -313,6 +343,68 @@ def test_mis_transport_runs_on_glass_scene():
         cur, *_rest = _render(PathTracer(scene, transport=transport))
         img = np.asarray(cur.x)
         assert np.isfinite(img).all() and img.mean() > 0.01, transport
+
+
+def test_pallas_grid_glass_matches_oracle():
+    # The one traversal x backend combination nothing else executes: the
+    # pl.when-gated culled sweep inside the Pallas kernel with the glass
+    # scratch planes live (ops/accel.py s[13]/s[14], N_SCRATCH = 15).
+    # Culling is output-invariant, so rays/budgets are exactly equal to
+    # the dense jnp oracle on the same blocked order.
+    from terminal_raytracer_tpu.runtime import init_state, make_render_step
+
+    scene = _glass_cornell(width=64, height=16, samples_per_pixel=4,
+                           max_depth=4)
+    step_j = make_render_step(scene, backend="jnp", accel="grid")
+    step_p = make_render_step(scene, backend="pallas", accel="grid")
+    a = step_j(init_state(scene), POSE, np.uint32(9), np.int32(0))
+    b = step_p(init_state(scene), POSE, np.uint32(9), np.int32(0))
+    assert float(a.rays) == float(b.rays)
+    np.testing.assert_allclose(
+        np.asarray(a.state.acc), np.asarray(b.state.acc),
+        rtol=2e-3, atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.state.samples), np.asarray(b.state.samples)
+    )
+
+
+def test_glass_gets_no_lambertian_nee_ghost():
+    # A transparency=1 sphere must accumulate NO diffuse direct light in
+    # any transport (the reference's full-Lambert NEE quirk is kept on
+    # mirrors for parity, but glass has no reference counterpart).
+    # One bounce on a glass sphere under a bright NEE light: acc stays 0
+    # (emission=0 on the sphere, NEE scaled by 1 - transparency = 0).
+    cfg = {
+        "width": 4, "height": 4, "samples_per_pixel": 4, "max_depth": 4,
+        "frames_to_accumulate": 1,
+        "camera": {"fov_degrees": 45.0, "char_aspect_ratio": 0.55},
+        "spheres": [
+            {"center": [0, 0, -3], "radius": 1.0, "color": [1, 1, 1],
+             "emission": [0, 0, 0], "reflectivity": 0.0,
+             "transparency": 1.0, "ior": 1.5},
+            {"center": [0, 3, -3], "radius": 0.5, "color": [1, 1, 1],
+             "emission": [50, 50, 50], "reflectivity": 0.0},
+        ],
+    }
+    tracer = PathTracer(sm.scene_from_dict(cfg))
+    lanes = jnp.zeros((4,), jnp.float32)
+    o = vm.splat(lanes)
+    d = V3(lanes, lanes, lanes - 1.0)  # straight at the glass sphere
+    state = prng.seed_pixel(
+        jnp.zeros((4,), jnp.uint32), np.uint32(3), np.int32(0)
+    )
+    alive = jnp.ones((4,), bool)
+
+    def step(state):
+        return tracer.bounce_step(
+            state, o, d, vm.splat(lanes + 1.0), vm.splat(lanes), alive,
+            jnp.int32(0), lanes, lanes + tracer._emit_fresh,
+        )
+
+    _, _o2, _d2, _att, acc, _alive, _rays, _ = jax.jit(step)(state)
+    for ch in (acc.x, acc.y, acc.z):
+        np.testing.assert_array_equal(np.asarray(ch), 0.0)
 
 
 def test_render_step_pipeline_with_glass():
