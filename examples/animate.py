@@ -6,6 +6,10 @@ Usage: python examples/animate.py [out_dir] [n_frames]
 
 import os
 import sys
+from pathlib import Path
+
+# Runnable from anywhere: the examples live one level below the repo root.
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import numpy as np

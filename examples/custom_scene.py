@@ -7,6 +7,13 @@ renderer bakes it into the compiled kernel.
 Usage: python examples/custom_scene.py
 """
 
+import sys
+from pathlib import Path
+
+# Runnable from anywhere: the examples live one level below the repo root.
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
 import jax
 import numpy as np
 

@@ -9,6 +9,13 @@ ICI; to try it on CPU:
 (The same thing is available from the CLI as --shard N | px:N,sp:M.)
 """
 
+import sys
+from pathlib import Path
+
+# Runnable from anywhere: the examples live one level below the repo root.
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
 import jax
 import numpy as np
 

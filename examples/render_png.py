@@ -4,6 +4,10 @@ Usage: python examples/render_png.py [out.png] [scene] [frames]
 """
 
 import sys
+from pathlib import Path
+
+# Runnable from anywhere: the examples live one level below the repo root.
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import numpy as np
