@@ -407,6 +407,50 @@ def test_glass_gets_no_lambertian_nee_ghost():
         np.testing.assert_array_equal(np.asarray(ch), 0.0)
 
 
+def test_sharded_step_matches_single_chip_on_glass():
+    # The multi-chip ('px') sharded step over a glass scene: pixel-row DP
+    # changes no estimator, so it must equal the single-chip render
+    # bit-for-bit — including through the dielectric branch.
+    from terminal_raytracer_tpu.parallel import (
+        make_mesh, make_sharded_render_step,
+    )
+    from terminal_raytracer_tpu.runtime import init_state, make_render_step
+
+    scene = _glass_cornell(width=64, height=32, samples_per_pixel=4,
+                           max_depth=4)
+    mesh = make_mesh(n_px=4, n_sp=1)
+    step, mk_state = make_sharded_render_step(scene, mesh, backend="jnp")
+    out = step(mk_state(), POSE, np.uint32(5), np.int32(0))
+    ref = make_render_step(scene, backend="jnp")(
+        init_state(scene), POSE, np.uint32(5), np.int32(0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.state.acc), np.asarray(ref.state.acc), atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(out.rgb), np.asarray(ref.rgb))
+    assert float(out.rays) == float(ref.rays)
+
+
+def test_dynamic_array_sweep_with_glass():
+    # Dielectrics through ArrayDynPrims (dynamic values AND O(1) sweep
+    # code): the glass operand keys ride the SoA refs. At template values
+    # the render must equal the fully-baked tracer bit-for-bit.
+    scene = _glass_cornell(width=48, height=12, samples_per_pixel=4,
+                           max_depth=4)
+    t_base = PathTracer(scene)
+    cur, _var, _tot, rays = _render(t_base)
+    t_dyn = PathTracer(scene, dynamic=True, accel="array")
+    from terminal_raytracer_tpu.ops.arrayscene import ArrayDynPrims
+
+    assert isinstance(t_dyn.prims, ArrayDynPrims)
+    c2, _v2, _t2, r2 = jax.jit(
+        lambda p, s, f, a: t_dyn.render_frame_dynamic(p, s, f, a)
+    )(POSE, np.uint32(42), np.int32(0), dyn_mod.pack_scene(scene))
+    for a, b in ((c2.x, cur.x), (c2.y, cur.y), (c2.z, cur.z)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(r2) == float(rays)
+
+
 def test_render_step_pipeline_with_glass():
     # Full runtime step (tonemap + uint8 framing) on the packaged scene.
     from terminal_raytracer_tpu.runtime import init_state, make_render_step
