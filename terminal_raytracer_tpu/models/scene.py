@@ -69,6 +69,12 @@ class Material(NamedTuple):
     # draws anywhere). `ior` is that branch's index of refraction.
     transparency: float = 0.0
     ior: float = 1.5
+    # Metal roughness (extension): fuzz radius of the mirror branch —
+    # reflect + roughness * uniform-sphere vector, re-normalized; a fuzzed
+    # direction below the surface absorbs the path. 0 keeps the mirror
+    # reference-exact. The reference's own dead random_in_unit_sphere
+    # (shader.wgsl:117-124) gestures at exactly this feature.
+    roughness: float = 0.0
 
     @property
     def is_light(self) -> bool:
@@ -77,6 +83,10 @@ class Material(NamedTuple):
     @property
     def is_dielectric(self) -> bool:
         return self.transparency > 0.0
+
+    @property
+    def is_rough(self) -> bool:
+        return self.roughness > 0.0
 
 
 class Sphere(NamedTuple):
@@ -176,6 +186,11 @@ class Scene:
                         f"{tag_name}[{i}] transparency must be in [0, 1], "
                         f"got {m.transparency!r}"
                     )
+                if not (0.0 <= m.roughness <= 1.0):
+                    raise ValueError(
+                        f"{tag_name}[{i}] roughness must be in [0, 1], "
+                        f"got {m.roughness!r}"
+                    )
                 if m.transparency > 0.0:
                     if not m.ior > 0.0:
                         raise ValueError(
@@ -221,6 +236,13 @@ class Scene:
         the static gate for the dielectric scatter code (ops/tracer.py):
         scenes without it compile to the exact reference program."""
         return any(p.material.is_dielectric for _, p in self.primitives)
+
+    @property
+    def has_rough_metals(self) -> bool:
+        """True iff any primitive fuzzes its mirror branch — the static
+        gate for the roughness scatter code (ops/tracer.py), exactly like
+        has_dielectrics."""
+        return any(p.material.is_rough for _, p in self.primitives)
 
     def centroid(self) -> np.ndarray:
         """Mean position of the finite geometry (sphere centers, triangle
@@ -298,25 +320,26 @@ class Scene:
                 np.array([p.material.reflectivity for p in prims], np.float32),
                 np.array([p.material.transparency for p in prims], np.float32),
                 np.array([p.material.ior for p in prims], np.float32),
+                np.array([p.material.roughness for p in prims], np.float32),
             )
 
-        s_col, s_emi, s_ref, s_tra, s_ior = mat_cols(self.spheres)
-        p_col, p_emi, p_ref, p_tra, p_ior = mat_cols(self.planes)
-        t_col, t_emi, t_ref, t_tra, t_ior = mat_cols(self.triangles)
+        s_col, s_emi, s_ref, s_tra, s_ior, s_rgh = mat_cols(self.spheres)
+        p_col, p_emi, p_ref, p_tra, p_ior, p_rgh = mat_cols(self.planes)
+        t_col, t_emi, t_ref, t_tra, t_ior, t_rgh = mat_cols(self.triangles)
         return {
             "sphere_center": np.array([s.center for s in self.spheres], np.float32).reshape(-1, 3),
             "sphere_radius": np.array([s.radius for s in self.spheres], np.float32),
             "sphere_color": s_col, "sphere_emission": s_emi, "sphere_reflectivity": s_ref,
-            "sphere_transparency": s_tra, "sphere_ior": s_ior,
+            "sphere_transparency": s_tra, "sphere_ior": s_ior, "sphere_roughness": s_rgh,
             "plane_point": np.array([p.point for p in self.planes], np.float32).reshape(-1, 3),
             "plane_normal": np.array([p.normal for p in self.planes], np.float32).reshape(-1, 3),
             "plane_color": p_col, "plane_emission": p_emi, "plane_reflectivity": p_ref,
-            "plane_transparency": p_tra, "plane_ior": p_ior,
+            "plane_transparency": p_tra, "plane_ior": p_ior, "plane_roughness": p_rgh,
             "triangle_v0": np.array([t.v0 for t in self.triangles], np.float32).reshape(-1, 3),
             "triangle_v1": np.array([t.v1 for t in self.triangles], np.float32).reshape(-1, 3),
             "triangle_v2": np.array([t.v2 for t in self.triangles], np.float32).reshape(-1, 3),
             "triangle_color": t_col, "triangle_emission": t_emi, "triangle_reflectivity": t_ref,
-            "triangle_transparency": t_tra, "triangle_ior": t_ior,
+            "triangle_transparency": t_tra, "triangle_ior": t_ior, "triangle_roughness": t_rgh,
         }
 
 
@@ -332,6 +355,7 @@ def _material(d: dict) -> Material:
         # serde structs, lib.rs:73-98; defaults keep reference parity).
         transparency=_f32(d.get("transparency", 0.0)),
         ior=_f32(d.get("ior", 1.5)),
+        roughness=_f32(d.get("roughness", 0.0)),
     )
 
 

@@ -251,11 +251,15 @@ class CulledPrims:
             (geom.ScenePrims(g.prims), g.aabb) for g in groups
         ]
         self._scratch = None
-        # Dielectric channels ride two extra scratch planes (statically
-        # absent for reference scenes; pad primitives default transp 0).
+        # Extension material channels ride extra scratch planes
+        # (statically absent for reference scenes; pad primitives default
+        # transp/rough 0): transp+ior when dielectrics, rough when fuzz.
         self.has_glass = scene.has_dielectrics
-        if self.has_glass:
-            self.N_SCRATCH = CulledPrims.N_SCRATCH + 2
+        self.has_rough = scene.has_rough_metals
+        self.N_SCRATCH = (CulledPrims.N_SCRATCH
+                          + (2 if self.has_glass else 0)
+                          + (1 if self.has_rough else 0))
+        self._rough_slot = 13 + (2 if self.has_glass else 0)
 
     def bind(self, scratch_ref):
         self._scratch = scratch_ref
@@ -287,7 +291,7 @@ class CulledPrims:
             def body(sub=sub):
                 closest0 = s[0]
                 (t, found, _p, n_b, col_b, emi_b, refl_b, lia_b, tp_b,
-                 io_b) = sub.raw_closest(o, d, t_min, closest0)
+                 io_b, ro_b) = sub.raw_closest(o, d, t_min, closest0)
                 # t == closest0 where not found, so the write is safe
                 # unconditionally; material planes merge by winner mask.
                 s[0] = t
@@ -306,6 +310,9 @@ class CulledPrims:
                 if self.has_glass:
                     s[13] = jnp.where(found, tp_b, s[13])
                     s[14] = jnp.where(found, io_b, s[14])
+                if self.has_rough:
+                    rs = self._rough_slot
+                    s[rs] = jnp.where(found, ro_b, s[rs])
 
             if aabb is None:
                 body()
@@ -321,12 +328,14 @@ class CulledPrims:
         lia = s[12]
         transp = s[13] if self.has_glass else None
         ior = s[14] if self.has_glass else None
+        rough = s[self._rough_slot] if self.has_rough else None
         p = o + d * closest
         front = vm.dot(d, normal) < 0.0
         normal = vm.where(front, normal, -normal)
         lia = jnp.where(front, lia, 0.0)  # see geometry.closest_hit
         return geom.Hit(found, closest, p, normal, col, emi, refl, lia,
-                        transparency=transp, ior=ior, front=front)
+                        transparency=transp, ior=ior, front=front,
+                        roughness=rough)
 
     def occluded(self, o: V3, d: V3, t_min, t_max, mask=None):
         if self._scratch is None:

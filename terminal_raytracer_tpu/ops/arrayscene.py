@@ -140,10 +140,11 @@ class _Rec(NamedTuple):
     eb: jnp.ndarray
     rf: jnp.ndarray
     li: jnp.ndarray
-    # Dielectric channels — None (an empty pytree slot, zero carry cost)
-    # unless the scene has dielectrics.
+    # Extension material channels — None (an empty pytree slot, zero
+    # carry cost) unless the scene has them.
     tp: jnp.ndarray = None
     io: jnp.ndarray = None
+    ro: jnp.ndarray = None
 
 
 class ArrayPrims:
@@ -170,17 +171,20 @@ class ArrayPrims:
         # scene actually has them (two extra selects per primitive
         # iteration otherwise wasted on every stress-scale sweep).
         self.has_glass = scene.has_dielectrics
+        self.has_rough = scene.has_rough_metals
         self.host_arrays = pack_scene_soa(scene)
         counts = {"s": self.n_spheres, "p": self.n_planes,
                   "t": self.n_triangles}
         from . import dynamic as dyn_mod
 
         keys = (*SPHERE_KEYS, *PLANE_KEYS, *TRI_KEYS)
-        if self.has_glass:
-            # One source of truth for the dielectric channel names.
+        ext = (dyn_mod.GLASS_KEYS if self.has_glass else ()) + (
+            dyn_mod.ROUGH_KEYS if self.has_rough else ()
+        )
+        if ext:
+            # One source of truth for the extension channel names.
             keys = keys + tuple(
-                f"{p}_{m}" for p in ("s", "p", "t")
-                for m in dyn_mod.GLASS_KEYS
+                f"{p}_{m}" for p in ("s", "p", "t") for m in ext
             )
         self.dyn_layout: List[Tuple[str, int]] = [
             (k, counts[k[0]])
@@ -259,6 +263,8 @@ class ArrayPrims:
                 if rec.tp is not None else None),
             io=(sel(a[f"{pre}_ior"][i], rec.io)
                 if rec.io is not None else None),
+            ro=(sel(a[f"{pre}_rough"][i], rec.ro)
+                if rec.ro is not None else None),
         )
 
     def _sweep_closest(self, o: V3, d: V3, t_min, rec: _Rec) -> _Rec:
@@ -315,7 +321,8 @@ class ArrayPrims:
         del mask
         zeros = jnp.zeros_like(o.x)
         glass_init = (zeros, zeros) if self.has_glass else (None, None)
-        rec = _Rec(zeros + t_max, *([zeros] * 12), *glass_init)
+        rough_init = (zeros,) if self.has_rough else (None,)
+        rec = _Rec(zeros + t_max, *([zeros] * 12), *glass_init, *rough_init)
         rec = self._sweep_closest(o, d, t_min, rec)
         found = rec.found != 0.0
         p = o + d * rec.closest
@@ -326,7 +333,8 @@ class ArrayPrims:
         return geom.Hit(found, rec.closest, p, normal,
                         V3(rec.cr, rec.cg, rec.cb),
                         V3(rec.er, rec.eg, rec.eb), rec.rf, lia,
-                        transparency=rec.tp, ior=rec.io, front=front)
+                        transparency=rec.tp, ior=rec.io, front=front,
+                        roughness=rec.ro)
 
     def occluded(self, o: V3, d: V3, t_min, t_max, mask=None) -> jnp.ndarray:
         """Any-hit shadow sweep (shader.wgsl:399-402)."""
@@ -445,7 +453,7 @@ class ArrayDynPrims(ArrayPrims):
 
         mat_chs = dyn_mod.MAT_KEYS + (
             dyn_mod.GLASS_KEYS if self.has_glass else ()
-        )
+        ) + (dyn_mod.ROUGH_KEYS if self.has_rough else ())
         for pre in ("s", "p", "t"):
             for ch in mat_chs:
                 out[f"{pre}_{ch}"] = a[f"{pre}_{ch}"]

@@ -54,6 +54,8 @@ MAT_KEYS = ("colr", "colg", "colb", "emir", "emig", "emib", "refl")
 # compiled programs (the tracer's glass branch is statically gated on the
 # same condition).
 GLASS_KEYS = ("transp", "ior")
+# Metal-roughness channel (same static-gating contract as GLASS_KEYS).
+ROUGH_KEYS = ("rough",)
 
 
 def scene_keys(scene: scene_mod.Scene) -> List[Tuple[str, int]]:
@@ -62,6 +64,7 @@ def scene_keys(scene: scene_mod.Scene) -> List[Tuple[str, int]]:
     ns, np_, nt = (len(scene.spheres), len(scene.planes),
                    len(scene.triangles))
     mat = MAT_KEYS + (GLASS_KEYS if scene.has_dielectrics else ())
+    mat = mat + (ROUGH_KEYS if scene.has_rough_metals else ())
     out = [(k, ns) for k in SPHERE_KEYS]
     out += [(f"s_{m}", ns) for m in mat]
     out += [(k, np_) for k in PLANE_KEYS]
@@ -75,13 +78,13 @@ def pack_scene(scene: scene_mod.Scene) -> Dict[str, np.ndarray]:
     """Scene -> the flat scalar-array dict (the animatable state)."""
     a = scene.to_arrays()
 
-    def mats(prefix, col, emi, ref, tra, ior):
+    def mats(prefix, col, emi, ref, tra, ior, rgh):
         return {
             f"{prefix}_colr": col[:, 0], f"{prefix}_colg": col[:, 1],
             f"{prefix}_colb": col[:, 2], f"{prefix}_emir": emi[:, 0],
             f"{prefix}_emig": emi[:, 1], f"{prefix}_emib": emi[:, 2],
             f"{prefix}_refl": ref, f"{prefix}_transp": tra,
-            f"{prefix}_ior": ior,
+            f"{prefix}_ior": ior, f"{prefix}_rough": rgh,
         }
 
     out = {
@@ -98,13 +101,13 @@ def pack_scene(scene: scene_mod.Scene) -> Dict[str, np.ndarray]:
     }
     out.update(mats("s", a["sphere_color"], a["sphere_emission"],
                     a["sphere_reflectivity"], a["sphere_transparency"],
-                    a["sphere_ior"]))
+                    a["sphere_ior"], a["sphere_roughness"]))
     out.update(mats("p", a["plane_color"], a["plane_emission"],
                     a["plane_reflectivity"], a["plane_transparency"],
-                    a["plane_ior"]))
+                    a["plane_ior"], a["plane_roughness"]))
     out.update(mats("t", a["triangle_color"], a["triangle_emission"],
                     a["triangle_reflectivity"], a["triangle_transparency"],
-                    a["triangle_ior"]))
+                    a["triangle_ior"], a["triangle_roughness"]))
     return {k: np.ascontiguousarray(v, np.float32) for k, v in out.items()}
 
 
@@ -133,6 +136,7 @@ class DynPrims:
         # like the light topology): scenes without dielectrics keep their
         # exact pre-glass operand layout and sweep code.
         self.has_glass = scene.has_dielectrics
+        self.has_rough = scene.has_rough_metals
         # Static light topology: (kind, index within its kind array), in
         # primitive order, excluding planes (shader.wgsl:390-391).
         self.light_topology: List[Tuple[int, int]] = []
@@ -205,6 +209,13 @@ class DynPrims:
         a = self._a
         return a[f"{prefix}_transp"][i], a[f"{prefix}_ior"][i]
 
+    def _rough(self, prefix, i):
+        """Roughness for one primitive, or None when the template scene
+        has no rough metals (key absent by design)."""
+        if not self.has_rough:
+            return None
+        return self._a[f"{prefix}_rough"][i]
+
     @staticmethod
     def _is_static(*vs) -> bool:
         return all(
@@ -247,9 +258,10 @@ class DynPrims:
 
     def _sweep(self):
         """Yield (intersect_fn(o,d,t_min,t_max), normal_fn(p), material,
-        light_inv_area, glass) per primitive in the reference flatten order
-        (spheres, planes, triangles — lib.rs:120-154); `glass` is
-        (transparency, ior) or None when the template has no dielectrics."""
+        light_inv_area, glass, rough) per primitive in the reference
+        flatten order (spheres, planes, triangles — lib.rs:120-154);
+        `glass` is (transparency, ior) or None when the template has no
+        dielectrics; `rough` likewise for the metal-roughness channel."""
         four_pi = 4.0 * 3.14159265359
         light_idx = set(self.light_topology)
         for i in range(self.n_spheres):
@@ -265,7 +277,8 @@ class DynPrims:
                 1.0 / (four_pi * r * r)
                 if (scene_mod.SPHERE, i) in light_idx else 0.0
             )
-            yield isect, norm, self._mat("s", i), lia, self._glass("s", i)
+            yield (isect, norm, self._mat("s", i), lia,
+                   self._glass("s", i), self._rough("s", i))
         for i in range(self.n_planes):
             pt, n_raw = self._plane(i)
             n_unit = self._plane_unit(n_raw)
@@ -276,7 +289,8 @@ class DynPrims:
             def norm(p, n_unit=n_unit):
                 return vm.splat(jnp.zeros_like(p.x)) + n_unit
 
-            yield isect, norm, self._mat("p", i), 0.0, self._glass("p", i)
+            yield (isect, norm, self._mat("p", i), 0.0,
+                   self._glass("p", i), self._rough("p", i))
         for i in range(self.n_triangles):
             v0, v1, v2 = self._triangle(i)
             e1, e2, n_unit, half_len = self._tri_derived(v0, v1, v2)
@@ -291,7 +305,8 @@ class DynPrims:
                 1.0 / half_len
                 if (scene_mod.TRIANGLE, i) in light_idx else 0.0
             )
-            yield isect, norm, self._mat("t", i), lia, self._glass("t", i)
+            yield (isect, norm, self._mat("t", i), lia,
+                   self._glass("t", i), self._rough("t", i))
 
     # ---- ScenePrims interface ---------------------------------------------
 
@@ -312,7 +327,8 @@ class DynPrims:
         lia_v = zeros
         tp_v = zeros if self.has_glass else None
         io_v = zeros if self.has_glass else None
-        for isect, norm, (m_col, m_emi, m_refl), lia, gl in self._sweep():
+        ro_v = zeros if self.has_rough else None
+        for isect, norm, (m_col, m_emi, m_refl), lia, gl, rg in self._sweep():
             t = isect(o, d, t_min, closest)
             better = (t > 0.0) & (t < closest)
             closest = jnp.where(better, t, closest)
@@ -326,17 +342,20 @@ class DynPrims:
             if gl is not None:
                 tp_v = jnp.where(better, zeros + gl[0], tp_v)
                 io_v = jnp.where(better, zeros + gl[1], io_v)
+            if rg is not None:
+                ro_v = jnp.where(better, zeros + rg, ro_v)
         p = o + d * closest
         front = vm.dot(d, normal) < 0.0
         normal = vm.where(front, normal, -normal)
         lia_v = jnp.where(front, lia_v, 0.0)  # see geometry.closest_hit
         return geom.Hit(found, closest, p, normal, col, emi, refl, lia_v,
-                        transparency=tp_v, ior=io_v, front=front)
+                        transparency=tp_v, ior=io_v, front=front,
+                        roughness=ro_v)
 
     def occluded(self, o: V3, d: V3, t_min, t_max, mask=None) -> jnp.ndarray:
         del mask
         blocked = jnp.zeros_like(o.x, dtype=bool)
-        for isect, _norm, _mat, _lia, _gl in self._sweep():
+        for isect, _norm, _mat, _lia, _gl, _rg in self._sweep():
             t = isect(o, d, t_min, t_max)
             blocked = blocked | ((t > 0.0) & (t < t_max))
         return blocked

@@ -131,6 +131,9 @@ class Hit(NamedTuple):
     transparency: jnp.ndarray = None
     ior: jnp.ndarray = None
     front: jnp.ndarray = None
+    # Metal roughness (extension): fuzz radius of the hit's mirror branch,
+    # same zero-cost-when-absent contract as transparency/ior.
+    roughness: jnp.ndarray = None
 
 
 def _c3(v) -> V3:
@@ -305,6 +308,7 @@ class ScenePrims:
         transp = grouped([m.transparency for m in mats])
         ior = grouped([m.ior if m.transparency > 0.0 else 0.0
                        for m in mats])
+        rough = grouped([m.roughness for m in mats])
 
         p = o + d * closest
 
@@ -333,7 +337,7 @@ class ScenePrims:
             normal = vm.where(winner[k], n_k, normal)
 
         return (closest, found, p, normal, col, emi, refl, light_inv_area,
-                transp, ior)
+                transp, ior, rough)
 
     def closest_hit(self, o: V3, d: V3, t_min=RAY_EPS, t_max=T_FAR,
                     mask=None) -> Hit:
@@ -342,8 +346,8 @@ class ScenePrims:
         block-culled accelerator (ops/accel.py) and ignored here — every
         lane sweeps everything, as the reference does."""
         del mask
-        (closest, found, p, normal, col, emi, refl, lia, transp,
-         ior) = self.raw_closest(o, d, t_min, t_max)
+        (closest, found, p, normal, col, emi, refl, lia, transp, ior,
+         rough) = self.raw_closest(o, d, t_min, t_max)
         # Front-face flip (shader.wgsl:284-287).
         front = vm.dot(d, normal) < 0.0
         normal = vm.where(front, normal, -normal)
@@ -353,7 +357,8 @@ class ScenePrims:
         # BSDF hit keeps full MIS weight.
         lia = jnp.where(front, lia, 0.0)
         return Hit(found, closest, p, normal, col, emi, refl, lia,
-                   transparency=transp, ior=ior, front=front)
+                   transparency=transp, ior=ior, front=front,
+                   roughness=rough)
 
     def occluded(self, o: V3, d: V3, t_min, t_max, mask=None) -> jnp.ndarray:
         """Any-hit visibility test for shadow rays (shader.wgsl:399-402:

@@ -51,6 +51,24 @@ def cosine_hemisphere(state, normal: V3, gate=None) -> Tuple[jnp.ndarray, V3]:
     return state, vm.normalize(u * x + v * y + w * z)
 
 
+def uniform_sphere_dir(state, gate=None) -> Tuple[jnp.ndarray, V3]:
+    """Uniform direction on the unit sphere; 2 RNG draws.
+
+    The metal-roughness fuzz vector (capability extension). The reference
+    carries a rejection-sampled random_in_unit_sphere as dead code
+    (shader.wgsl:117-124) — a rejection loop is the one shape a SIMD lane
+    grid can't run, so the analytic inverse-CDF sphere point is used
+    instead (the same math as sphere_light_point's local vector,
+    shader.wgsl:352-360); fuzzing with a unit vector instead of an
+    in-sphere point only rescales the effective roughness."""
+    state, r1, r2 = prng.next_f32_pair(state, gate)
+    cos_theta = 1.0 - 2.0 * r1
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    phi = TWO_PI * r2
+    return state, V3(sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi),
+                     cos_theta)
+
+
 def sphere_light_point(state, center: V3, radius, gate=None) -> Tuple[jnp.ndarray, V3, V3, float]:
     """Uniform point on a sphere light; 2 RNG draws (shader.wgsl:352-369).
 

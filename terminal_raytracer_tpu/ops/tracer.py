@@ -225,6 +225,13 @@ class PathTracer:
         # material can't gain a glass branch at runtime (same contract as
         # the static light topology, ops/dynamic.py).
         self.has_glass = scene.has_dielectrics
+        # Same static-gate contract for the metal-roughness (fuzzy mirror)
+        # branch. NOTE: the 'mis' transport treats the metal lobe as a
+        # delta regardless of roughness — full emission weight on its
+        # hits; a mild, roughness-bounded double count of light seen via
+        # rough reflections (an exact weight would need the fuzz lobe's
+        # pdf). reference/unbiased semantics are exact.
+        self.has_rough = scene.has_rough_metals
         # Traversal: the plain baked sweep ('baked'), the array-resident
         # fori_loop sweep ('array', ops/arrayscene.py — fixed code size for
         # any primitive count, the analog of the reference's storage-buffer
@@ -522,6 +529,30 @@ class PathTracer:
         state, r_spec = prng.next_f32(state, live)
         is_refl = hit.reflectivity > r_spec
         refl_dir = vm.reflect(d, hit.normal)
+        absorbed = None
+        if self.has_rough:
+            # Metal roughness (extension): fuzz the mirror branch —
+            # reflect + roughness * uniform-sphere vector, re-normalized;
+            # a fuzzed direction at/below the surface absorbs the path
+            # (the standard fuzzy-metal semantics; the reference's dead
+            # random_in_unit_sphere, shader.wgsl:117-124, gestures at
+            # this). Two extra gated draws; roughness == 0 everywhere
+            # compiles this block out (reference-exact program).
+            fuzzy = hit.roughness > 0.0
+            state, fz = sampling.uniform_sphere_dir(
+                state, live & is_refl & fuzzy
+            )
+            raw = refl_dir + fz * hit.roughness
+            len2 = vm.dot(raw, raw)
+            inv_len = jax.lax.rsqrt(jnp.maximum(len2, 1e-12))
+            fuzzed = raw * inv_len
+            below = vm.dot(fuzzed, hit.normal) <= 0.0
+            degen = len2 < 1e-12
+            absorbed = live & is_refl & fuzzy & (below | degen)
+            # Mirror branch only: the glass branch's TIR/Fresnel
+            # reflection stays a perfect mirror (roughness is the METAL
+            # lobe's parameter).
+            refl_dir = vm.where(fuzzy & is_refl, fuzzed, refl_dir)
         if self.has_glass:
             is_glass = (~is_refl) & (
                 (hit.reflectivity + hit.transparency) > r_spec
@@ -566,6 +597,10 @@ class PathTracer:
         killed = rr_on & (p_surv < r_rr)
         att = vm.where(rr_on & ~killed, att / p_surv, att)
         alive = live & (~killed)
+        if absorbed is not None:
+            # Fuzzed-below-surface metal scatter: the path is absorbed
+            # (this bounce's emission/NEE stand; no sky, no continuation).
+            alive = alive & (~absorbed)
 
         # Sanitize dead lanes so NaNs can't leak into the next sweep.
         d = vm.where(alive, new_d, V3(zeros, zeros, zeros + 1.0))
