@@ -73,7 +73,11 @@ class Material(NamedTuple):
     # reflect + roughness * uniform-sphere vector, re-normalized; a fuzzed
     # direction below the surface absorbs the path. 0 keeps the mirror
     # reference-exact. The reference's own dead random_in_unit_sphere
-    # (shader.wgsl:117-124) gestures at exactly this feature.
+    # (shader.wgsl:117-124) gestures at exactly this feature. NOTE:
+    # roughness only takes effect where the MIRROR branch can fire — with
+    # reflectivity 0 it is a silent no-op (kept legal rather than
+    # rejected because dynamic scenes may animate reflectivity up from
+    # the template's 0).
     roughness: float = 0.0
 
     @property

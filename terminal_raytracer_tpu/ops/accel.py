@@ -253,13 +253,20 @@ class CulledPrims:
         self._scratch = None
         # Extension material channels ride extra scratch planes
         # (statically absent for reference scenes; pad primitives default
-        # transp/rough 0): transp+ior when dielectrics, rough when fuzz.
+        # transp/rough 0). Slots are assigned incrementally so N_SCRATCH
+        # and every index stay in lockstep by construction.
         self.has_glass = scene.has_dielectrics
         self.has_rough = scene.has_rough_metals
-        self.N_SCRATCH = (CulledPrims.N_SCRATCH
-                          + (2 if self.has_glass else 0)
-                          + (1 if self.has_rough else 0))
-        self._rough_slot = 13 + (2 if self.has_glass else 0)
+        slot = CulledPrims.N_SCRATCH
+        self._glass_slots = None
+        if self.has_glass:
+            self._glass_slots = (slot, slot + 1)
+            slot += 2
+        self._rough_slot = None
+        if self.has_rough:
+            self._rough_slot = slot
+            slot += 1
+        self.N_SCRATCH = slot
 
     def bind(self, scratch_ref):
         self._scratch = scratch_ref
@@ -308,8 +315,9 @@ class CulledPrims:
                 s[11] = jnp.where(found, refl_b, s[11])
                 s[12] = jnp.where(found, lia_b, s[12])
                 if self.has_glass:
-                    s[13] = jnp.where(found, tp_b, s[13])
-                    s[14] = jnp.where(found, io_b, s[14])
+                    g0, g1 = self._glass_slots
+                    s[g0] = jnp.where(found, tp_b, s[g0])
+                    s[g1] = jnp.where(found, io_b, s[g1])
                 if self.has_rough:
                     rs = self._rough_slot
                     s[rs] = jnp.where(found, ro_b, s[rs])
@@ -326,8 +334,8 @@ class CulledPrims:
         emi = V3(s[8], s[9], s[10])
         refl = s[11]
         lia = s[12]
-        transp = s[13] if self.has_glass else None
-        ior = s[14] if self.has_glass else None
+        transp = s[self._glass_slots[0]] if self.has_glass else None
+        ior = s[self._glass_slots[1]] if self.has_glass else None
         rough = s[self._rough_slot] if self.has_rough else None
         p = o + d * closest
         front = vm.dot(d, normal) < 0.0

@@ -178,11 +178,8 @@ class ArrayPrims:
         from . import dynamic as dyn_mod
 
         keys = (*SPHERE_KEYS, *PLANE_KEYS, *TRI_KEYS)
-        ext = (dyn_mod.GLASS_KEYS if self.has_glass else ()) + (
-            dyn_mod.ROUGH_KEYS if self.has_rough else ()
-        )
+        ext = dyn_mod.ext_mat_keys(scene)  # single source of truth
         if ext:
-            # One source of truth for the extension channel names.
             keys = keys + tuple(
                 f"{p}_{m}" for p in ("s", "p", "t") for m in ext
             )
@@ -451,9 +448,7 @@ class ArrayDynPrims(ArrayPrims):
             out["s_lia"] = a["s_r"]
         from . import dynamic as dyn_mod
 
-        mat_chs = dyn_mod.MAT_KEYS + (
-            dyn_mod.GLASS_KEYS if self.has_glass else ()
-        ) + (dyn_mod.ROUGH_KEYS if self.has_rough else ())
+        mat_chs = dyn_mod.MAT_KEYS + dyn_mod.ext_mat_keys(self.scene)
         for pre in ("s", "p", "t"):
             for ch in mat_chs:
                 out[f"{pre}_{ch}"] = a[f"{pre}_{ch}"]

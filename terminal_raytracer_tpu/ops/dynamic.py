@@ -58,13 +58,21 @@ GLASS_KEYS = ("transp", "ior")
 ROUGH_KEYS = ("rough",)
 
 
+def ext_mat_keys(scene) -> tuple:
+    """The extension material-channel suffixes this scene's operand
+    layouts carry — one source of truth for both the names AND the
+    static-gate composition (scene_keys and the array-sweep layouts in
+    ops/arrayscene.py all call this)."""
+    return ((GLASS_KEYS if scene.has_dielectrics else ())
+            + (ROUGH_KEYS if scene.has_rough_metals else ()))
+
+
 def scene_keys(scene: scene_mod.Scene) -> List[Tuple[str, int]]:
     """The (key, length) list defining the packed layout for this scene's
     topology, in a stable order."""
     ns, np_, nt = (len(scene.spheres), len(scene.planes),
                    len(scene.triangles))
-    mat = MAT_KEYS + (GLASS_KEYS if scene.has_dielectrics else ())
-    mat = mat + (ROUGH_KEYS if scene.has_rough_metals else ())
+    mat = MAT_KEYS + ext_mat_keys(scene)
     out = [(k, ns) for k in SPHERE_KEYS]
     out += [(f"s_{m}", ns) for m in mat]
     out += [(k, np_) for k in PLANE_KEYS]

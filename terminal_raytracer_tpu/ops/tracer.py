@@ -554,9 +554,9 @@ class PathTracer:
             # lobe's parameter).
             refl_dir = vm.where(fuzzy & is_refl, fuzzed, refl_dir)
         if self.has_glass:
-            is_glass = (~is_refl) & (
-                (hit.reflectivity + hit.transparency) > r_spec
-            )
+            # nee_refl IS reflectivity + transparency — reusing it keeps
+            # the branch selection and the MIS weight provably consistent.
+            is_glass = (~is_refl) & (nee_refl > r_spec)
             # hit.ior is only meaningful where transparency > 0 (the baked
             # sweep zeros it elsewhere); select a safe 1.0 first so masked
             # lanes never divide by zero.
