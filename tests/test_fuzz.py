@@ -24,19 +24,35 @@ POSE = Camera().pose()
 
 
 def random_scene(rng: np.random.RandomState, n_spheres=4, n_planes=2,
-                 n_triangles=2, spp=4, depth=4):
+                 n_triangles=2, spp=4, depth=4, extensions=False):
+    """`extensions=True` additionally randomizes the schema-superset
+    material channels (transparency/ior dielectrics, metal roughness) —
+    used by the extension fuzz below, never by the scalar-parity fuzz
+    (tests/scalar_ref.py models reference semantics only)."""
+
     def v3(lo, hi):
         return rng.uniform(lo, hi, 3).round(3).tolist()
 
     def material(force_light=False):
         is_light = force_light or rng.rand() < 0.3
         refl = float(rng.choice([0.0, 1.0, round(float(rng.rand()), 3)]))
-        return {
+        mat = {
             "color": v3(0.0, 1.0),
             "emission": (np.round(rng.uniform(0.5, 5.0, 3), 3).tolist()
                          if is_light else [0.0, 0.0, 0.0]),
             "reflectivity": 0.0 if is_light else refl,
         }
+        if extensions and not is_light:
+            roll = rng.rand()
+            if roll < 0.4:  # dielectric (branch probabilities sum <= 1)
+                mat["reflectivity"] = round(refl * 0.25, 3)
+                mat["transparency"] = round(
+                    float(rng.uniform(0.3, 1.0 - mat["reflectivity"])), 3
+                )
+                mat["ior"] = round(float(rng.uniform(1.05, 2.4)), 3)
+            elif roll < 0.7 and refl > 0.0:  # brushed metal
+                mat["roughness"] = round(float(rng.uniform(0.05, 1.0)), 3)
+        return mat
 
     spheres = []
     for i in range(n_spheres):
@@ -135,5 +151,33 @@ def test_fuzz_pallas_matches_oracle(case):
     # relative tolerance.
     np.testing.assert_allclose(
         np.asarray(cur_p.x), np.asarray(cur_o.x), rtol=2e-3, atol=2e-5,
+        err_msg=f"case {case}",
+    )
+
+
+@pytest.mark.parametrize("case", range(2))
+def test_fuzz_extension_materials_pallas_matches_oracle(case):
+    """Random glass/rough scenes: the extension branches (gated Fresnel +
+    fuzz draws, below-surface absorption, TIR) must keep the oracle and
+    the Pallas pipeline in exact decision agreement — the same invariant
+    the reference-semantics fuzz pins, now over the superset schema."""
+    rng = np.random.RandomState(3000 + case)
+    scene = random_scene(rng, spp=8, extensions=True)
+    assert scene.has_dielectrics or scene.has_rough_metals, (
+        f"case {case}: fuzz produced no extension materials; "
+        f"reseed the case"
+    )
+    of = jax.jit(tracer_mod.PathTracer(scene).render_frame)
+    cur_o, _vo, tot_o, rays_o = of(POSE, np.uint32(42), np.int32(0))
+    img_o = np.asarray(cur_o.x)
+    assert np.isfinite(img_o).all(), f"case {case}: oracle non-finite"
+    pf = jax.jit(pallas_kernel.make_render_frame(scene, mode="sorted"))
+    cur_p, _vp, tot_p, rays_p, _occ = pf(POSE, np.uint32(42), np.int32(0))
+    assert float(rays_p) == float(rays_o), f"case {case}"
+    np.testing.assert_array_equal(
+        np.asarray(tot_p), np.asarray(tot_o), f"case {case}"
+    )
+    np.testing.assert_allclose(
+        np.asarray(cur_p.x), img_o, rtol=2e-3, atol=2e-5,
         err_msg=f"case {case}",
     )
