@@ -46,7 +46,6 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

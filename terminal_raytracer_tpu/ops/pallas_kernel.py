@@ -40,8 +40,6 @@ backend remains the fast path off-TPU.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -35,7 +35,6 @@ Faithfully replicated reference behaviors (SURVEY.md §7 fidelity list):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax

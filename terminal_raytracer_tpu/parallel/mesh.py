@@ -32,8 +32,7 @@ Two orthogonal parallel axes — both ride ICI only:
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,7 @@ from ..models import Camera, scene as scene_mod
 from ..ops import tonemap as tm
 from .blit import Blitter
 from .state import init_state, make_render_step
-from .terminal import TerminalSession, terminal_size
+from .terminal import TerminalSession
 from .timing import FrameTimers
 
 IDLE_SLEEP = 0.010  # accumulation finished (lib.rs:562-563)

@@ -12,7 +12,6 @@ final image. The per-frame math is the same render path; frame_number runs
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -18,13 +18,10 @@ never persist its accumulation (SURVEY.md §5.4).
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..models import scene as scene_mod
 from ..ops import tonemap as tm
