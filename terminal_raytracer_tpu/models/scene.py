@@ -79,6 +79,13 @@ class Material(NamedTuple):
     # rejected because dynamic scenes may animate reflectivity up from
     # the template's 0).
     roughness: float = 0.0
+    # Procedural checker texture (extension): when set, the hit color
+    # alternates between `color` and `checker_color` on a world-space
+    # 3-D checkerboard with cell edge 1/checker_scale (the TPU-sane
+    # texture — pure lane math, no per-lane gathers). None = untextured
+    # (reference-exact).
+    checker_color: Optional[Tuple[float, float, float]] = None
+    checker_scale: float = 1.0
 
     @property
     def is_light(self) -> bool:
@@ -91,6 +98,10 @@ class Material(NamedTuple):
     @property
     def is_rough(self) -> bool:
         return self.roughness > 0.0
+
+    @property
+    def is_checker(self) -> bool:
+        return self.checker_color is not None
 
 
 class Sphere(NamedTuple):
@@ -195,6 +206,11 @@ class Scene:
                         f"{tag_name}[{i}] roughness must be in [0, 1], "
                         f"got {m.roughness!r}"
                     )
+                if m.checker_color is not None and not m.checker_scale > 0.0:
+                    raise ValueError(
+                        f"{tag_name}[{i}] checker_scale must be > 0 on a "
+                        f"checkered material, got {m.checker_scale!r}"
+                    )
                 if m.transparency > 0.0:
                     if not m.ior > 0.0:
                         raise ValueError(
@@ -247,6 +263,13 @@ class Scene:
         gate for the roughness scatter code (ops/tracer.py), exactly like
         has_dielectrics."""
         return any(p.material.is_rough for _, p in self.primitives)
+
+    @property
+    def has_checker(self) -> bool:
+        """True iff any primitive carries a checker texture — the static
+        gate for the hit-recolor code (ops/tracer.py), exactly like
+        has_dielectrics."""
+        return any(p.material.is_checker for _, p in self.primitives)
 
     def centroid(self) -> np.ndarray:
         """Mean position of the finite geometry (sphere centers, triangle
@@ -325,25 +348,36 @@ class Scene:
                 np.array([p.material.transparency for p in prims], np.float32),
                 np.array([p.material.ior for p in prims], np.float32),
                 np.array([p.material.roughness for p in prims], np.float32),
+                np.array([p.material.checker_color or (0.0, 0.0, 0.0)
+                          for p in prims], np.float32).reshape(-1, 3),
+                # scale 0 encodes "no checker" in the numeric channels.
+                np.array([p.material.checker_scale if p.material.is_checker
+                          else 0.0 for p in prims], np.float32),
             )
 
-        s_col, s_emi, s_ref, s_tra, s_ior, s_rgh = mat_cols(self.spheres)
-        p_col, p_emi, p_ref, p_tra, p_ior, p_rgh = mat_cols(self.planes)
-        t_col, t_emi, t_ref, t_tra, t_ior, t_rgh = mat_cols(self.triangles)
+        (s_col, s_emi, s_ref, s_tra, s_ior, s_rgh, s_ckc,
+         s_cks) = mat_cols(self.spheres)
+        (p_col, p_emi, p_ref, p_tra, p_ior, p_rgh, p_ckc,
+         p_cks) = mat_cols(self.planes)
+        (t_col, t_emi, t_ref, t_tra, t_ior, t_rgh, t_ckc,
+         t_cks) = mat_cols(self.triangles)
         return {
             "sphere_center": np.array([s.center for s in self.spheres], np.float32).reshape(-1, 3),
             "sphere_radius": np.array([s.radius for s in self.spheres], np.float32),
             "sphere_color": s_col, "sphere_emission": s_emi, "sphere_reflectivity": s_ref,
             "sphere_transparency": s_tra, "sphere_ior": s_ior, "sphere_roughness": s_rgh,
+            "sphere_checker_color": s_ckc, "sphere_checker_scale": s_cks,
             "plane_point": np.array([p.point for p in self.planes], np.float32).reshape(-1, 3),
             "plane_normal": np.array([p.normal for p in self.planes], np.float32).reshape(-1, 3),
             "plane_color": p_col, "plane_emission": p_emi, "plane_reflectivity": p_ref,
             "plane_transparency": p_tra, "plane_ior": p_ior, "plane_roughness": p_rgh,
+            "plane_checker_color": p_ckc, "plane_checker_scale": p_cks,
             "triangle_v0": np.array([t.v0 for t in self.triangles], np.float32).reshape(-1, 3),
             "triangle_v1": np.array([t.v1 for t in self.triangles], np.float32).reshape(-1, 3),
             "triangle_v2": np.array([t.v2 for t in self.triangles], np.float32).reshape(-1, 3),
             "triangle_color": t_col, "triangle_emission": t_emi, "triangle_reflectivity": t_ref,
             "triangle_transparency": t_tra, "triangle_ior": t_ior, "triangle_roughness": t_rgh,
+            "triangle_checker_color": t_ckc, "triangle_checker_scale": t_cks,
         }
 
 
@@ -360,6 +394,9 @@ def _material(d: dict) -> Material:
         transparency=_f32(d.get("transparency", 0.0)),
         ior=_f32(d.get("ior", 1.5)),
         roughness=_f32(d.get("roughness", 0.0)),
+        checker_color=(_f32v(d["checker_color"])
+                       if "checker_color" in d else None),
+        checker_scale=_f32(d.get("checker_scale", 1.0)),
     )
 
 

@@ -256,6 +256,7 @@ class CulledPrims:
         # and every index stay in lockstep by construction.
         self.has_glass = scene.has_dielectrics
         self.has_rough = scene.has_rough_metals
+        self.has_checker = scene.has_checker
         slot = CulledPrims.N_SCRATCH
         self._glass_slots = None
         if self.has_glass:
@@ -265,6 +266,10 @@ class CulledPrims:
         if self.has_rough:
             self._rough_slot = slot
             slot += 1
+        self._checker_slots = None
+        if self.has_checker:
+            self._checker_slots = (slot, slot + 1, slot + 2, slot + 3)
+            slot += 4
         self.N_SCRATCH = slot
 
     def bind(self, scratch_ref):
@@ -297,7 +302,8 @@ class CulledPrims:
             def body(sub=sub):
                 closest0 = s[0]
                 (t, found, _p, n_b, col_b, emi_b, refl_b, lia_b, tp_b,
-                 io_b, ro_b) = sub.raw_closest(o, d, t_min, closest0)
+                 io_b, ro_b, ckc_b, cks_b) = sub.raw_closest(
+                    o, d, t_min, closest0)
                 # t == closest0 where not found, so the write is safe
                 # unconditionally; material planes merge by winner mask.
                 s[0] = t
@@ -320,6 +326,12 @@ class CulledPrims:
                 if self.has_rough:
                     rs = self._rough_slot
                     s[rs] = jnp.where(found, ro_b, s[rs])
+                if self.has_checker:
+                    c0, c1, c2, c3 = self._checker_slots
+                    s[c0] = jnp.where(found, ckc_b.x, s[c0])
+                    s[c1] = jnp.where(found, ckc_b.y, s[c1])
+                    s[c2] = jnp.where(found, ckc_b.z, s[c2])
+                    s[c3] = jnp.where(found, cks_b, s[c3])
 
             if aabb is None:
                 body()
@@ -336,13 +348,19 @@ class CulledPrims:
         transp = s[self._glass_slots[0]] if self.has_glass else None
         ior = s[self._glass_slots[1]] if self.has_glass else None
         rough = s[self._rough_slot] if self.has_rough else None
+        if self.has_checker:
+            c0, c1, c2, c3 = self._checker_slots
+            ck_col, ck_scale = V3(s[c0], s[c1], s[c2]), s[c3]
+        else:
+            ck_col = ck_scale = None
         p = o + d * closest
         front = vm.dot(d, normal) < 0.0
         normal = vm.where(front, normal, -normal)
         lia = jnp.where(front, lia, 0.0)  # see geometry.closest_hit
         return geom.Hit(found, closest, p, normal, col, emi, refl, lia,
                         transparency=transp, ior=ior, front=front,
-                        roughness=rough)
+                        roughness=rough, checker_color=ck_col,
+                        checker_scale=ck_scale)
 
     def occluded(self, o: V3, d: V3, t_min, t_max, mask=None):
         if self._scratch is None:

@@ -145,6 +145,10 @@ class _Rec(NamedTuple):
     tp: jnp.ndarray = None
     io: jnp.ndarray = None
     ro: jnp.ndarray = None
+    kr: jnp.ndarray = None
+    kg: jnp.ndarray = None
+    kb: jnp.ndarray = None
+    ks: jnp.ndarray = None
 
 
 class ArrayPrims:
@@ -172,6 +176,7 @@ class ArrayPrims:
         # iteration otherwise wasted on every stress-scale sweep).
         self.has_glass = scene.has_dielectrics
         self.has_rough = scene.has_rough_metals
+        self.has_checker = scene.has_checker
         self.host_arrays = pack_scene_soa(scene)
         counts = {"s": self.n_spheres, "p": self.n_planes,
                   "t": self.n_triangles}
@@ -262,6 +267,14 @@ class ArrayPrims:
                 if rec.io is not None else None),
             ro=(sel(a[f"{pre}_rough"][i], rec.ro)
                 if rec.ro is not None else None),
+            kr=(sel(a[f"{pre}_ckr"][i], rec.kr)
+                if rec.kr is not None else None),
+            kg=(sel(a[f"{pre}_ckg"][i], rec.kg)
+                if rec.kg is not None else None),
+            kb=(sel(a[f"{pre}_ckb"][i], rec.kb)
+                if rec.kb is not None else None),
+            ks=(sel(a[f"{pre}_cks"][i], rec.ks)
+                if rec.ks is not None else None),
         )
 
     def _sweep_closest(self, o: V3, d: V3, t_min, rec: _Rec) -> _Rec:
@@ -319,7 +332,9 @@ class ArrayPrims:
         zeros = jnp.zeros_like(o.x)
         glass_init = (zeros, zeros) if self.has_glass else (None, None)
         rough_init = (zeros,) if self.has_rough else (None,)
-        rec = _Rec(zeros + t_max, *([zeros] * 12), *glass_init, *rough_init)
+        checker_init = ((zeros,) * 4 if self.has_checker else (None,) * 4)
+        rec = _Rec(zeros + t_max, *([zeros] * 12), *glass_init,
+                   *rough_init, *checker_init)
         rec = self._sweep_closest(o, d, t_min, rec)
         found = rec.found != 0.0
         p = o + d * rec.closest
@@ -327,11 +342,14 @@ class ArrayPrims:
         front = vm.dot(d, normal) < 0.0
         normal = vm.where(front, normal, -normal)  # shader.wgsl:284-287
         lia = jnp.where(front, rec.li, 0.0)  # see geometry.closest_hit
+        ck_col = (V3(rec.kr, rec.kg, rec.kb) if self.has_checker
+                  else None)
         return geom.Hit(found, rec.closest, p, normal,
                         V3(rec.cr, rec.cg, rec.cb),
                         V3(rec.er, rec.eg, rec.eb), rec.rf, lia,
                         transparency=rec.tp, ior=rec.io, front=front,
-                        roughness=rec.ro)
+                        roughness=rec.ro, checker_color=ck_col,
+                        checker_scale=rec.ks)
 
     def occluded(self, o: V3, d: V3, t_min, t_max, mask=None) -> jnp.ndarray:
         """Any-hit shadow sweep (shader.wgsl:399-402)."""

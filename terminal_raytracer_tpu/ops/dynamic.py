@@ -56,6 +56,9 @@ MAT_KEYS = ("colr", "colg", "colb", "emir", "emig", "emib", "refl")
 GLASS_KEYS = ("transp", "ior")
 # Metal-roughness channel (same static-gating contract as GLASS_KEYS).
 ROUGH_KEYS = ("rough",)
+# Procedural checker texture channels (rgb + scale; scale 0 = untextured —
+# the numeric encoding models/scene.py to_arrays emits).
+CHECKER_KEYS = ("ckr", "ckg", "ckb", "cks")
 
 
 def ext_mat_keys(scene) -> tuple:
@@ -64,7 +67,8 @@ def ext_mat_keys(scene) -> tuple:
     static-gate composition (scene_keys and the array-sweep layouts in
     ops/arrayscene.py all call this)."""
     return ((GLASS_KEYS if scene.has_dielectrics else ())
-            + (ROUGH_KEYS if scene.has_rough_metals else ()))
+            + (ROUGH_KEYS if scene.has_rough_metals else ())
+            + (CHECKER_KEYS if scene.has_checker else ()))
 
 
 def scene_keys(scene: scene_mod.Scene) -> List[Tuple[str, int]]:
@@ -86,13 +90,15 @@ def pack_scene(scene: scene_mod.Scene) -> Dict[str, np.ndarray]:
     """Scene -> the flat scalar-array dict (the animatable state)."""
     a = scene.to_arrays()
 
-    def mats(prefix, col, emi, ref, tra, ior, rgh):
+    def mats(prefix, col, emi, ref, tra, ior, rgh, ckc, cks):
         return {
             f"{prefix}_colr": col[:, 0], f"{prefix}_colg": col[:, 1],
             f"{prefix}_colb": col[:, 2], f"{prefix}_emir": emi[:, 0],
             f"{prefix}_emig": emi[:, 1], f"{prefix}_emib": emi[:, 2],
             f"{prefix}_refl": ref, f"{prefix}_transp": tra,
             f"{prefix}_ior": ior, f"{prefix}_rough": rgh,
+            f"{prefix}_ckr": ckc[:, 0], f"{prefix}_ckg": ckc[:, 1],
+            f"{prefix}_ckb": ckc[:, 2], f"{prefix}_cks": cks,
         }
 
     out = {
@@ -109,13 +115,16 @@ def pack_scene(scene: scene_mod.Scene) -> Dict[str, np.ndarray]:
     }
     out.update(mats("s", a["sphere_color"], a["sphere_emission"],
                     a["sphere_reflectivity"], a["sphere_transparency"],
-                    a["sphere_ior"], a["sphere_roughness"]))
+                    a["sphere_ior"], a["sphere_roughness"],
+                    a["sphere_checker_color"], a["sphere_checker_scale"]))
     out.update(mats("p", a["plane_color"], a["plane_emission"],
                     a["plane_reflectivity"], a["plane_transparency"],
-                    a["plane_ior"], a["plane_roughness"]))
+                    a["plane_ior"], a["plane_roughness"],
+                    a["plane_checker_color"], a["plane_checker_scale"]))
     out.update(mats("t", a["triangle_color"], a["triangle_emission"],
                     a["triangle_reflectivity"], a["triangle_transparency"],
-                    a["triangle_ior"], a["triangle_roughness"]))
+                    a["triangle_ior"], a["triangle_roughness"],
+                    a["triangle_checker_color"], a["triangle_checker_scale"]))
     return {k: np.ascontiguousarray(v, np.float32) for k, v in out.items()}
 
 
@@ -145,6 +154,7 @@ class DynPrims:
         # exact pre-glass operand layout and sweep code.
         self.has_glass = scene.has_dielectrics
         self.has_rough = scene.has_rough_metals
+        self.has_checker = scene.has_checker
         # Static light topology: (kind, index within its kind array), in
         # primitive order, excluding planes (shader.wgsl:390-391).
         self.light_topology: List[Tuple[int, int]] = []
@@ -224,6 +234,15 @@ class DynPrims:
             return None
         return self._a[f"{prefix}_rough"][i]
 
+    def _checker(self, prefix, i):
+        """(checker rgb V3-components tuple, scale) for one primitive, or
+        None when the template scene has no checker textures."""
+        if not self.has_checker:
+            return None
+        a = self._a
+        return (a[f"{prefix}_ckr"][i], a[f"{prefix}_ckg"][i],
+                a[f"{prefix}_ckb"][i], a[f"{prefix}_cks"][i])
+
     @staticmethod
     def _is_static(*vs) -> bool:
         return all(
@@ -269,7 +288,8 @@ class DynPrims:
         light_inv_area, glass, rough) per primitive in the reference
         flatten order (spheres, planes, triangles — lib.rs:120-154);
         `glass` is (transparency, ior) or None when the template has no
-        dielectrics; `rough` likewise for the metal-roughness channel."""
+        dielectrics; `rough` and `checker` likewise for the
+        metal-roughness and checker-texture channels."""
         four_pi = 4.0 * 3.14159265359
         light_idx = set(self.light_topology)
         for i in range(self.n_spheres):
@@ -286,7 +306,8 @@ class DynPrims:
                 if (scene_mod.SPHERE, i) in light_idx else 0.0
             )
             yield (isect, norm, self._mat("s", i), lia,
-                   self._glass("s", i), self._rough("s", i))
+                   self._glass("s", i), self._rough("s", i),
+                   self._checker("s", i))
         for i in range(self.n_planes):
             pt, n_raw = self._plane(i)
             n_unit = self._plane_unit(n_raw)
@@ -298,7 +319,8 @@ class DynPrims:
                 return vm.splat(jnp.zeros_like(p.x)) + n_unit
 
             yield (isect, norm, self._mat("p", i), 0.0,
-                   self._glass("p", i), self._rough("p", i))
+                   self._glass("p", i), self._rough("p", i),
+                   self._checker("p", i))
         for i in range(self.n_triangles):
             v0, v1, v2 = self._triangle(i)
             e1, e2, n_unit, half_len = self._tri_derived(v0, v1, v2)
@@ -314,7 +336,8 @@ class DynPrims:
                 if (scene_mod.TRIANGLE, i) in light_idx else 0.0
             )
             yield (isect, norm, self._mat("t", i), lia,
-                   self._glass("t", i), self._rough("t", i))
+                   self._glass("t", i), self._rough("t", i),
+                   self._checker("t", i))
 
     # ---- ScenePrims interface ---------------------------------------------
 
@@ -336,7 +359,10 @@ class DynPrims:
         tp_v = zeros if self.has_glass else None
         io_v = zeros if self.has_glass else None
         ro_v = zeros if self.has_rough else None
-        for isect, norm, (m_col, m_emi, m_refl), lia, gl, rg in self._sweep():
+        ck = ((vm.splat(zeros), zeros) if self.has_checker
+              else (None, None))
+        for (isect, norm, (m_col, m_emi, m_refl), lia, gl, rg,
+             cc) in self._sweep():
             t = isect(o, d, t_min, closest)
             better = (t > 0.0) & (t < closest)
             closest = jnp.where(better, t, closest)
@@ -352,18 +378,24 @@ class DynPrims:
                 io_v = jnp.where(better, zeros + gl[1], io_v)
             if rg is not None:
                 ro_v = jnp.where(better, zeros + rg, ro_v)
+            if cc is not None:
+                ck = (vm.where(better,
+                               vm.splat(zeros) + V3(cc[0], cc[1], cc[2]),
+                               ck[0]),
+                      jnp.where(better, zeros + cc[3], ck[1]))
         p = o + d * closest
         front = vm.dot(d, normal) < 0.0
         normal = vm.where(front, normal, -normal)
         lia_v = jnp.where(front, lia_v, 0.0)  # see geometry.closest_hit
         return geom.Hit(found, closest, p, normal, col, emi, refl, lia_v,
                         transparency=tp_v, ior=io_v, front=front,
-                        roughness=ro_v)
+                        roughness=ro_v, checker_color=ck[0],
+                        checker_scale=ck[1])
 
     def occluded(self, o: V3, d: V3, t_min, t_max, mask=None) -> jnp.ndarray:
         del mask
         blocked = jnp.zeros_like(o.x, dtype=bool)
-        for isect, _norm, _mat, _lia, _gl, _rg in self._sweep():
+        for isect, _norm, _mat, _lia, _gl, _rg, _cc in self._sweep():
             t = isect(o, d, t_min, t_max)
             blocked = blocked | ((t > 0.0) & (t < t_max))
         return blocked

@@ -134,6 +134,10 @@ class Hit(NamedTuple):
     # Metal roughness (extension): fuzz radius of the hit's mirror branch,
     # same zero-cost-when-absent contract as transparency/ior.
     roughness: jnp.ndarray = None
+    # Procedural checker texture (extension): alternate color + cell scale
+    # (scale 0 = untextured lane); same zero-cost contract.
+    checker_color: V3 = None
+    checker_scale: jnp.ndarray = None
 
 
 def _c3(v) -> V3:
@@ -309,6 +313,12 @@ class ScenePrims:
         ior = grouped([m.ior if m.transparency > 0.0 else 0.0
                        for m in mats])
         rough = grouped([m.roughness for m in mats])
+        ck = [m.checker_color or (0.0, 0.0, 0.0) for m in mats]
+        checker_color = V3(grouped([c[0] for c in ck]),
+                           grouped([c[1] for c in ck]),
+                           grouped([c[2] for c in ck]))
+        checker_scale = grouped([m.checker_scale if m.is_checker else 0.0
+                                 for m in mats])
 
         p = o + d * closest
 
@@ -337,7 +347,7 @@ class ScenePrims:
             normal = vm.where(winner[k], n_k, normal)
 
         return (closest, found, p, normal, col, emi, refl, light_inv_area,
-                transp, ior, rough)
+                transp, ior, rough, checker_color, checker_scale)
 
     def closest_hit(self, o: V3, d: V3, t_min=RAY_EPS, t_max=T_FAR,
                     mask=None) -> Hit:
@@ -347,7 +357,7 @@ class ScenePrims:
         lane sweeps everything, as the reference does."""
         del mask
         (closest, found, p, normal, col, emi, refl, lia, transp, ior,
-         rough) = self.raw_closest(o, d, t_min, t_max)
+         rough, ck_col, ck_scale) = self.raw_closest(o, d, t_min, t_max)
         # Front-face flip (shader.wgsl:284-287).
         front = vm.dot(d, normal) < 0.0
         normal = vm.where(front, normal, -normal)
@@ -358,7 +368,8 @@ class ScenePrims:
         lia = jnp.where(front, lia, 0.0)
         return Hit(found, closest, p, normal, col, emi, refl, lia,
                    transparency=transp, ior=ior, front=front,
-                   roughness=rough)
+                   roughness=rough, checker_color=ck_col,
+                   checker_scale=ck_scale)
 
     def occluded(self, o: V3, d: V3, t_min, t_max, mask=None) -> jnp.ndarray:
         """Any-hit visibility test for shadow rays (shader.wgsl:399-402:

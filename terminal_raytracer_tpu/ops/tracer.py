@@ -231,6 +231,11 @@ class PathTracer:
         # rough reflections (an exact weight would need the fuzz lobe's
         # pdf). reference/unbiased semantics are exact.
         self.has_rough = scene.has_rough_metals
+        # Checker texture (extension): recolor hits on a world-space 3-D
+        # checkerboard — pure lane math (the TPU-sane texture; image
+        # textures would need per-lane gathers, the one thing the lane
+        # grid can't do). Statically gated like the other channels.
+        self.has_checker = scene.has_checker
         # Traversal: the plain baked sweep ('baked'), the array-resident
         # fori_loop sweep ('array', ops/arrayscene.py — fixed code size for
         # any primitive count, the analog of the reference's storage-buffer
@@ -462,6 +467,30 @@ class PathTracer:
         hit = self.prims.closest_hit(o, d, geom.RAY_EPS, geom.T_FAR,
                                      mask=alive)
         rays = rays + jnp.where(alive, 1.0, 0.0)
+
+        if self.has_checker:
+            # World-space 3-D checkerboard: odd-parity cells take the
+            # alternate color. checker_scale == 0 marks untextured lanes
+            # (the numeric encoding of models/scene.py to_arrays). The
+            # recolor lands before NEE and the scatter, so both consume
+            # the textured albedo — exactly as if the scene had a
+            # primitive of that color there.
+            #
+            # KNIFE-EDGE caveat: floor() makes cell parity discontinuous,
+            # so a 1-ulp cross-backend difference in the hit position
+            # (FMA-contraction luck in o + d*t) can flip an isolated
+            # boundary pixel's color between the oracle and the Pallas
+            # kernel (observed: 1/1024 px on CPU interpret). Ray counts
+            # and budgets stay exact below the Russian-roulette start
+            # depth (color feeds RR only from bounce 4); the checker
+            # tests pin depth <= 4 for exactly that reason.
+            k = hit.checker_scale
+            cells = (jnp.floor(hit.p.x * k) + jnp.floor(hit.p.y * k)
+                     + jnp.floor(hit.p.z * k))
+            odd = (cells - 2.0 * jnp.floor(cells * 0.5)) > 0.5
+            hit = hit._replace(color=vm.where(
+                (k > 0.0) & odd, hit.checker_color, hit.color
+            ))
 
         # Miss -> sky contribution, then the lane dies (wgsl:447-452).
         miss_now = alive & (~hit.found)
