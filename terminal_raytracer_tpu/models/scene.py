@@ -385,6 +385,7 @@ class Scene:
 
 
 def _material(d: dict) -> Material:
+    _check_material_dict(d)
     return Material(
         color=_f32v(d["color"]),
         emission=_f32v(d["emission"]),
@@ -398,6 +399,16 @@ def _material(d: dict) -> Material:
                        if "checker_color" in d else None),
         checker_scale=_f32(d.get("checker_scale", 1.0)),
     )
+
+
+def _check_material_dict(d: dict) -> None:
+    """Cross-field JSON checks _material's defaults would silently
+    swallow ("bad configs fail loudly", Scene.__post_init__)."""
+    if "checker_scale" in d and "checker_color" not in d:
+        raise ValueError(
+            "material has checker_scale but no checker_color — a checker "
+            "texture needs both (did you misspell checker_color?)"
+        )
 
 
 def scene_from_dict(cfg: dict, base_dir=None) -> Scene:

@@ -484,9 +484,17 @@ class PathTracer:
             # and budgets stay exact below the Russian-roulette start
             # depth (color feeds RR only from bounce 4); the checker
             # tests pin depth <= 4 for exactly that reason.
+            #
+            # The +0.5 lattice offset keeps INTEGER-COORDINATE geometry
+            # (the natural "floor plane at y=-1, scale 1" setup) in the
+            # MIDDLE of a cell instead of exactly on a boundary — without
+            # it, such a surface's p*k is an integer everywhere and its
+            # whole area becomes FP-noise-dependent parity (measured:
+            # ~2.75% of secondary hits flip), not an isolated edge.
             k = hit.checker_scale
-            cells = (jnp.floor(hit.p.x * k) + jnp.floor(hit.p.y * k)
-                     + jnp.floor(hit.p.z * k))
+            cells = (jnp.floor(hit.p.x * k + 0.5)
+                     + jnp.floor(hit.p.y * k + 0.5)
+                     + jnp.floor(hit.p.z * k + 0.5))
             odd = (cells - 2.0 * jnp.floor(cells * 0.5)) > 0.5
             hit = hit._replace(color=vm.where(
                 (k > 0.0) & odd, hit.checker_color, hit.color
