@@ -117,6 +117,35 @@ def test_traversals_agree_on_checker_scene():
     assert float(r3) == float(rays)
 
 
+def test_animator_folding_composes_with_extension_channels():
+    # DynPrims with an animator key set folds every non-animated key back
+    # to baked constants — including the extension channels (glass/rough/
+    # checker values come from _static, not the runtime operands). At the
+    # animator's identity pose the render must equal the fully-baked
+    # tracer bit-for-bit; at t > 0 the geometry must actually move.
+    from terminal_raytracer_tpu.models.animate import ANIMATOR_KEYS, orbit
+
+    cfg = json.loads((_SCENES / "Cornell_Box.json").read_text())
+    cfg["spheres"][1].update(transparency=0.95, ior=1.5, color=[1, 1, 1])
+    cfg["planes"][0].update(checker_color=[0.1, 0.1, 0.1],
+                            checker_scale=2.0)
+    cfg["spheres"][2].update(roughness=0.3)
+    cfg.update(width=48, height=12, samples_per_pixel=4, max_depth=4)
+    scene = sm.scene_from_dict(cfg)
+    cur, _var, tot, rays = _render(PathTracer(scene), seed=9)
+    t_dyn = PathTracer(scene, dynamic=True,
+                       dyn_animated=ANIMATOR_KEYS["orbit"])
+    a0 = dyn_mod.pack_scene(scene)
+    step = jax.jit(lambda p, s, f, a: t_dyn.render_frame_dynamic(p, s, f, a))
+    c2, _v2, t2, r2 = step(POSE, np.uint32(9), np.int32(0), orbit(a0, 0.0))
+    np.testing.assert_array_equal(np.asarray(t2), np.asarray(tot))
+    assert float(r2) == float(rays)
+    for a, b in ((c2.x, cur.x), (c2.y, cur.y), (c2.z, cur.z)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c3, *_ = step(POSE, np.uint32(9), np.int32(0), orbit(a0, 2.0))
+    assert not np.array_equal(np.asarray(c3.x), np.asarray(cur.x))
+
+
 def test_pallas_schedulers_match_oracle_on_showcase_scene():
     # The packaged showcase scene exercises every extension channel at
     # once (checker floor + glass + brushed metal) through all three
