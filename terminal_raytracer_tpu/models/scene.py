@@ -217,7 +217,12 @@ class Scene:
                             f"{tag_name}[{i}] ior must be > 0 on a "
                             f"dielectric, got {m.ior!r}"
                         )
-                    if m.reflectivity + m.transparency > 1.0:
+                    # Epsilon: the fields are f32-narrowed, so legal
+                    # decimal pairs like 0.6 + 0.4 sum to 1.0000000298 in
+                    # f64 — the renderer sums them in f32 (where such
+                    # pairs are exactly 1), so validation must not be
+                    # stricter than the math it guards.
+                    if m.reflectivity + m.transparency > 1.0 + 1e-6:
                         raise ValueError(
                             f"{tag_name}[{i}] reflectivity + transparency "
                             f"must be <= 1 (branch probabilities), got "

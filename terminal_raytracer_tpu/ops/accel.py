@@ -236,8 +236,10 @@ class CulledPrims:
 
     Unbound (the jnp oracle / any functional context), it sweeps the
     blocked order densely — identical results, since culling is
-    output-invariant. Inside a Pallas kernel, `bind(scratch)` supplies a
-    (12, tile_h, tile_w) f32 VMEM scratch that carries the sweep state
+    output-invariant. Inside a Pallas kernel, `bind(scratch)` supplies an
+    (N_SCRATCH, tile_h, tile_w) f32 VMEM scratch — N_SCRATCH is an
+    INSTANCE attribute, 13 base planes plus up to 7 extension-channel
+    planes (glass 2, rough 1, checker 4) — that carries the sweep state
     across the `pl.when`-guarded per-block sweeps (Mosaic has no vector
     phi across branches; refs are the idiom)."""
 

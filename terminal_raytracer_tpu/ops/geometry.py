@@ -242,8 +242,10 @@ class ScenePrims:
 
     def raw_closest(self, o: V3, d: V3, t_min, t_max):
         """Closest-hit sweep WITHOUT the front-face flip: returns
-        (t, found, p, normal_raw, col, emi, refl) with t == t_max where
-        nothing hit. Sweeping a sublist continues an outer chain exactly
+        (t, found, p, normal_raw, col, emi, refl, light_inv_area, transp,
+        ior, rough, checker_color, checker_scale) with t == t_max where
+        nothing hit (the extension channels are zero/broadcast constants
+        on scenes that lack them — see Hit). Sweeping a sublist continues an outer chain exactly
         when called with the outer running closest as t_max (the culled
         accelerator does this per block, ops/accel.py).
 

@@ -77,7 +77,8 @@ def _sweep_scratch_shapes(tracer, tile_h, tile_w):
     if not isinstance(tracer.prims, accel_mod.CulledPrims):
         return []
     mk = pltpu.VMEM if _HAS_PLTPU else pl.MemoryRef
-    # Instance attribute: +2 planes when the scene has dielectric channels.
+    # Instance attribute: up to +7 extension planes (glass 2, rough 1,
+    # checker 4) on top of the 13 base planes.
     return [mk((tracer.prims.N_SCRATCH, tile_h, tile_w), jnp.float32)]
 
 
