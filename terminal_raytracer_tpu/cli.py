@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--focus", type=float, default=None,
                    help="(ext) focus distance along the view axis "
                         "(with --aperture)")
+    p.add_argument("--fog", metavar="D[:R,G,B]", default=None,
+                   help="(ext) homogeneous volumetric fog: extinction "
+                        "density D per world unit, optional scattering "
+                        "albedo (default 1,1,1); e.g. --fog 0.15 or "
+                        "--fog 0.2:0.8,0.85,0.9")
     p.add_argument("--deterministic", type=int, default=None, metavar="SEED",
                    help="(ext) fixed RNG seed (reference seeds randomly)")
     p.add_argument("--no-pipeline", action="store_true",
@@ -169,10 +174,27 @@ def main(argv=None) -> int:
                 return 2
     try:
         scene = load_scene(args.path or args.scene)
+        fog = None
+        if args.fog is not None:
+            from .models.scene import Fog
+
+            spec = args.fog.split(":")
+            density = float(spec[0])
+            albedo = (1.0, 1.0, 1.0)
+            if len(spec) > 1:
+                parts = [float(c) for c in spec[1].split(",")]
+                if len(parts) != 3:
+                    raise ValueError(
+                        f"--fog albedo needs 3 comma-separated values, "
+                        f"got {spec[1]!r}"
+                    )
+                albedo = tuple(parts)
+            fog = Fog(density=density, albedo=albedo)
         scene = scene.with_overrides(
             width=args.width, height=args.height,
             samples_per_pixel=args.spp, max_depth=args.depth,
             aperture=args.aperture, focus_distance=args.focus,
+            fog=fog,
         )
     except (FileNotFoundError, ValueError, KeyError) as e:
         print(f"error: {e}", file=sys.stderr)

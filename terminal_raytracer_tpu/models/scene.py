@@ -124,6 +124,20 @@ class Triangle(NamedTuple):
 
 
 @dataclasses.dataclass(frozen=True)
+class Fog:
+    """Homogeneous participating medium (extension — the reference renders
+    in vacuum). `density` is the extinction coefficient sigma per world
+    unit; `albedo` the single-scattering albedo (fraction of extinction
+    that scatters rather than absorbs; (1,1,1) = pure scattering fog,
+    (0,0,0) = pure absorption). The tracer samples scatter distances
+    analytically (ops/tracer.py), so the medium costs one extra gated RNG
+    draw per bounce plus two per scatter event."""
+
+    density: float
+    albedo: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+
+
+@dataclasses.dataclass(frozen=True)
 class Camera_Config:
     fov_degrees: float
     char_aspect_ratio: float
@@ -148,6 +162,9 @@ class Scene:
     spheres: Tuple[Sphere, ...]
     planes: Tuple[Plane, ...]
     triangles: Tuple[Triangle, ...]
+    # Optional homogeneous medium (extension; None = the reference's
+    # vacuum — the fog code is statically absent).
+    fog: Optional[Fog] = None
 
     def __post_init__(self):
         """Validate on every construction (incl. with_overrides / CLI
@@ -185,6 +202,17 @@ class Scene:
             if sum(c * c for c in p.normal) == 0.0:
                 raise ValueError(
                     f"planes[{i}] normal must be nonzero, got {p.normal!r}"
+                )
+        if self.fog is not None:
+            if not self.fog.density > 0.0:
+                raise ValueError(
+                    f"fog density must be > 0, got {self.fog.density!r} "
+                    f"(omit the fog block for a vacuum)"
+                )
+            if any(c < 0.0 for c in self.fog.albedo):
+                raise ValueError(
+                    f"fog albedo components must be >= 0, got "
+                    f"{self.fog.albedo!r}"
                 )
         for i, s in enumerate(self.spheres):
             if not s.radius > 0.0:
@@ -276,6 +304,14 @@ class Scene:
         has_dielectrics."""
         return any(p.material.is_checker for _, p in self.primitives)
 
+    @property
+    def has_fog(self) -> bool:
+        """True iff the scene carries a participating medium — the static
+        gate for the volumetric code (ops/tracer.py). Fog parameters are
+        compile-time constants even in dynamic mode (like the light
+        topology)."""
+        return self.fog is not None
+
     def centroid(self) -> np.ndarray:
         """Mean position of the finite geometry (sphere centers, triangle
         vertices; infinite planes excluded) — the default orbit target of
@@ -305,6 +341,7 @@ class Scene:
         frames_to_accumulate: Optional[int] = None,
         aperture: Optional[float] = None,
         focus_distance: Optional[float] = None,
+        fog: Optional["Fog"] = None,
     ) -> "Scene":
         """Benchmark / terminal-clamp overrides (lib.rs:113-115), plus the
         depth-of-field lens parameters (CLI --aperture/--focus)."""
@@ -329,6 +366,8 @@ class Scene:
             kw["max_depth"] = int(max_depth)
         if frames_to_accumulate is not None:
             kw["frames_to_accumulate"] = int(frames_to_accumulate)
+        if fog is not None:
+            kw["fog"] = fog
         return dataclasses.replace(self, **kw)
 
     def clamp_to_terminal(self, term_width: int, term_height: int) -> "Scene":
@@ -433,6 +472,13 @@ def scene_from_dict(cfg: dict, base_dir=None) -> Scene:
             mesh_tris.extend(
                 mesh_mod.triangles_from_spec(m, base_dir=base_dir))
     cam = cfg["camera"]
+    fog = None
+    if cfg.get("fog") is not None:
+        f = cfg["fog"]
+        fog = Fog(
+            density=_f32(f["density"]),
+            albedo=_f32v(f.get("albedo", (1.0, 1.0, 1.0))),
+        )
     return Scene(
         width=int(cfg["width"]),
         height=int(cfg["height"]),
@@ -460,6 +506,7 @@ def scene_from_dict(cfg: dict, base_dir=None) -> Scene:
             Triangle(_f32v(t["v0"]), _f32v(t["v1"]), _f32v(t["v2"]), _material(t))
             for t in cfg.get("triangles", [])
         ) + tuple(mesh_tris),
+        fog=fog,
     )
 
 

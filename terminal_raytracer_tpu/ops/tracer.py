@@ -236,6 +236,28 @@ class PathTracer:
         # textures would need per-lane gathers, the one thing the lane
         # grid can't do). Statically gated like the other channels.
         self.has_checker = scene.has_checker
+        # Homogeneous participating medium (extension, models/scene.Fog):
+        # scatter distances are sampled analytically, t = -ln(1-u)/sigma,
+        # which importance-samples the transmittance EXACTLY — the path
+        # throughput needs no explicit exp() bookkeeping at all (surviving
+        # to the surface already has probability exp(-sigma t_hit)); only
+        # NEE shadow segments, which are not distance-sampled, carry an
+        # explicit transmittance factor. Isotropic phase (uniform-sphere
+        # scatter directions). Fog parameters are compile-time constants
+        # (static even in dynamic mode, like the light topology).
+        self.has_fog = scene.has_fog
+        if self.has_fog:
+            if transport == "mis":
+                raise ValueError(
+                    "transport='mis' does not support fog scenes: the "
+                    "balance weights would need phase-function and "
+                    "transmittance-aware pdfs; use the reference or "
+                    "unbiased transport"
+                )
+            self.fog_sigma = float(scene.fog.density)
+            self.fog_albedo = tuple(
+                float(c) for c in scene.fog.albedo
+            )
         # Traversal: the plain baked sweep ('baked'), the array-resident
         # fori_loop sweep ('array', ops/arrayscene.py — fixed code size for
         # any primitive count, the analog of the reference's storage-buffer
@@ -344,7 +366,7 @@ class PathTracer:
     # ------------------------------------------------------------------
 
     def direct_light(self, state, p: V3, normal: V3, color: V3, att: V3, gate,
-                     refl=None):
+                     refl=None, fog=None):
         """One NEE estimate per light. Returns (state', direct V3).
 
         The result is fully masked internally (occlusion + cosine terms);
@@ -358,10 +380,27 @@ class PathTracer:
         (both are delta lobes). Consumed only by the 'mis' transport,
         whose balance weight needs the BSDF's continuous-part pdf
         (1 - refl) * cos/pi for the sampled light direction.
+
+        `fog` (optional, has_fog scenes): (scatter_mask, scatter_point V3)
+        — lanes whose bounce is a volume scattering event estimate direct
+        light from the scatter point with the isotropic phase function
+        (fog_albedo / 4pi, no cosine, no surface offset); ALL lanes'
+        contributions additionally carry the shadow segment's
+        transmittance exp(-sigma * light_distance). Incompatible with
+        'mis' (rejected at construction).
         """
         zeros = jnp.zeros_like(p.x)
         direct = vm.splat(zeros)
         brdf = color * (1.0 / sampling.PI)  # Lambertian albedo/pi (shader.wgsl:412)
+        if fog is not None:
+            scatter, sp = fog
+            # Volume points sample direct light from the scatter point
+            # with the isotropic phase function instead of the Lambert
+            # lobe (and without the surface-normal shadow offset below).
+            p = vm.where(scatter, sp, p)
+            phase = V3(*(c * (1.0 / (4.0 * sampling.PI))
+                         for c in self.fog_albedo))
+            brdf = vm.where(scatter, vm.splat(zeros) + phase, brdf)
 
         lights = (
             [_Light(*l) for l in self.prims.light_list()]
@@ -382,6 +421,8 @@ class PathTracer:
             ldir = lvec / ldist
 
             shadow_o = p + normal * geom.RAY_EPS  # offset along normal (wgsl:399)
+            if fog is not None:
+                shadow_o = vm.where(scatter, p, shadow_o)  # no surface
             if self.transport == "mis":
                 # The reference measures light_distance from the UNOFFSET
                 # hit point but casts from the offset origin (wgsl:394-400),
@@ -406,11 +447,18 @@ class PathTracer:
                 )
 
             cos_s = jnp.maximum(0.0, vm.dot(normal, ldir))
+            if fog is not None:
+                cos_s = jnp.where(scatter, 1.0, cos_s)  # isotropic phase
             cos_l = jnp.maximum(0.0, vm.dot(ln, -ldir))
             ok = (~blocked) & (cos_s > 0.0) & (cos_l > 0.0)
 
             geom_term = (cos_s * cos_l) / (ldist * ldist)
             weight = geom_term * area
+            if fog is not None:
+                # Shadow segments are not distance-sampled, so they carry
+                # the medium's transmittance explicitly (for surface AND
+                # volume senders alike).
+                weight = weight * jnp.exp(-self.fog_sigma * ldist)
             if self.transport == "mis":
                 # Balance heuristic vs the BSDF strategy for this direction:
                 # p_nee (solid angle) = t^2 / (cos_l * area), p_bsdf =
@@ -500,10 +548,34 @@ class PathTracer:
                 (k > 0.0) & odd, hit.checker_color, hit.color
             ))
 
+        scatter = None
+        if self.has_fog:
+            # Volume scattering (extension): sample the scatter distance
+            # analytically — t = -ln(1-u)/sigma importance-samples the
+            # transmittance exactly, so the path throughput needs NO
+            # explicit exp() factor (see __init__ note). A draw shorter
+            # than the surface hit turns this bounce into a scattering
+            # event: isotropic redirection at sp, att *= fog albedo,
+            # direct light from the volume point (below). One gated draw
+            # for every live lane.
+            state, u_d = prng.next_f32(state, alive)
+            t_scat = jnp.log(jnp.maximum(1.0 - u_d, 1e-12)) * (
+                -1.0 / self.fog_sigma
+            )
+            t_limit = jnp.where(hit.found, hit.t, geom.T_FAR)
+            scatter = alive & (t_scat < t_limit)
+            sp = o + d * t_scat
+
         # Miss -> sky contribution, then the lane dies (wgsl:447-452).
+        # (Under fog the sky is reachable only if the distance draw
+        # overshoots T_FAR — numerically never for real densities: an
+        # infinite homogeneous medium hides the sky, as physics says.)
         miss_now = alive & (~hit.found)
-        acc = acc + vm.where(miss_now, sky_color(d) * att, vm.splat(zeros))
         live = alive & hit.found
+        if scatter is not None:
+            miss_now = miss_now & (~scatter)
+            live = live & (~scatter)
+        acc = acc + vm.where(miss_now, sky_color(d) * att, vm.splat(zeros))
 
         # Emission on direct hit (wgsl:455) — every bounce, unweighted, in
         # reference mode; NEE-aware gating in unbiased mode; balance-
@@ -540,9 +612,11 @@ class PathTracer:
         nee_refl = hit.reflectivity
         if self.has_glass:
             nee_refl = nee_refl + hit.transparency
+        nee_gate = live if scatter is None else (live | scatter)
         state, direct = self.direct_light(
-            state, hit.p, hit.normal, hit.color, att, live,
+            state, hit.p, hit.normal, hit.color, att, nee_gate,
             refl=nee_refl,
+            fog=None if scatter is None else (scatter, sp),
         )
         if self.has_glass and self.transport != "mis":
             # The reference's NEE evaluates a full Lambertian lobe on
@@ -551,10 +625,14 @@ class PathTracer:
             # parity with, so scale NEE by the non-glass selection
             # probability — clear glass gets no matte direct-light ghost.
             # ('mis' already weighs NEE by the full diffuse-only
-            # probability inside direct_light.)
-            direct = direct * (1.0 - hit.transparency)
-        acc = acc + vm.where(live, direct, vm.splat(zeros))
-        rays = rays + jnp.where(live, float(self.n_lights), 0.0)
+            # probability inside direct_light.) Volume scatter points use
+            # the phase function, not the surface material: no scaling.
+            ghost = 1.0 - hit.transparency
+            if scatter is not None:
+                ghost = jnp.where(scatter, 1.0, ghost)
+            direct = direct * ghost
+        acc = acc + vm.where(nee_gate, direct, vm.splat(zeros))
+        rays = rays + jnp.where(nee_gate, float(self.n_lights), 0.0)
 
         # Scatter: stochastic mirror-vs-diffuse (wgsl:465-480), with the
         # (extension) dielectric branch spliced into the same single
@@ -624,15 +702,25 @@ class PathTracer:
             new_d = vm.where(is_glass, glass_dir, new_d)
         att = vm.where(live, att * hit.color, att)
         new_o = hit.p + new_d * geom.RAY_EPS  # offset along scatter dir (wgsl:482)
+        if scatter is not None:
+            # Volume scatter: isotropic phase redirection at the sampled
+            # point; throughput picks up the single-scattering albedo
+            # (transmittance is already importance-sampled away).
+            state, fog_dir = sampling.uniform_sphere_dir(state, scatter)
+            new_d = vm.where(scatter, fog_dir, new_d)
+            new_o = vm.where(scatter, sp + fog_dir * geom.RAY_EPS, new_o)
+            att = vm.where(scatter, att * V3(*self.fog_albedo), att)
 
         # Russian roulette from bounce 4 (wgsl:485-492): kill first,
-        # compensate survivors.
-        rr_on = live & (bounce_idx > RR_START_BOUNCE)
+        # compensate survivors. Volume scatter events face the same RR
+        # (their att already carries the fog albedo).
+        cont = live if scatter is None else (live | scatter)
+        rr_on = cont & (bounce_idx > RR_START_BOUNCE)
         state, r_rr = prng.next_f32(state, rr_on)
         p_surv = jnp.minimum(RR_MAX_SURVIVAL, vm.max_component(att))
         killed = rr_on & (p_surv < r_rr)
         att = vm.where(rr_on & ~killed, att / p_surv, att)
-        alive = live & (~killed)
+        alive = cont & (~killed)
         if absorbed is not None:
             # Fuzzed-below-surface metal scatter: the path is absorbed
             # (this bounce's emission/NEE stand; no sky, no continuation).
@@ -650,6 +738,11 @@ class PathTracer:
             emit_info = jnp.where(is_delta, -1.0, p_cont)
         else:
             emit_info = jnp.where(is_delta, 1.0, 0.0)
+            if scatter is not None:
+                # A volume scatter is a continuous (phase-sampled) event:
+                # NEE covered the lights, so unbiased mode gates the next
+                # hit's emission off, like a diffuse surface scatter.
+                emit_info = jnp.where(scatter, 0.0, emit_info)
         return state, o, d, att, acc, alive, rays, emit_info
 
     # ------------------------------------------------------------------

@@ -1,0 +1,164 @@
+"""Volumetric fog (homogeneous participating medium) — extension tests.
+
+models/scene.py `Fog` + ops/tracer.py: scatter distances are sampled
+analytically (t = -ln(1-u)/sigma), which importance-samples transmittance
+exactly — the path throughput carries no explicit exp() factors; only NEE
+shadow segments do. Isotropic phase. Same static-gate contract as the
+material extensions: scenes without fog compile to the exact pre-extension
+program. The headline correctness test pins Beer-Lambert per pixel against
+the closed form.
+"""
+
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from terminal_raytracer_tpu.models import Camera, load_scene
+from terminal_raytracer_tpu.models import scene as sm
+from terminal_raytracer_tpu.models.scene import Fog
+from terminal_raytracer_tpu.ops import pallas_kernel
+from terminal_raytracer_tpu.ops.tracer import PathTracer
+
+POSE = Camera().pose()
+
+_SCENES = Path(sm.__file__).parent / "scenes"
+
+
+def _wall_scene(sigma, albedo, spp=4, depth=4, w=64, h=16):
+    """Emissive wall at z = -4 behind fog — the Beer-Lambert fixture."""
+    return sm.scene_from_dict({
+        "width": w, "height": h, "samples_per_pixel": spp,
+        "max_depth": depth, "frames_to_accumulate": 1,
+        "camera": {"fov_degrees": 40.0, "char_aspect_ratio": 1.0},
+        "planes": [{"point": [0, 0, -4], "normal": [0, 0, 1],
+                    "color": [0, 0, 0], "emission": [5, 5, 5],
+                    "reflectivity": 0.0}],
+        "fog": {"density": sigma, "albedo": list(albedo)},
+    })
+
+
+def test_schema_and_validation():
+    s = _wall_scene(0.2, (0, 0, 0))
+    assert s.has_fog and s.fog.density == pytest.approx(0.2, abs=1e-6)
+    assert not load_scene("Cornell_Box").has_fog
+    with pytest.raises(ValueError, match="fog density"):
+        _wall_scene(0.0, (1, 1, 1))
+    with pytest.raises(ValueError, match="fog albedo"):
+        _wall_scene(0.2, (-0.1, 1, 1))
+    # with_overrides attaches fog to any scene (the CLI --fog path).
+    s2 = load_scene("scene2").with_overrides(fog=Fog(density=0.1))
+    assert s2.has_fog and s2.fog.albedo == (1.0, 1.0, 1.0)
+
+
+def test_mis_transport_rejected():
+    scene = _wall_scene(0.2, (1, 1, 1))
+    with pytest.raises(ValueError, match="mis"):
+        PathTracer(scene, transport="mis")
+
+
+def test_beer_lambert_per_pixel():
+    # Pure absorption (albedo 0): every pixel's expectation is exactly
+    # E * exp(-sigma * t_pixel) with t_pixel the analytic camera-ray
+    # distance to the wall. The estimator importance-samples the
+    # transmittance, so the mean per-pixel ratio must be 1 to within
+    # Monte-Carlo error (measured 1.0015 +- 0.0044 at N=96; N=32 here).
+    sigma, W, H = 0.2, 64, 16
+    scene = _wall_scene(sigma, (0, 0, 0), w=W, h=H)
+    tr = PathTracer(scene)
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float64)
+    u = (xs + 0.5) / (W - 1)
+    v = ((H - 1) - ys + 0.5) / (H - 1)
+    vx = tr.half_width * (2 * u - 1)
+    vy = tr.half_height * (2 * v - 1) * tr.inv_char_aspect
+    expect = 5.0 * np.exp(-sigma * 4.0 * np.sqrt(1 + vx * vx + vy * vy))
+
+    f = jax.jit(tr.render_frame)
+    imgs = []
+    for seed in range(8):
+        cur, _v_, _t, _r = f(POSE, np.uint32(2000 + 37 * seed), np.int32(0))
+        imgs.append(np.asarray(cur.x))
+    ratio = np.mean(imgs, axis=0) / expect
+    assert abs(float(ratio.mean()) - 1.0) < 0.035, float(ratio.mean())
+
+
+def test_in_scattering_glow():
+    # Pure-scattering fog around a light: camera rays that never point at
+    # any surface still pick up radiance via NEE from their scatter
+    # points — the glow absorbing fog (albedo 0) cannot produce.
+    def render(albedo):
+        scene = sm.scene_from_dict({
+            "width": 48, "height": 12, "samples_per_pixel": 8,
+            "max_depth": 6, "frames_to_accumulate": 1,
+            "camera": {"fov_degrees": 50.0, "char_aspect_ratio": 1.0},
+            "spheres": [{"center": [0, 3.0, -4], "radius": 0.5,
+                         "color": [0, 0, 0], "emission": [20, 20, 20],
+                         "reflectivity": 0.0}],
+            "fog": {"density": 0.15, "albedo": list(albedo)},
+        })
+        cur, *_ = jax.jit(PathTracer(scene).render_frame)(
+            POSE, np.uint32(11), np.int32(0)
+        )
+        return np.asarray(cur.x)
+
+    glow = render((1, 1, 1))
+    dark = render((0, 0, 0))
+    # The bottom half of the frame never sees the light directly.
+    assert glow[8:, :].mean() > 5 * max(dark[8:, :].mean(), 1e-6)
+    assert np.isfinite(glow).all() and np.isfinite(dark).all()
+
+
+def test_pallas_schedulers_match_oracle_in_fog():
+    cfg = json.loads((_SCENES / "Cornell_Box.json").read_text())
+    cfg.update(width=128, height=8, samples_per_pixel=4, max_depth=4)
+    cfg["fog"] = {"density": 0.25, "albedo": [0.85, 0.85, 0.9]}
+    scene = sm.scene_from_dict(cfg)
+    cur_o, _vo, tot_o, rays_o = jax.jit(PathTracer(scene).render_frame)(
+        POSE, np.uint32(42), np.int32(0)
+    )
+    for mode in ("lockstep", "regen", "sorted"):
+        pf = jax.jit(pallas_kernel.make_render_frame(scene, mode=mode))
+        cur_p, _vp, tot_p, rays_p, _occ = pf(
+            POSE, np.uint32(42), np.int32(0)
+        )
+        err = f"mode={mode}"
+        for a, b in ((cur_p.x, cur_o.x), (cur_p.y, cur_o.y),
+                     (cur_p.z, cur_o.z)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5, err_msg=err)
+        np.testing.assert_array_equal(np.asarray(tot_p), np.asarray(tot_o),
+                                      err)
+        assert float(rays_p) == float(rays_o), err
+
+
+def test_fog_composes_with_material_extensions():
+    # Fog over the showcase scene (glass + brushed metal + checker):
+    # baked and array traversals agree exactly on decisions (fog is
+    # scene-global — no traversal involvement at all).
+    scene = load_scene("showcase").with_overrides(
+        width=48, height=12, samples_per_pixel=4, max_depth=4,
+        fog=Fog(density=0.1, albedo=(0.9, 0.9, 0.9)),
+    )
+    cur, _var, tot, rays = jax.jit(PathTracer(scene).render_frame)(
+        POSE, np.uint32(5), np.int32(0)
+    )
+    c2, _v2, t2, r2 = jax.jit(
+        PathTracer(scene, accel="array").render_frame
+    )(POSE, np.uint32(5), np.int32(0))
+    assert float(r2) == float(rays)
+    np.testing.assert_array_equal(np.asarray(t2), np.asarray(tot))
+    for a, b in ((c2.x, cur.x), (c2.y, cur.y), (c2.z, cur.z)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+    img = np.asarray(cur.x)
+    assert np.isfinite(img).all() and img.mean() > 0.005
+
+
+def test_unbiased_transport_runs_in_fog():
+    scene = _wall_scene(0.2, (0.8, 0.8, 0.8), spp=4)
+    cur, *_ = jax.jit(
+        PathTracer(scene, transport="unbiased").render_frame
+    )(POSE, np.uint32(7), np.int32(0))
+    assert np.isfinite(np.asarray(cur.x)).all()
