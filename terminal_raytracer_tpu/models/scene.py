@@ -209,9 +209,10 @@ class Scene:
                     f"fog density must be > 0, got {self.fog.density!r} "
                     f"(omit the fog block for a vacuum)"
                 )
-            if any(c < 0.0 for c in self.fog.albedo):
+            if any(not (0.0 <= c <= 1.0) for c in self.fog.albedo):
                 raise ValueError(
-                    f"fog albedo components must be >= 0, got "
+                    f"fog albedo components must be in [0, 1] (the "
+                    f"fraction of extinction that scatters), got "
                     f"{self.fog.albedo!r}"
                 )
         for i, s in enumerate(self.spheres):

@@ -176,9 +176,11 @@ class PathTracer:
           on every hit *and* lights are NEE-sampled every bounce with no
           MIS (shader.wgsl:455,458).
         * 'unbiased' adds hit emission only when the path could not have
-          NEE-sampled it — at the camera hit or after a perfect-mirror
-          scatter — removing the double count (the `--unbiased` capability
-          extension of SURVEY.md §7).
+          NEE-sampled it — at the camera hit, after a delta (mirror or
+          glass) scatter, or when the emitter itself is outside NEE's
+          reach (plane lights, back faces, sub-threshold emitters — the
+          hit.light_inv_area == 0 set) — removing the double count (the
+          `--unbiased` capability extension of SURVEY.md §7).
         * 'mis' weighs BOTH estimators by the balance heuristic (Veach):
           hit emission after a diffuse scatter gets
           p_bsdf / (p_bsdf + p_nee), each NEE light sample gets
@@ -599,8 +601,18 @@ class PathTracer:
                 live, hit.emission * (att * w_emit), vm.splat(zeros)
             )
         else:
+            # unbiased: emission is added iff NEE could NOT have sampled
+            # this emitter from the previous vertex — a delta scatter
+            # history (emit_info != 0), or an emitter NEE never samples
+            # at all: hit.light_inv_area == 0 marks planes, back faces,
+            # and sub-threshold emitters (the same mechanism the mis
+            # branch uses above). Without the lia term, plane lights and
+            # inside-an-emitter views went dark after any diffuse or
+            # volume scatter — an under-count, not "unbiased".
             emit_gate = (
-                (live & (emit_info != 0.0)) if self.unbiased else live
+                (live & ((emit_info != 0.0)
+                         | (hit.light_inv_area == 0.0)))
+                if self.unbiased else live
             )
             acc = acc + vm.where(emit_gate, hit.emission * att,
                                  vm.splat(zeros))
@@ -718,7 +730,14 @@ class PathTracer:
         rr_on = cont & (bounce_idx > RR_START_BOUNCE)
         state, r_rr = prng.next_f32(state, rr_on)
         p_surv = jnp.minimum(RR_MAX_SURVIVAL, vm.max_component(att))
-        killed = rr_on & (p_surv < r_rr)
+        # p_surv == 0 (att exactly black — e.g. pure-absorption fog, or a
+        # color-(0,0,0) surface) kills unconditionally: the reference's
+        # literal `rand > p` check would let the measure-zero rand == 0.0
+        # draw survive into an att/0 = NaN that poisons the accumulator
+        # forever (the reference shares the hazard); a black path
+        # contributes nothing either way, so the decisive kill is the
+        # only output-visible-safe choice.
+        killed = rr_on & ((p_surv < r_rr) | (p_surv <= 0.0))
         att = vm.where(rr_on & ~killed, att / p_surv, att)
         alive = cont & (~killed)
         if absorbed is not None:
@@ -740,8 +759,10 @@ class PathTracer:
             emit_info = jnp.where(is_delta, 1.0, 0.0)
             if scatter is not None:
                 # A volume scatter is a continuous (phase-sampled) event:
-                # NEE covered the lights, so unbiased mode gates the next
-                # hit's emission off, like a diffuse surface scatter.
+                # like a diffuse surface scatter, unbiased mode gates the
+                # next hit's emission to NEE-unreachable emitters only
+                # (the lia term in the emit gate above keeps plane lights
+                # and back faces visible through fog).
                 emit_info = jnp.where(scatter, 0.0, emit_info)
         return state, o, d, att, acc, alive, rays, emit_info
 

@@ -156,9 +156,26 @@ def test_fog_composes_with_material_extensions():
     assert np.isfinite(img).all() and img.mean() > 0.005
 
 
-def test_unbiased_transport_runs_in_fog():
-    scene = _wall_scene(0.2, (0.8, 0.8, 0.8), spp=4)
+def test_unbiased_transport_sees_plane_light_through_fog():
+    # The emissive wall is a plane — never NEE-sampled — so volume
+    # scatter events must keep its emission on their next hit (the
+    # light_inv_area == 0 emission gate): with scattering fog the
+    # unbiased image glows rather than going black.
+    scene = _wall_scene(0.2, (0.8, 0.8, 0.8), spp=16)
     cur, *_ = jax.jit(
         PathTracer(scene, transport="unbiased").render_frame
     )(POSE, np.uint32(7), np.int32(0))
-    assert np.isfinite(np.asarray(cur.x)).all()
+    img = np.asarray(cur.x)
+    assert np.isfinite(img).all()
+    assert img.mean() > 1.0, img.mean()  # direct survival alone is ~2.1
+
+
+def test_absorbing_fog_black_paths_stay_finite():
+    # albedo (0,0,0) zeroes att on every scatter event; Russian roulette
+    # must kill those lanes decisively (p_surv == 0) — never divide 0/0.
+    scene = _wall_scene(0.3, (0, 0, 0), spp=8, depth=16)
+    cur, *_ = jax.jit(PathTracer(scene).render_frame)(
+        POSE, np.uint32(13), np.int32(0)
+    )
+    img = np.asarray(cur.x)
+    assert np.isfinite(img).all()

@@ -127,10 +127,11 @@ def test_mis_equals_reference_in_cornell():
     assert frac_diff < 0.03, frac_diff
     assert abs(m.mean() - a.mean()) / a.mean() < 0.02
     assert float(ref.rays) == float(mis.rays)
-    # and the --unbiased hole this scene exposes, pinned:
-    assert np.asarray(unb.state.acc).mean() < 0.7 * np.asarray(
-        ref.state.acc
-    ).mean()
+    # --unbiased now also matches (back-face light hits keep emission via
+    # the lia gate; only the tiny genuinely-NEE-covered ceiling-gap paths
+    # are de-duplicated):
+    u = np.asarray(unb.state.acc)
+    assert abs(u.mean() - a.mean()) / a.mean() < 0.02
 
 
 def test_mis_mean_matches_unbiased_side_lit():
