@@ -79,6 +79,11 @@ CONFIGS = {
     # two glass spheres (Fresnel refract-or-reflect branch, one extra
     # gated draw) — measures the glass branch's cost against north_star
     "glass": dict(scene="cornell_glass", spp=16, depth=32, frames=480),
+    # volumetric-fog extension at north-star params (fog = extinction
+    # density; analytic distance sampling, +1 gated draw per bounce and
+    # NEE transmittance exp) — measures the medium's cost vs north_star
+    "fog": dict(scene="Cornell_Box", spp=16, depth=32, fog=0.15,
+                frames=480),
     # dynamic (animated) scenes: geometry streams through SMEM as runtime
     # values (ops/dynamic.py; --animate); north-star params, orbit animator
     "dynamic": dict(scene="Cornell_Box", spp=16, depth=32, dynamic=True,
@@ -98,6 +103,10 @@ def _load(cfg):
         samples_per_pixel=cfg.get("spp"),
         max_depth=cfg.get("depth"),
     )
+    if cfg.get("fog"):
+        from terminal_raytracer_tpu.models.scene import Fog
+
+        scene = scene.with_overrides(fog=Fog(density=float(cfg["fog"])))
     return scene, Camera()
 
 
