@@ -57,11 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--focus", type=float, default=None,
                    help="(ext) focus distance along the view axis "
                         "(with --aperture)")
-    p.add_argument("--fog", metavar="D[:R,G,B]", default=None,
+    p.add_argument("--fog", metavar="D[:R,G,B[:G]]", default=None,
                    help="(ext) homogeneous volumetric fog: extinction "
                         "density D per world unit, optional scattering "
-                        "albedo (default 1,1,1); e.g. --fog 0.15 or "
-                        "--fog 0.2:0.8,0.85,0.9")
+                        "albedo (default 1,1,1) and Henyey-Greenstein "
+                        "anisotropy G (default 0 = isotropic; real fog "
+                        "~0.6-0.9 forward); e.g. --fog 0.15, "
+                        "--fog 0.2:0.8,0.85,0.9, --fog 0.2:1,1,1:0.7")
     p.add_argument("--deterministic", type=int, default=None, metavar="SEED",
                    help="(ext) fixed RNG seed (reference seeds randomly)")
     p.add_argument("--no-pipeline", action="store_true",
@@ -181,7 +183,7 @@ def main(argv=None) -> int:
             spec = args.fog.split(":")
             density = float(spec[0])
             albedo = (1.0, 1.0, 1.0)
-            if len(spec) > 1:
+            if len(spec) > 1 and spec[1]:
                 parts = [float(c) for c in spec[1].split(",")]
                 if len(parts) != 3:
                     raise ValueError(
@@ -189,7 +191,8 @@ def main(argv=None) -> int:
                         f"got {spec[1]!r}"
                     )
                 albedo = tuple(parts)
-            fog = Fog(density=density, albedo=albedo)
+            g = float(spec[2]) if len(spec) > 2 else 0.0
+            fog = Fog(density=density, albedo=albedo, g=g)
         scene = scene.with_overrides(
             width=args.width, height=args.height,
             samples_per_pixel=args.spp, max_depth=args.depth,

@@ -135,6 +135,10 @@ class Fog:
 
     density: float
     albedo: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    # Henyey-Greenstein anisotropy: 0 = isotropic (bit-exact with the
+    # pre-anisotropy code), g > 0 forward-scattering (real fog ~0.6-0.9 —
+    # halos become beams), g < 0 back-scattering.
+    g: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -214,6 +218,11 @@ class Scene:
                     f"fog albedo components must be in [0, 1] (the "
                     f"fraction of extinction that scatters), got "
                     f"{self.fog.albedo!r}"
+                )
+            if not (-1.0 < self.fog.g < 1.0):
+                raise ValueError(
+                    f"fog anisotropy g must be in (-1, 1), got "
+                    f"{self.fog.g!r}"
                 )
         for i, s in enumerate(self.spheres):
             if not s.radius > 0.0:
@@ -479,6 +488,7 @@ def scene_from_dict(cfg: dict, base_dir=None) -> Scene:
         fog = Fog(
             density=_f32(f["density"]),
             albedo=_f32v(f.get("albedo", (1.0, 1.0, 1.0))),
+            g=_f32(f.get("g", 0.0)),
         )
     return Scene(
         width=int(cfg["width"]),

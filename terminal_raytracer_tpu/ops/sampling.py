@@ -69,6 +69,37 @@ def uniform_sphere_dir(state, gate=None) -> Tuple[jnp.ndarray, V3]:
                      cos_theta)
 
 
+def henyey_greenstein_dir(state, d: V3, g: float,
+                          gate=None) -> Tuple[jnp.ndarray, V3]:
+    """Henyey-Greenstein phase-function direction about the INCOMING unit
+    direction `d`; 2 RNG draws. `g` is the static anisotropy in (-1, 1),
+    g != 0 (g == 0 callers use uniform_sphere_dir — one fewer ONB).
+    Standard inverse CDF: cos_t = (1 + g^2 - ((1-g^2)/(1-g+2gu))^2)/(2g).
+    Sampling the phase exactly means a scattered path's throughput needs
+    no phase weight at all (it cancels, like the cosine in
+    cosine_hemisphere)."""
+    state, r1, r2 = prng.next_f32_pair(state, gate)
+    sq = (1.0 - g * g) / (1.0 - g + 2.0 * g * r1)
+    cos_t = jnp.clip((1.0 + g * g - sq * sq) / (2.0 * g), -1.0, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    phi = TWO_PI * r2
+    w = vm.normalize(d)
+    u, v = orthonormal_basis(w)
+    return state, (u * (sin_t * jnp.cos(phi)) + v * (sin_t * jnp.sin(phi))
+                   + w * cos_t)
+
+
+def hg_phase(cos_t, g: float):
+    """The Henyey-Greenstein phase function value p(cos theta) — the
+    per-steradian scattering density NEE evaluates toward a sampled light
+    (g = 0 reduces to the isotropic 1/4pi)."""
+    g2 = g * g
+    denom = 1.0 + g2 - 2.0 * g * cos_t
+    return (1.0 - g2) / (
+        4.0 * PI * denom * jnp.sqrt(jnp.maximum(denom, 1e-12))
+    )
+
+
 def sphere_light_point(state, center: V3, radius, gate=None) -> Tuple[jnp.ndarray, V3, V3, float]:
     """Uniform point on a sphere light; 2 RNG draws (shader.wgsl:352-369).
 

@@ -260,6 +260,9 @@ class PathTracer:
             self.fog_albedo = tuple(
                 float(c) for c in scene.fog.albedo
             )
+            # Henyey-Greenstein anisotropy; 0 compiles the isotropic code
+            # (bit-exact with the pre-anisotropy implementation).
+            self.fog_g = float(scene.fog.g)
         # Traversal: the plain baked sweep ('baked'), the array-resident
         # fori_loop sweep ('array', ops/arrayscene.py — fixed code size for
         # any primitive count, the analog of the reference's storage-buffer
@@ -395,14 +398,17 @@ class PathTracer:
         direct = vm.splat(zeros)
         brdf = color * (1.0 / sampling.PI)  # Lambertian albedo/pi (shader.wgsl:412)
         if fog is not None:
-            scatter, sp = fog
+            scatter, sp, d_in = fog
             # Volume points sample direct light from the scatter point
-            # with the isotropic phase function instead of the Lambert
-            # lobe (and without the surface-normal shadow offset below).
+            # with the phase function instead of the Lambert lobe (and
+            # without the surface-normal shadow offset below). Isotropic
+            # (g == 0): a constant albedo/4pi; anisotropic: evaluated
+            # per light direction inside the loop below.
             p = vm.where(scatter, sp, p)
-            phase = V3(*(c * (1.0 / (4.0 * sampling.PI))
-                         for c in self.fog_albedo))
-            brdf = vm.where(scatter, vm.splat(zeros) + phase, brdf)
+            if self.fog_g == 0.0:
+                phase = V3(*(c * (1.0 / (4.0 * sampling.PI))
+                             for c in self.fog_albedo))
+                brdf = vm.where(scatter, vm.splat(zeros) + phase, brdf)
 
         lights = (
             [_Light(*l) for l in self.prims.light_list()]
@@ -450,7 +456,7 @@ class PathTracer:
 
             cos_s = jnp.maximum(0.0, vm.dot(normal, ldir))
             if fog is not None:
-                cos_s = jnp.where(scatter, 1.0, cos_s)  # isotropic phase
+                cos_s = jnp.where(scatter, 1.0, cos_s)  # phase has no cos
             cos_l = jnp.maximum(0.0, vm.dot(ln, -ldir))
             ok = (~blocked) & (cos_s > 0.0) & (cos_l > 0.0)
 
@@ -482,7 +488,14 @@ class PathTracer:
                 )
             emi = (light.emission if isinstance(light.emission, V3)
                    else V3(*light.emission))
-            contrib = (brdf * emi) * (att * weight)
+            brdf_l = brdf
+            if fog is not None and self.fog_g != 0.0:
+                # Anisotropic phase toward THIS light's sampled direction.
+                ph = sampling.hg_phase(vm.dot(d_in, ldir), self.fog_g)
+                brdf_l = vm.where(
+                    scatter, V3(*self.fog_albedo) * ph, brdf,
+                )
+            contrib = (brdf_l * emi) * (att * weight)
             contrib = vm.min_components(contrib, NEE_CLAMP)  # wgsl:420-427
             direct = direct + vm.where(ok, contrib, vm.splat(zeros))
 
@@ -628,7 +641,7 @@ class PathTracer:
         state, direct = self.direct_light(
             state, hit.p, hit.normal, hit.color, att, nee_gate,
             refl=nee_refl,
-            fog=None if scatter is None else (scatter, sp),
+            fog=None if scatter is None else (scatter, sp, d),
         )
         if self.has_glass and self.transport != "mis":
             # The reference's NEE evaluates a full Lambertian lobe on
@@ -715,10 +728,16 @@ class PathTracer:
         att = vm.where(live, att * hit.color, att)
         new_o = hit.p + new_d * geom.RAY_EPS  # offset along scatter dir (wgsl:482)
         if scatter is not None:
-            # Volume scatter: isotropic phase redirection at the sampled
+            # Volume scatter: phase-sampled redirection at the sampled
             # point; throughput picks up the single-scattering albedo
-            # (transmittance is already importance-sampled away).
-            state, fog_dir = sampling.uniform_sphere_dir(state, scatter)
+            # only (transmittance AND the phase are importance-sampled
+            # away). g == 0 keeps the pre-anisotropy draws bit-exact.
+            if self.fog_g != 0.0:
+                state, fog_dir = sampling.henyey_greenstein_dir(
+                    state, d, self.fog_g, scatter
+                )
+            else:
+                state, fog_dir = sampling.uniform_sphere_dir(state, scatter)
             new_d = vm.where(scatter, fog_dir, new_d)
             new_o = vm.where(scatter, sp + fog_dir * geom.RAY_EPS, new_o)
             att = vm.where(scatter, att * V3(*self.fog_albedo), att)

@@ -170,6 +170,75 @@ def test_unbiased_transport_sees_plane_light_through_fog():
     assert img.mean() > 1.0, img.mean()  # direct survival alone is ~2.1
 
 
+def test_henyey_greenstein_sampler_and_phase():
+    import jax.numpy as jnp
+
+    from terminal_raytracer_tpu.ops import rng as prng
+    from terminal_raytracer_tpu.ops import sampling
+    from terminal_raytracer_tpu.ops import vecmath as vm
+    from terminal_raytracer_tpu.ops.vecmath import V3
+
+    n = 8192
+    state = prng.seed_pixel(jnp.arange(n, dtype=jnp.uint32), np.uint32(3),
+                            np.int32(0))
+    d = vm.normalize(V3(jnp.zeros(n) + 0.3, jnp.zeros(n) - 0.5,
+                        jnp.zeros(n) + 0.81))
+    for g in (0.7, -0.4):
+        _s, v = sampling.henyey_greenstein_dir(state, d, g)
+        cos = np.asarray(vm.dot(v, d))
+        # E[cos theta] = g is THE defining property of HG.
+        assert abs(cos.mean() - g) < 0.02, (g, cos.mean())
+        np.testing.assert_allclose(np.asarray(vm.length(v)), 1.0,
+                                   atol=1e-5)
+    # The phase function must integrate to 1 over the sphere.
+    mu = np.linspace(-1, 1, 20001)
+    for g in (0.7, -0.4):
+        ph = np.asarray(sampling.hg_phase(jnp.asarray(mu, jnp.float32), g))
+        integral = float(np.trapezoid(ph * 2 * np.pi, mu))
+        assert abs(integral - 1.0) < 1e-3, (g, integral)
+
+
+def test_anisotropy_changes_the_image_and_validates():
+    base = {
+        "width": 48, "height": 12, "samples_per_pixel": 8, "max_depth": 6,
+        "frames_to_accumulate": 1,
+        "camera": {"fov_degrees": 50.0, "char_aspect_ratio": 1.0},
+        "spheres": [{"center": [0, 3.0, -4], "radius": 0.5,
+                     "color": [0, 0, 0], "emission": [20, 20, 20],
+                     "reflectivity": 0.0}],
+    }
+    iso = sm.scene_from_dict({**base, "fog": {"density": 0.15}})
+    fwd = sm.scene_from_dict({**base, "fog": {"density": 0.15, "g": 0.7}})
+    assert iso.fog.g == 0.0  # absent key -> isotropic (the g=0 bit-exact path)
+    c0, *_ = jax.jit(PathTracer(iso).render_frame)(
+        POSE, np.uint32(11), np.int32(0)
+    )
+    cg, *_ = jax.jit(PathTracer(fwd).render_frame)(
+        POSE, np.uint32(11), np.int32(0)
+    )
+    i0, ig = np.asarray(c0.x), np.asarray(cg.x)
+    assert np.isfinite(ig).all()
+    assert not np.array_equal(i0, ig)
+    with pytest.raises(ValueError, match="anisotropy"):
+        sm.scene_from_dict({**base, "fog": {"density": 0.1, "g": 1.0}})
+
+
+def test_anisotropic_fog_pallas_matches_oracle():
+    cfg = json.loads((_SCENES / "Cornell_Box.json").read_text())
+    cfg.update(width=128, height=8, samples_per_pixel=4, max_depth=4)
+    cfg["fog"] = {"density": 0.25, "albedo": [0.85, 0.85, 0.9], "g": 0.6}
+    scene = sm.scene_from_dict(cfg)
+    cur_o, _vo, tot_o, rays_o = jax.jit(PathTracer(scene).render_frame)(
+        POSE, np.uint32(42), np.int32(0)
+    )
+    pf = jax.jit(pallas_kernel.make_render_frame(scene, mode="sorted"))
+    cur_p, _vp, tot_p, rays_p, _occ = pf(POSE, np.uint32(42), np.int32(0))
+    for a, b in ((cur_p.x, cur_o.x), (cur_p.y, cur_o.y), (cur_p.z, cur_o.z)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(tot_p), np.asarray(tot_o))
+    assert float(rays_p) == float(rays_o)
+
+
 def test_absorbing_fog_black_paths_stay_finite():
     # albedo (0,0,0) zeroes att on every scatter event; Russian roulette
     # must kill those lanes decisively (p_surv == 0) — never divide 0/0.
