@@ -88,7 +88,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="(ext) multiple importance sampling: weigh NEE and "
                         "BSDF-hit emission by the balance heuristic — same "
                         "mean as --unbiased, lower variance; traces the "
-                        "exact same paths (same RNG chains)")
+                        "exact same paths (same RNG chains). Caveat: rough "
+                        "(brushed) metals are weighted as delta lobes — "
+                        "light seen via rough reflections carries a mild, "
+                        "roughness-bounded double count")
     p.add_argument("--animate", choices=("orbit", "pulse", "bob"),
                    default=None,
                    help="(ext) animate the scene (geometry/emission stream "
@@ -238,8 +241,14 @@ def main(argv=None) -> int:
             except ValueError as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 2
-            h = max(scene.height - scene.height % n_px, 2)
-            if h % n_px == 0 and h != scene.height:
+            h = scene.height - scene.height % n_px
+            if h < n_px:
+                # Terminal shorter than one row per px-shard: the smallest
+                # valid height is n_px itself (one row each) — taller than
+                # the terminal, but it renders; bailing out of interactive
+                # mode with a divisibility error would be worse.
+                h = n_px
+            if h != scene.height:
                 scene = scene.with_overrides(height=h)
 
     if args.full_color:

@@ -196,7 +196,12 @@ class PathTracer:
           the reference's full-Lambert NEE regardless of reflectivity);
           on diffuse surfaces their means agree, with 'mis' at lower
           variance wherever one strategy is poor (small bright lights ->
-          NEE wins; large/near lights -> BSDF wins).
+          NEE wins; large/near lights -> BSDF wins). Fog scenes are
+          supported: volume scatter events compete NEE against the
+          Henyey-Greenstein phase pdf, and in a medium the BSDF/phase
+          strategy's density for reaching an emitter carries the
+          no-collision probability exp(-sigma t) (its distance draw must
+          overshoot the light), mirrored on both weight sites.
 
         `unbiased=True` is the legacy spelling of transport='unbiased'.
 
@@ -249,13 +254,6 @@ class PathTracer:
         # (static even in dynamic mode, like the light topology).
         self.has_fog = scene.has_fog
         if self.has_fog:
-            if transport == "mis":
-                raise ValueError(
-                    "transport='mis' does not support fog scenes: the "
-                    "balance weights would need phase-function and "
-                    "transmittance-aware pdfs; use the reference or "
-                    "unbiased transport"
-                )
             self.fog_sigma = float(scene.fog.density)
             self.fog_albedo = tuple(
                 float(c) for c in scene.fog.albedo
@@ -386,13 +384,21 @@ class PathTracer:
         whose balance weight needs the BSDF's continuous-part pdf
         (1 - refl) * cos/pi for the sampled light direction.
 
-        `fog` (optional, has_fog scenes): (scatter_mask, scatter_point V3)
-        — lanes whose bounce is a volume scattering event estimate direct
-        light from the scatter point with the isotropic phase function
-        (fog_albedo / 4pi, no cosine, no surface offset); ALL lanes'
+        `fog` (optional, has_fog scenes): the 3-tuple
+        (scatter_mask, scatter_point V3, d_in V3) — `scatter_mask` marks
+        lanes whose bounce is a volume scattering event, `scatter_point`
+        is their sampled in-medium vertex, and `d_in` is the incoming
+        propagation direction, consumed by the anisotropic
+        Henyey-Greenstein phase evaluation (per sampled light direction).
+        Scatter lanes estimate direct light from the scatter point with
+        the phase function (no cosine, no surface offset); ALL lanes'
         contributions additionally carry the shadow segment's
-        transmittance exp(-sigma * light_distance). Incompatible with
-        'mis' (rejected at construction).
+        transmittance exp(-sigma * light_distance). Under 'mis' the
+        balance weight competes NEE against the phase lobe on scatter
+        lanes, with the BSDF/phase strategy's density carrying the
+        medium's no-collision probability exp(-sigma * t) (distance
+        sampling must not scatter before the light for a BSDF ray to
+        reach it).
         """
         zeros = jnp.zeros_like(p.x)
         direct = vm.splat(zeros)
@@ -483,8 +489,22 @@ class PathTracer:
                 # ghost). MIS requires one integrand; the physical one.
                 p_l = (ldist * ldist) / (jnp.maximum(cos_l, 1e-8) * area)
                 p_b = (1.0 - refl) * cos_s * (1.0 / sampling.PI)
+                mix = 1.0 - refl
+                if fog is not None:
+                    # Volume senders compete against the PHASE lobe (no
+                    # surface mixture factor), and in a medium the
+                    # BSDF/phase strategy only produces this emitter vertex
+                    # if its distance draw overshoots the light — its
+                    # density carries the no-collision probability
+                    # exp(-sigma t). NEE's density does not (it carries the
+                    # transmittance as an explicit weight factor instead,
+                    # above).
+                    ph_pdf = sampling.hg_phase(vm.dot(d_in, ldir), self.fog_g)
+                    p_b = jnp.where(scatter, ph_pdf, p_b)
+                    mix = jnp.where(scatter, 1.0, mix)
+                    p_b = p_b * jnp.exp(-self.fog_sigma * ldist)
                 weight = weight * (
-                    (1.0 - refl) * p_l / jnp.maximum(p_l + p_b, 1e-20)
+                    mix * p_l / jnp.maximum(p_l + p_b, 1e-20)
                 )
             emi = (light.emission if isinstance(light.emission, V3)
                    else V3(*light.emission))
@@ -604,11 +624,18 @@ class PathTracer:
             p_nee = (hit.t * hit.t) * hit.light_inv_area / jnp.maximum(
                 cos_l, 1e-8
             )
-            denom = emit_info + p_nee
+            p_prev = jnp.maximum(emit_info, 0.0)
+            if self.has_fog:
+                # In a medium the previous scatter's BSDF/phase strategy
+                # reaches this emitter only if its distance draw overshoots
+                # the hit: its density carries exp(-sigma t) (see
+                # direct_light's mirror-image factor on p_b).
+                p_prev = p_prev * jnp.exp(-self.fog_sigma * hit.t)
+            denom = p_prev + p_nee
             w_emit = jnp.where(
                 emit_info < 0.0,
                 1.0,
-                emit_info / jnp.where(denom > 0.0, denom, 1.0),
+                p_prev / jnp.where(denom > 0.0, denom, 1.0),
             )
             acc = acc + vm.where(
                 live, hit.emission * (att * w_emit), vm.splat(zeros)
@@ -741,6 +768,11 @@ class PathTracer:
             new_d = vm.where(scatter, fog_dir, new_d)
             new_o = vm.where(scatter, sp + fog_dir * geom.RAY_EPS, new_o)
             att = vm.where(scatter, att * V3(*self.fog_albedo), att)
+            if self.transport == "mis":
+                # The phase lobe's solid-angle pdf for the continuation —
+                # the mis emit-info channel of a volume scatter (`d` is
+                # still the incoming direction here).
+                ph_cont = sampling.hg_phase(vm.dot(d, fog_dir), self.fog_g)
 
         # Russian roulette from bounce 4 (wgsl:485-492): kill first,
         # compensate survivors. Volume scatter events face the same RR
@@ -774,6 +806,11 @@ class PathTracer:
             cos_new = jnp.maximum(vm.dot(hit.normal, new_d), 0.0)
             p_cont = (1.0 - nee_refl) * cos_new * (1.0 / sampling.PI)
             emit_info = jnp.where(is_delta, -1.0, p_cont)
+            if scatter is not None:
+                # A volume scatter is a continuous (phase-sampled) event:
+                # the next hit's emission competes against NEE-from-the-
+                # scatter-point at the phase pdf.
+                emit_info = jnp.where(scatter, ph_cont, emit_info)
         else:
             emit_info = jnp.where(is_delta, 1.0, 0.0)
             if scatter is not None:

@@ -53,10 +53,118 @@ def test_schema_and_validation():
     assert s2.has_fog and s2.fog.albedo == (1.0, 1.0, 1.0)
 
 
-def test_mis_transport_rejected():
-    scene = _wall_scene(0.2, (1, 1, 1))
-    with pytest.raises(ValueError, match="mis"):
-        PathTracer(scene, transport="mis")
+def _tri_light_fog_scene(g=0.0, albedo=(0.9, 0.9, 0.9), spp=4, depth=5):
+    """VERTICAL triangle panel light + diffuse floor in scattering fog —
+    pure-diffuse surfaces, so 'mis' and 'unbiased' estimate the same
+    integral, on the one light geometry where the reference's NEE
+    self-block quirk (t_max measured from the UNOFFSET hit point, which
+    'unbiased' deliberately keeps and 'mis' fixes — see direct_light)
+    provably cannot fire:
+
+    * sphere lights self-block on rim-grazing samples (the eps origin
+      shift moves the near intersection by O(sqrt(eps r)));
+    * ANY light surface above a floor self-blocks obliquely — the shadow
+      ray crosses the light's own plane at ldist - eps*dot(n,n_l)/
+      dot(ldir,n_l) < ldist - eps whenever dot(n - ldir, n_l) < 0;
+    * a VERTICAL panel (n_l horizontal) over a horizontal floor has
+      dot(n, n_l) = 0: the eps lift moves the origin PARALLEL to the
+      light plane, t' = ldist > t_max with the full eps margin — never
+      blocked. Volume scatter senders are unoffset and never self-block
+      from any geometry.
+
+    Measured before settling on this fixture: the quirk is worth +7-25%
+    of the mean with a sphere or overhead-triangle light once fog hides
+    the sky that usually dilutes it — a legitimate transport difference,
+    not a weight bug."""
+    fog = {"density": 0.12, "albedo": list(albedo)}
+    if g:
+        fog["g"] = g
+    return sm.scene_from_dict({
+        "width": 32, "height": 16, "samples_per_pixel": spp,
+        "max_depth": depth, "frames_to_accumulate": 1,
+        "camera": {"fov_degrees": 60.0, "char_aspect_ratio": 1.0},
+        # x = 5 plane panel; winding chosen so cross(e1, e2) points -x,
+        # facing the visible floor region (x < 5).
+        "triangles": [{"v0": [5.0, 0.5, -8.0], "v1": [5.0, 0.5, -4.0],
+                       "v2": [5.0, 3.5, -6.0], "color": [0, 0, 0],
+                       "emission": [8, 8, 8], "reflectivity": 0.0}],
+        "planes": [{"point": [0, -1, 0], "normal": [0, 1, 0],
+                    "color": [0.75, 0.75, 0.75], "emission": [0, 0, 0],
+                    "reflectivity": 0.0}],
+        "fog": fog,
+    })
+
+
+def test_mis_fog_same_paths_and_mean_matches_unbiased():
+    """Fog-aware MIS (round 4 — the former ValueError rejection deleted):
+    'mis' reweights only (identical RNG chains/ray counts), and on a
+    pure-diffuse fog scene its many-seed mean agrees with 'unbiased'
+    (both unbiased estimators of the same transport integral)."""
+    from terminal_raytracer_tpu.runtime import init_state, make_render_step
+
+    for g in (0.0, 0.6):
+        scene = _tri_light_fog_scene(g=g)
+        means, rays = {}, {}
+        for transport in ("unbiased", "mis"):
+            step = make_render_step(scene, backend="jnp",
+                                    transport=transport)
+            state = init_state(scene)
+            for f in range(64):
+                out = step(state, POSE,
+                           np.uint32((f * 2654435761 + 17) % 2**32),
+                           np.int32(f))
+                state = out.state
+            means[transport] = float(np.asarray(state.acc).mean())
+            rays[transport] = float(out.rays)
+        assert rays["mis"] == rays["unbiased"]
+        rel = abs(means["mis"] - means["unbiased"]) / means["unbiased"]
+        assert rel < 0.04, (g, means)
+
+
+def test_mis_fog_variance_reduction():
+    """A huge nearby light through fog: NEE's uniform area sampling is the
+    poor strategy (for surfaces AND scatter points); the phase/BSDF lobe
+    covers it well. MIS must cut per-pixel sample variance."""
+    cfg = {
+        "width": 32, "height": 16, "samples_per_pixel": 4, "max_depth": 4,
+        "frames_to_accumulate": 1,
+        "camera": {"fov_degrees": 60.0, "char_aspect_ratio": 1.0},
+        "spheres": [{"center": [0, 8.0, -6], "radius": 6.0,
+                     "color": [0, 0, 0], "emission": [4, 4, 4],
+                     "reflectivity": 0.0}],
+        "planes": [{"point": [0, -1, 0], "normal": [0, 1, 0],
+                    "color": [0.8, 0.8, 0.8], "emission": [0, 0, 0],
+                    "reflectivity": 0.0}],
+        "fog": {"density": 0.08, "albedo": [0.9, 0.9, 0.9]},
+    }
+    scene = sm.scene_from_dict(cfg)
+    var = {}
+    for t in ("unbiased", "mis"):
+        cur, v, *_ = jax.jit(
+            PathTracer(scene, transport=t).render_frame
+        )(POSE, np.uint32(5), np.int32(0))
+        assert np.isfinite(np.asarray(cur.x)).all()
+        var[t] = float(np.asarray(v).mean())
+    assert var["mis"] < var["unbiased"], var
+
+
+def test_mis_fog_pallas_matches_oracle():
+    cfg = json.loads((_SCENES / "Cornell_Box.json").read_text())
+    cfg.update(width=128, height=8, samples_per_pixel=4, max_depth=4)
+    cfg["fog"] = {"density": 0.25, "albedo": [0.85, 0.85, 0.9], "g": 0.5}
+    scene = sm.scene_from_dict(cfg)
+    cur_o, _vo, tot_o, rays_o = jax.jit(
+        PathTracer(scene, transport="mis").render_frame
+    )(POSE, np.uint32(42), np.int32(0))
+    pf = jax.jit(
+        pallas_kernel.make_render_frame(scene, mode="sorted",
+                                        transport="mis")
+    )
+    cur_p, _vp, tot_p, rays_p, _occ = pf(POSE, np.uint32(42), np.int32(0))
+    for a, b in ((cur_p.x, cur_o.x), (cur_p.y, cur_o.y), (cur_p.z, cur_o.z)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(tot_p), np.asarray(tot_o))
+    assert float(rays_p) == float(rays_o)
 
 
 def test_beer_lambert_per_pixel():
