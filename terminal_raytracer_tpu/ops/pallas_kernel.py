@@ -299,6 +299,9 @@ def make_render_frame(
         yf = ys.astype(jnp.float32)
         refs = {"uint32": u32_s, "int32": i32_s, "float32": f32_s}
         max_iters = (scene.samples_per_pixel + 1) * scene.max_depth + 4
+        # Chunked tracers invoke the driver once per chunk — executed
+        # iterations accumulate across invocations.
+        it_ref[:, :] = jnp.zeros((tile_h, tile_w), jnp.float32)
 
         def driver(carry0):
             leaves, treedef = jax.tree_util.tree_flatten(carry0)
@@ -322,8 +325,7 @@ def make_render_frame(
             # Occupancy denominator: broadcast the tile's executed
             # iteration count over its lanes, so sum(plane) over all tiles
             # IS the executed lane-iteration total.
-            it_ref[:, :] = jnp.zeros(
-                (tile_h, tile_w), jnp.float32) + final[0].astype(jnp.float32)
+            it_ref[:, :] = it_ref[:, :] + final[0].astype(jnp.float32)
             return _carry_from_refs(treedef, leaf_dtypes, refs)
 
         out = tracer.render_lanes_regen(
@@ -388,9 +390,17 @@ def make_render_frame(
     sweeps_per_iter = 1.0 + float(tracer.n_lights)
     n_lanes = grid[0] * grid[1] * tile_h * tile_w
     # base + extra fixed-trip loops = max(base, spp) samples x max_depth
-    # bounces (the extra loop is statically absent when base >= spp).
-    lockstep_iters = float(
-        n_lanes * max(tracer.base_samples, tracer.spp) * scene.max_depth)
+    # bounces (the extra loop is statically absent when base >= spp; a
+    # chunked extra phase runs ceil((spp-base)/ce) loops of ce trips).
+    if tracer.base_samples >= tracer.spp:
+        lockstep_samples = tracer.base_samples
+    elif tracer.chunk_extra:
+        ce = tracer.chunk_extra
+        lockstep_samples = (tracer.base_samples
+                            + _cdiv(tracer.spp - tracer.base_samples, ce) * ce)
+    else:
+        lockstep_samples = tracer.spp
+    lockstep_iters = float(n_lanes * lockstep_samples * scene.max_depth)
 
     def _finish(outs):
         if mode == "regen":
@@ -526,9 +536,21 @@ def make_base_kernel(
     dynamic: bool = False,
     animated=None,
     fold_budget: bool = False,
+    chunk_base="auto",
 ):
     """Kernel A builder: the packed-stream base phase as a standalone
     callable.
+
+    ``chunk_base``: heavy-pixel chunk-split of the base phase
+    (tracer.CHUNK_GOLDEN design note; 'auto' = on at array scales). The
+    entry stream becomes chunk-major over n_chunks x n_pix entries —
+    entry i renders sub-chain chunk i // n_pix of pixel i % n_pix — so a
+    single heavy pixel's base samples spread across lanes. The SAME
+    sub-chain derivation runs in the jnp oracle drivers, keeping
+    pallas-vs-jnp estimator equality exact; parity with the reference
+    stays "modulo RNG" (BASELINE.md). When chunked, ``fold_budget`` is
+    forced off (per-entry parked sums are per-chunk partials; the
+    variance needs the per-pixel totals the glue assembles).
 
     Returns ``(base_fn, tracer, pair)`` where
     ``base_fn(pose, seed, frame_number, y0, scene_ops=()) -> (csum V3,
@@ -582,19 +604,23 @@ def make_base_kernel(
     tracer = tracer_mod.PathTracer(scene, loop_mode="fori", unbiased=unbiased,
                                    transport=transport, base_quota=base_quota,
                                    accel=accel, dynamic=dynamic,
-                                   dyn_animated=animated)
+                                   dyn_animated=animated,
+                                   chunk_base=chunk_base)
     dyn_operands = _dyn_layout(tracer)
     sweep_scratch = _sweep_scratch_shapes(tracer, tile_h, tile_w)
     h, w = scene.height, scene.width
     h_out = shard_rows if shard_rows is not None else h
     base = tracer.base_samples
-    fold_budget = bool(fold_budget) and base < tracer.spp
+    cb = tracer.chunk_base
+    n_chunks_b = _cdiv(base, cb) if cb else 1
+    fold_budget = bool(fold_budget) and base < tracer.spp and cb is None
     bpe = 10 if fold_budget else 8  # output bands per entry
     n_pix = h_out * w
+    n_entries = n_chunks_b * n_pix  # chunk-major expanded entry stream
     lpt = tile_h * tile_w  # lanes per tile
 
     def _waste(k):
-        return _cdiv(n_pix, k * lpt) * k * lpt - n_pix
+        return _cdiv(n_entries, k * lpt) * k * lpt - n_entries
 
     if pair == "auto":
         if base <= 8:
@@ -608,7 +634,7 @@ def make_base_kernel(
         else:
             pair = 1
     pair = int(pair)
-    tiles = _cdiv(n_pix, pair * lpt)
+    tiles = _cdiv(n_entries, pair * lpt)
     n_lanes = tiles * lpt
 
     interp = _interp(interpret)
@@ -619,7 +645,8 @@ def make_base_kernel(
     i32_tile = jnp.zeros((tile_h, tile_w), jnp.int32)
     stream_dummy = jax.eval_shape(
         lambda: tracer.stream_carry0(
-            jnp.zeros((tile_h, tile_w), jnp.float32), pair, i32_tile, i32_tile
+            jnp.zeros((tile_h, tile_w), jnp.float32), pair, i32_tile,
+            i32_tile, cs0=(i32_tile if cb else None),
         )
     )
     pcounts = {"uint32": 0, "int32": 0, "float32": 0}
@@ -633,6 +660,9 @@ def make_base_kernel(
 
     def kernel_base(pose_ref, seed_ref, frame_ref, y0_ref, xs0_ref, ys0_ref,
                     *rest):
+        if cb:
+            cs0_ref = rest[0]
+            rest = rest[1:]
         if base_dynamic:
             base_q = rest[0][0]
             rest = rest[1:]
@@ -642,10 +672,10 @@ def make_base_kernel(
         rest = _maybe_bind_sweep(tracer, rest)
         out_refs = rest[:-3]
         u32_s, i32_s, f32_s = rest[-3:]
-        # Entry-0 pixel coords of each lane (lane L = flat pixel L):
-        # precomputed host-side constants streamed per tile — Mosaic's i32
-        # vector division is a slow serial expansion, so the divmod lives
-        # off-kernel.
+        # Entry-0 pixel coords of each lane (lane L = entry L of the
+        # stream): precomputed host-side constants streamed per tile —
+        # Mosaic's i32 vector division is a slow serial expansion, so the
+        # divmod lives off-kernel.
         xs0 = xs0_ref[:, :]
         ys0 = ys0_ref[:, :]
         cam = tracer_mod.cam_from_pose(pose_ref)
@@ -653,10 +683,12 @@ def make_base_kernel(
         seed = seed_ref[0]
         frame = frame_ref[0]
         y0 = y0_ref[0]
-        max_iters = pair * ((base + 1) * scene.max_depth + 5)
+        # Per-entry quota: the chunk size when chunked, else the full base.
+        max_iters = pair * (((cb or base) + 1) * scene.max_depth + 5)
 
         carry0 = tracer.stream_carry0(
-            xs0.astype(jnp.float32), pair, xs0, ys0
+            xs0.astype(jnp.float32), pair, xs0, ys0,
+            cs0=(cs0_ref[:, :] if cb else None),
         )
         leaves, treedef = jax.tree_util.tree_flatten(carry0)
         leaf_dtypes = [str(l.dtype) for l in leaves]
@@ -729,15 +761,24 @@ def make_base_kernel(
     stream_u32 = jax.ShapeDtypeStruct((tiles * tile_h, tile_w), jnp.uint32)
     lane_np = np.arange(n_lanes, dtype=np.int32).reshape(tiles * tile_h,
                                                          tile_w)
-    xs0_np = lane_np % w
-    ys0_np = lane_np // w
+    if cb:
+        # Chunk-major expanded stream: lane L starts on entry L = chunk
+        # L // n_pix of pixel L % n_pix (lanes can outnumber one chunk's
+        # pixels on tiny images — the modular form covers that too).
+        p_np = lane_np % n_pix
+        xs0_np = p_np % w
+        ys0_np = p_np // w
+        cs0_np = lane_np // n_pix
+    else:
+        xs0_np = lane_np % w
+        ys0_np = lane_np // w
     call_a = pl.pallas_call(
         kernel_base,
         grid=(tiles,),
-        # pose, seed, frame, y0 in SMEM; entry-0 coord planes per tile;
-        # then the optional runtime base quota and the dynamic scene-value
-        # operands (SMEM scalar arrays)
-        in_specs=[pl.BlockSpec(**smem)] * 4 + [tile_spec] * 2
+        # pose, seed, frame, y0 in SMEM; entry-0 coord (+ chunk) planes per
+        # tile; then the optional runtime base quota and the dynamic
+        # scene-value operands (SMEM scalar arrays)
+        in_specs=[pl.BlockSpec(**smem)] * 4 + [tile_spec] * (3 if cb else 2)
         + [pl.BlockSpec(**smem)] * (int(base_dynamic) + len(dyn_operands)),
         # per-entry result bands + the trailing per-tile iteration plane
         out_specs=[tile_spec] * (bpe * pair + 1),
@@ -762,21 +803,35 @@ def make_base_kernel(
             if base_q is None:
                 base_q = base
             quota_ops = (jnp.asarray(base_q, jnp.int32).reshape((1,)),)
+        coord_ops = ((jnp.asarray(cs0_np),) if cb else ())
         bands = call_a(pose, seed_a, frame_a, y0_a,
                        jnp.asarray(xs0_np), jnp.asarray(ys0_np),
-                       *quota_ops, *scene_ops)
+                       *coord_ops, *quota_ops, *scene_ops)
 
-        def assemble(q):
-            # Entry e of lane L is flat pixel e*n_lanes + L, so
+        def assemble(q, reduce="sum"):
+            # Entry e of lane L is stream entry e*n_lanes + L, so
             # concatenating the per-entry streams IS the row-major image
-            # (plus tail padding) — a pure reshape, no gather.
+            # (chunked: the chunk-major expanded stream) plus tail padding
+            # — a pure reshape, no gather.
             parts = [bands[bpe * e + q].reshape(-1) for e in range(pair)]
             flat = parts[0] if pair == 1 else jnp.concatenate(parts)
-            return flat[:n_pix].reshape(h_out, w)
+            if not cb:
+                return flat[:n_pix].reshape(h_out, w)
+            by_chunk = flat[:n_entries].reshape(n_chunks_b, n_pix)
+            if reduce == "chunk0":
+                # The extra phase continues chunk 0's end state (the head
+                # of the sequential chain — CHUNK_GOLDEN design note).
+                return by_chunk[0].reshape(h_out, w)
+            # Per-pixel totals, accumulated in chunk order — the exact f32
+            # addition order of the chunked oracle drivers.
+            tot = by_chunk[0]
+            for c in range(1, n_chunks_b):
+                tot = tot + by_chunk[c]
+            return tot.reshape(h_out, w)
 
         csum = V3(assemble(0), assemble(1), assemble(2))
         csumsq = V3(assemble(3), assemble(4), assemble(5))
-        state = assemble(6)
+        state = assemble(6, reduce="chunk0")
         rays = assemble(7)
         # Executed lane-iterations (occupancy denominator): every lane of
         # a tile — tail-padding ballast included — runs its tile's
@@ -1116,7 +1171,7 @@ def make_sorted_render_frame(
     interpret: str = "auto",
     unbiased: bool = False,
     transport: str = None,
-    chunk: int = None,
+    chunk="auto",
     pair: "int | str" = "auto",
     shard_rows: int = None,
     order_mode: str = "auto",
@@ -1124,11 +1179,19 @@ def make_sorted_render_frame(
     dynamic: bool = False,
     animated=None,
     fold_budget: bool = True,
+    chunk_base="auto",
 ):
     """The two-kernel sorted pipeline, composed from make_base_kernel +
     make_sorted_extra_phase. With `shard_rows`, renders a row block at
     runtime offset y0 — the per-device body under shard_map (the glue ops
     between the kernels are all shard-local).
+
+    `chunk_base` / `chunk` (the extra-phase chunk size): heavy-pixel
+    chunk-split of the two phases (tracer.CHUNK_GOLDEN design note);
+    'auto' resolves both from the tracer (on at array scales, off
+    everywhere else — reference-scale scenes keep exact sequential-chain
+    parity). The same sub-chain derivation runs in the jnp oracle, so
+    pallas-vs-jnp estimator equality stays exact on chunked configs.
 
     With `dynamic`, the scene-value operands thread through BOTH kernels
     (same SMEM layout; the sort/compaction glue between them is
@@ -1144,8 +1207,11 @@ def make_sorted_render_frame(
         scene, tile_h=tile_h, tile_w=tile_w, interpret=interpret,
         unbiased=unbiased, transport=transport, shard_rows=shard_rows,
         pair=pair, accel=accel, dynamic=dynamic, animated=animated,
-        fold_budget=fold_budget,
+        fold_budget=fold_budget, chunk_base=chunk_base,
     )
+    if chunk == "auto":
+        chunk = tracer.chunk_extra
+    fold_budget = fold_budget and tracer.chunk_base is None
     base, spp = tracer.base_samples, tracer.spp
     h_out = shard_rows if shard_rows is not None else scene.height
 

@@ -138,6 +138,26 @@ def refract(d: V3, n: V3, eta):
 # shipped scale (<= ~30 prims), array from the low hundreds up.
 ARRAY_AUTO_THRESHOLD = 96
 
+# Heavy-pixel chunk-split (round 4). At array scales the occupancy tail is
+# single heavy pixels (stress:256 max 64 sweeps vs mean 6.3 — NOTES.md
+# "measured dead ends"): no lane assignment can split one pixel's
+# sequential sample chain, so the chain itself is split — a pixel's base
+# quota becomes ceil(base/chunk_base) independent stream entries of
+# <= chunk_base samples (and the adaptive extra budget likewise in
+# <= chunk_extra slices). Chunk c > 0 re-seeds a decorrelated sub-chain at
+# state + c * CHUNK_GOLDEN with ABSOLUTE sample indices (the per-sample
+# re-hash keeps its shader.wgsl:517 structure); chunk 0 is bit-identical
+# to the head of the sequential chain, and the extra phase continues from
+# chunk 0's end state. The SAME derivation runs in the jnp oracle
+# (render_lanes / render_lanes_regen) and the Pallas stream kernel + sort
+# glue, so the pallas-vs-jnp estimator equality gate holds on the chunked
+# estimator; parity with the reference stays "modulo RNG" (BASELINE.md),
+# which is why shipped-scale scenes (baked traversal) keep chunking OFF —
+# their per-lane chains remain bit-identical to the reference's threads.
+CHUNK_GOLDEN = 0x9E3779B9  # same constant the round-3 opt-in glue used
+ARRAY_CHUNK_BASE = 2  # 'auto' chunk sizes at array scales (v5e-measured)
+ARRAY_CHUNK_EXTRA = 2
+
 
 class _Light(NamedTuple):
     kind: int  # scene_mod.SPHERE or TRIANGLE
@@ -158,7 +178,8 @@ class PathTracer:
     def __init__(self, scene: scene_mod.Scene, loop_mode: str = "while",
                  unbiased: bool = False, base_quota: Optional[int] = None,
                  accel: str = "auto", transport: Optional[str] = None,
-                 dynamic: bool = False, dyn_animated=None):
+                 dynamic: bool = False, dyn_animated=None,
+                 chunk_base="auto", chunk_extra="auto"):
         """loop_mode: 'while' uses lax.while_loop for the bounce and
         adaptive-sampling loops (early exit once every lane is dead — the
         oracle/XLA path); 'fori' uses fixed-trip lax.fori_loop (Mosaic
@@ -322,6 +343,32 @@ class PathTracer:
         self.base_samples = (
             base_quota if base_quota is not None else base_sample_count(self.spp)
         )
+
+        # Heavy-pixel chunk-split resolution (see the CHUNK_GOLDEN comment
+        # block above). 'auto' turns it on only for the array traversal at
+        # genuine array SCALE (> ARRAY_AUTO_THRESHOLD primitives — the
+        # stress/mesh scales whose occupancy it rescues; small scenes that
+        # merely force accel='array' keep the sequential chains and stay
+        # bit-identical to the baked sweep), and only when this tracer owns
+        # the whole budget (the sample-split mesh path passes base_quota
+        # and manages its own runtime shares; chunking there would compose
+        # two different sub-chain derivations).
+        n_prims = (len(scene.spheres) + len(scene.planes)
+                   + len(scene.triangles))
+        auto_chunk = (self.accel == "array"
+                      and n_prims > ARRAY_AUTO_THRESHOLD
+                      and base_quota is None)
+        if chunk_base == "auto":
+            chunk_base = ARRAY_CHUNK_BASE if auto_chunk else None
+        if chunk_extra == "auto":
+            chunk_extra = ARRAY_CHUNK_EXTRA if auto_chunk else None
+        if chunk_base is not None and int(chunk_base) >= self.base_samples:
+            chunk_base = None  # one chunk = the sequential chain
+        max_extra = self.spp - self.base_samples
+        if chunk_extra is not None and int(chunk_extra) >= max(max_extra, 0):
+            chunk_extra = None
+        self.chunk_base = None if chunk_base is None else int(chunk_base)
+        self.chunk_extra = None if chunk_extra is None else int(chunk_extra)
 
         # Thin-lens depth of field (extension — the reference is pinhole):
         # statically gated, so aperture == 0 adds no ops and no RNG draws
@@ -936,12 +983,42 @@ class PathTracer:
             state, c, r = self.ray_color(state, o, d, active)
             return (state, csum + c, csumsq + c * c, rays + r)
 
-        state, csum, csumsq, rays = jax.lax.fori_loop(
-            0,
-            base,
-            sample_body,
-            (state0, vm.splat(zeros), vm.splat(zeros), zeros),
-        )
+        if self.chunk_base is None:
+            state, csum, csumsq, rays = jax.lax.fori_loop(
+                0,
+                base,
+                sample_body,
+                (state0, vm.splat(zeros), vm.splat(zeros), zeros),
+            )
+        else:
+            # Chunk-split base phase — the ORACLE side of the sub-chain
+            # derivation (see CHUNK_GOLDEN): chunk c seeds
+            # state0 + c*GOLDEN (c = 0: state0 itself), samples keep their
+            # absolute indices, sums accumulate in chunk order (the same
+            # f32 addition order the Pallas assemble uses), and the extra
+            # phase continues chunk 0's end state.
+            cb = self.chunk_base
+            csum, csumsq, rays = vm.splat(zeros), vm.splat(zeros), zeros
+            state = state0
+            for c in range(-(-base // cb)):
+                share = min(cb, base - c * cb)
+                st_c = (state0 if c == 0 else
+                        state0 + jnp.uint32(c) * jnp.uint32(CHUNK_GOLDEN))
+
+                def chunk_body(j, carry, _c=c):
+                    st, cs, cq, ry = carry
+                    st = prng.advance_sample(st, _c * cb + j)
+                    st, o, d = self.gen_ray(st, cam, xf, yf)
+                    st, col, r = self.ray_color(st, o, d, active)
+                    return (st, cs + col, cq + col * col, ry + r)
+
+                st_c, cs, cq, ry = jax.lax.fori_loop(
+                    0, share, chunk_body,
+                    (st_c, vm.splat(zeros), vm.splat(zeros), zeros),
+                )
+                csum, csumsq, rays = csum + cs, csumsq + cq, rays + ry
+                if c == 0:
+                    state = st_c
 
         # Variance of the base samples, per wgsl:555-558 (sum of per-channel
         # E[x^2] - E[x]^2; can be slightly negative in f32, kept raw).
@@ -981,15 +1058,57 @@ class PathTracer:
             rays = rays + jnp.where(take, r, 0.0)
             return (j + 1, state, esum, rays)
 
-        extra_init = (jnp.zeros((), jnp.int32), state, vm.splat(zeros), rays)
-        if self.loop_mode == "while":
-            _, state, esum, rays = jax.lax.while_loop(
-                extra_cond, extra_body, extra_init
-            )
+        if self.chunk_extra is not None:
+            # Chunk-split extra phase, oracle side (see CHUNK_GOLDEN): the
+            # budget slices, sub-chain seeds, and absolute sample indices
+            # mirror the Pallas sort glue exactly; per-pixel esum
+            # accumulates in chunk order.
+            ce = self.chunk_extra
+            esum = vm.splat(zeros)
+            for c in range(-(-(spp - base) // ce)):
+                budget_c = jnp.clip(additional - float(c * ce), 0.0,
+                                    float(ce))
+                st_c = (state if c == 0 else
+                        state + jnp.uint32(c) * jnp.uint32(CHUNK_GOLDEN))
+                s0 = base + c * ce
+
+                def chunk_cond(carry, _b=budget_c):
+                    j, *_ = carry
+                    return (j < ce) & jnp.any(j.astype(jnp.float32) < _b)
+
+                def chunk_extra_body(carry, _b=budget_c, _s0=s0):
+                    j, st, es, ry = carry
+                    take = j.astype(jnp.float32) < _b
+                    st = prng.advance_sample(st, _s0 + j, take)
+                    st, o, d = self.gen_ray(st, cam, xf, yf, take)
+                    st, col, r = self.ray_color(st, o, d, take)
+                    es = es + vm.where(take, col, vm.splat(zeros))
+                    ry = ry + jnp.where(take, r, 0.0)
+                    return (j + 1, st, es, ry)
+
+                init_c = (jnp.zeros((), jnp.int32), st_c, vm.splat(zeros),
+                          zeros)
+                if self.loop_mode == "while":
+                    _, _, es_c, ry_c = jax.lax.while_loop(
+                        chunk_cond, chunk_extra_body, init_c
+                    )
+                else:
+                    _, _, es_c, ry_c = jax.lax.fori_loop(
+                        0, ce, lambda _, cr: chunk_extra_body(cr), init_c
+                    )
+                esum = esum + es_c
+                rays = rays + ry_c
         else:
-            _, state, esum, rays = jax.lax.fori_loop(
-                0, spp - base, lambda _, c: extra_body(c), extra_init
-            )
+            extra_init = (jnp.zeros((), jnp.int32), state, vm.splat(zeros),
+                          rays)
+            if self.loop_mode == "while":
+                _, state, esum, rays = jax.lax.while_loop(
+                    extra_cond, extra_body, extra_init
+                )
+            else:
+                _, state, esum, rays = jax.lax.fori_loop(
+                    0, spp - base, lambda _, c: extra_body(c), extra_init
+                )
 
         # Normalization (wgsl:600-610): adaptive pixels average over the
         # samples actually taken; everyone else divides base sum by spp.
@@ -1108,9 +1227,11 @@ class PathTracer:
     # counter, the current entry's pixel coords, and per-entry parked
     # results (csum/csumsq/state/rays).
 
-    def stream_carry0(self, xf, k, xs0, ys0):
+    def stream_carry0(self, xf, k, xs0, ys0, cs0=None):
         """xs0/ys0 (i32 lanes): entry-0 pixel coordinates (y local to the
-        rendered row block)."""
+        rendered row block). `cs0` (i32 lanes, chunked tracers only):
+        entry-0 chunk index of each lane over the chunk-major expanded
+        entry stream (entry i = chunk i // n_pix, pixel i % n_pix)."""
         zeros = jnp.zeros_like(xf)
         i32z = jnp.zeros_like(xf, dtype=jnp.int32)
         parked = []
@@ -1121,13 +1242,21 @@ class PathTracer:
                 jnp.zeros_like(xf, dtype=jnp.uint32),  # state_e (post-phase)
                 zeros,  # rays_e
             ]
+        if self.chunk_base is None:
+            chunk_slot = ()
+            samp0 = i32z
+        else:
+            assert cs0 is not None
+            chunk_slot = (cs0,)  # current entry's chunk index
+            samp0 = cs0 * self.chunk_base  # absolute sample index
         return (
             jnp.zeros_like(xf, dtype=jnp.uint32),  # rng state (seeded on entry start)
-            i32z,  # samp within current entry
+            samp0,  # absolute sample index within current entry's sub-chain
             i32z,  # current entry index (k = lane done)
             i32z - 1,  # entry_seeded marker: which entry `state` belongs to
             xs0,  # current entry's pixel x
             ys0,  # current entry's pixel local y
+        ) + chunk_slot + (
             vm.splat(zeros),  # o
             V3(zeros, zeros, zeros + 1.0),  # d
             vm.splat(zeros),  # att
@@ -1142,7 +1271,8 @@ class PathTracer:
         )
 
     def stream_pending(self, carry, k):
-        entry, alive_f = carry[2], carry[11]
+        off = 0 if self.chunk_base is None else 1
+        entry, alive_f = carry[2], carry[11 + off]
         pending = (alive_f != 0.0) | (entry < k)
         return jnp.sum(jnp.where(pending, 1, 0)).astype(jnp.int32)
 
@@ -1156,9 +1286,24 @@ class PathTracer:
         base-sample quota — the unequal-share sample-split shards render
         floor/ceil shares of the global budget with ONE compiled kernel
         whose static quota (self.base_samples) is the ceiling
-        (parallel/mesh.py)."""
-        (state, samp, entry, seeded, xs, ysl, o, d, att, acc, bounce,
-         alive_f, csum, csumsq, rays, emit_f, parked) = carry
+        (parallel/mesh.py).
+
+        Chunked tracers (self.chunk_base — see CHUNK_GOLDEN): the stream
+        is chunk-major over n_chunks x n_pix entries (entry i = chunk
+        i // n_pix of pixel i % n_pix); the carry gains the current
+        entry's chunk index, `samp` holds ABSOLUTE sample indices, each
+        entry owes its sub-chain slice [c*cb, min((c+1)*cb, base)), and
+        entry seeding offsets the pixel seed by c*CHUNK_GOLDEN — the
+        exact derivation of the chunked oracle drivers."""
+        chunked = self.chunk_base is not None
+        if chunked:
+            (state, samp, entry, seeded, xs, ysl, chk, o, d, att, acc,
+             bounce, alive_f, csum, csumsq, rays, emit_f, parked) = carry
+            cb = self.chunk_base
+            n_chunks = -(-self.base_samples // cb)
+        else:
+            (state, samp, entry, seeded, xs, ysl, o, d, att, acc, bounce,
+             alive_f, csum, csumsq, rays, emit_f, parked) = carry
         parked = list(parked)
         base = self.base_samples if base_q is None else base_q
         w = self.width
@@ -1166,10 +1311,15 @@ class PathTracer:
         alive = alive_f != 0.0
 
         # Entry completed? Park its results and advance. Entries past the
-        # pixel stream (local y beyond the row block) owe nothing and fall
-        # straight through.
-        real = ysl < h_out
-        done_entry = (~alive) & (entry < k) & ((samp >= base) | (~real))
+        # pixel stream (local y beyond the row block; chunked: chunk index
+        # beyond the expanded stream) owe nothing and fall straight through.
+        if chunked:
+            real = chk < n_chunks
+            s_end = jnp.minimum((chk + 1) * cb, base)
+        else:
+            real = ysl < h_out
+            s_end = base
+        done_entry = (~alive) & (entry < k) & ((samp >= s_end) | (~real))
         for e in range(k):
             sel = done_entry & (entry == e)
             cs, cq, st, ry = parked[4 * e: 4 * e + 4]
@@ -1186,27 +1336,47 @@ class PathTracer:
         over = xs2 >= w
         xs2 = jnp.where(over, xs2 - w, xs2)
         ysl2 = jnp.where(over, ysl2 + 1, ysl2)
+        if chunked:
+            # Chunk-boundary wrap(s): local y overflowing the row block
+            # rolls the entry into the next chunk of the expanded stream.
+            # Static unroll bound: an n_lanes advance crosses at most
+            # n_lanes // n_pix + 1 chunk boundaries.
+            chk2 = chk
+            n_pix = h_out * w
+            for _ in range(n_lanes // n_pix + 1):
+                wrapc = ysl2 >= h_out
+                ysl2 = jnp.where(wrapc, ysl2 - h_out, ysl2)
+                chk2 = jnp.where(wrapc, chk2 + 1, chk2)
+            chk = jnp.where(done_entry, chk2, chk)
         xs = jnp.where(done_entry, xs2, xs)
         ysl = jnp.where(done_entry, ysl2, ysl)
         csum = vm.where(done_entry, vm.splat(zeros), csum)
         csumsq = vm.where(done_entry, vm.splat(zeros), csumsq)
         rays = jnp.where(done_entry, 0.0, rays)
-        samp = jnp.where(done_entry, 0, samp)
+        samp = jnp.where(done_entry, chk * cb if chunked else 0, samp)
 
         # Seed the RNG for a newly-entered entry's pixel (the same
-        # per-pixel seeding the unpaired scheduler does, shader.wgsl:507).
+        # per-pixel seeding the unpaired scheduler does, shader.wgsl:507;
+        # chunk c > 0 sub-chains offset by c*CHUNK_GOLDEN, chunk 0 exact).
         ys_g = jnp.asarray(y0, jnp.int32) + ysl
         need_seed = (entry < k) & (seeded != entry)
         pix = ys_g.astype(jnp.uint32) * jnp.uint32(w) + xs.astype(jnp.uint32)
         fresh = prng.seed_pixel(pix, jnp.asarray(seed), jnp.asarray(frame_number))
+        if chunked:
+            fresh = fresh + chk.astype(jnp.uint32) * jnp.uint32(CHUNK_GOLDEN)
         state = jnp.where(need_seed, fresh, state)
         seeded = jnp.where(need_seed, entry, seeded)
 
         # Regenerate a sample for idle lanes with work left on this entry.
         xf = xs.astype(jnp.float32)
         yf = ys_g.astype(jnp.float32)
-        real = ysl < h_out
-        need = (~alive) & (entry < k) & (samp < base) & real
+        if chunked:
+            real = chk < n_chunks
+            s_end = jnp.minimum((chk + 1) * cb, base)
+        else:
+            real = ysl < h_out
+            s_end = base
+        need = (~alive) & (entry < k) & (samp < s_end) & real
         state = prng.advance_sample(state, samp, need)
         state, o2, d2 = self.gen_ray(state, cam, xf, yf, need)
         o = vm.where(need, o2, o)
@@ -1229,9 +1399,11 @@ class PathTracer:
         samp = samp + jnp.where(finished, 1, 0)
         alive = alive & (~at_depth)
 
-        return (state, samp, entry, seeded, xs, ysl, o, d, att, acc, bounce,
-                jnp.where(alive, 1.0, 0.0), csum, csumsq, rays, emit_f,
-                tuple(parked))
+        chunk_slot = (chk,) if chunked else ()
+        return (state, samp, entry, seeded, xs, ysl) + chunk_slot + (
+            o, d, att, acc, bounce,
+            jnp.where(alive, 1.0, 0.0), csum, csumsq, rays, emit_f,
+            tuple(parked))
 
     def _run_regen_jnp(self, cam, xf, yf, carry):
         """XLA driver: vector-carry while loop (oracle / CPU / tests)."""
@@ -1259,18 +1431,26 @@ class PathTracer:
         pix = y.astype(jnp.uint32) * jnp.uint32(self.width) + x.astype(jnp.uint32)
         return prng.seed_pixel(pix, jnp.asarray(seed), jnp.asarray(frame_number))
 
-    def base_phase(self, cam: Cam, xf, yf, state0, active, run, quota=None):
+    def base_phase(self, cam: Cam, xf, yf, state0, active, run, quota=None,
+                   samp0=None):
         """Phase 1: `base` samples per (active) pixel. Returns
         (state_after, csum V3, csumsq V3, rays). `quota` (traced f32
         scalar, optional) overrides the static base quota — the
-        unequal-share sample-split path (parallel/mesh.py)."""
+        unequal-share sample-split path (parallel/mesh.py). `samp0` (i32
+        lanes, optional) offsets the starting sample index — the chunked
+        base phase renders samples [samp0, samp0 + quota) of each pixel's
+        (sub-chain) budget with absolute per-sample re-hash indices."""
         zeros = jnp.zeros_like(xf)
         quota1 = zeros + (
             float(self.base_samples) if quota is None else quota
         )
         if active is not None:
             quota1 = jnp.where(active, quota1, 0.0)
-        carry = run(self.regen_carry0(cam, xf, yf, state0, quota1))
+        carry0 = list(self.regen_carry0(cam, xf, yf, state0, quota1))
+        if samp0 is not None:
+            carry0[1] = samp0  # starting sample index
+            carry0[2] = carry0[2] + samp0.astype(jnp.float32)  # abs quota
+        carry = run(tuple(carry0))
         (state, _, _, _, _, _, _, _, _, csum, csumsq, rays, _) = carry
         return state, csum, csumsq, rays
 
@@ -1339,8 +1519,29 @@ class PathTracer:
             lambda c: self._run_regen_jnp(cam, xf, yf, c)
         )
 
-        state, csum, csumsq, rays = self.base_phase(cam, xf, yf, state0,
-                                                    active, run)
+        if self.chunk_base is None:
+            state, csum, csumsq, rays = self.base_phase(cam, xf, yf, state0,
+                                                        active, run)
+        else:
+            # Chunked base under the regen driver — same sub-chain
+            # derivation as render_lanes / the Pallas stream kernel, so
+            # all schedulers remain decision-exact on chunked tracers.
+            cb = self.chunk_base
+            base = self.base_samples
+            csum, csumsq, rays = vm.splat(zeros), vm.splat(zeros), zeros
+            state = state0
+            for c in range(-(-base // cb)):
+                share = min(cb, base - c * cb)
+                st_c = (state0 if c == 0 else
+                        state0 + jnp.uint32(c) * jnp.uint32(CHUNK_GOLDEN))
+                s0 = jnp.zeros_like(x, dtype=jnp.int32) + (c * cb)
+                st_c, cs, cq, ry = self.base_phase(
+                    cam, xf, yf, st_c, active, run, quota=float(share),
+                    samp0=s0,
+                )
+                csum, csumsq, rays = csum + cs, csumsq + cq, rays + ry
+                if c == 0:
+                    state = st_c
         var = self.variance_of(csum, csumsq)
 
         if self.base_samples >= self.spp:
@@ -1349,7 +1550,22 @@ class PathTracer:
             return current, var, total, rays
 
         needs, additional = self.extra_quota(var, active)
-        esum, rays = self.extra_phase(cam, xf, yf, state, additional, rays, run)
+        if self.chunk_extra is None:
+            esum, rays = self.extra_phase(cam, xf, yf, state, additional,
+                                          rays, run)
+        else:
+            ce = self.chunk_extra
+            base = self.base_samples
+            esum = vm.splat(zeros)
+            for c in range(-(-(self.spp - base) // ce)):
+                budget_c = jnp.clip(additional - float(c * ce), 0.0,
+                                    float(ce))
+                st_c = (state if c == 0 else
+                        state + jnp.uint32(c) * jnp.uint32(CHUNK_GOLDEN))
+                s0 = jnp.zeros_like(x, dtype=jnp.int32) + (base + c * ce)
+                es_c, rays = self.extra_phase(cam, xf, yf, st_c, budget_c,
+                                              rays, run, samp0=s0)
+                esum = esum + es_c
         current, total = self.combine_phases(csum, esum, needs, additional)
         return current, var, total, rays
 
