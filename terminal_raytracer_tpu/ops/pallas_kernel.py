@@ -189,9 +189,14 @@ def make_render_frame(
     accel: str = "auto",
     dynamic: bool = False,
     animated=None,
+    chunk_base="auto",
+    chunk_extra="auto",
 ):
     """Build `render_frame(pose, seed, frame_number[, y0])` backed by the
     Pallas megakernel. Same signature/returns as PathTracer.render_frame.
+
+    `chunk_base`/`chunk_extra`: heavy-pixel chunk-split sizes (PathTracer;
+    'auto' = on above CHUNK_AUTO_THRESHOLD primitives).
 
     `shard_rows`: when set, the kernel renders a `shard_rows x width` row
     block of the (globally-sized) image starting at runtime row offset `y0`
@@ -216,14 +221,16 @@ def make_render_frame(
             scene, tile_h=tile_h, tile_w=tile_w, interpret=interpret,
             unbiased=unbiased, transport=transport,
             shard_rows=shard_rows, accel=accel, dynamic=dynamic,
-            animated=animated,
+            animated=animated, chunk_base=chunk_base, chunk=chunk_extra,
         )
     # Mosaic cannot legalize while-loops with vector carries; the lockstep
     # path uses fixed-trip fori loops (PathTracer.loop_mode='fori') and the
     # regen path keeps its vectors in scratch refs.
     tracer = tracer_mod.PathTracer(scene, loop_mode="fori", unbiased=unbiased,
                                    transport=transport, accel=accel,
-                                   dynamic=dynamic, dyn_animated=animated)
+                                   dynamic=dynamic, dyn_animated=animated,
+                                   chunk_base=chunk_base,
+                                   chunk_extra=chunk_extra)
     dyn_operands = _dyn_layout(tracer)
 
     def _bind_dyn(rest):

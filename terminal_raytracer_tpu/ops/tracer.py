@@ -157,6 +157,15 @@ ARRAY_AUTO_THRESHOLD = 96
 CHUNK_GOLDEN = 0x9E3779B9  # same constant the round-3 opt-in glue used
 ARRAY_CHUNK_BASE = 2  # 'auto' chunk sizes at array scales (v5e-measured)
 ARRAY_CHUNK_EXTRA = 2
+# 'auto' chunking fires only above this primitive count. v5e A/B matrix
+# (tools/perf_probe20.py, protocol-length reps, (cb=2, ce=2) vs none):
+# stress:256 LOSES (42.1 vs 51.4 — the glue + per-entry seeding cost more
+# than the occupancy buys at short sweeps), stress:512 +3% (36.0 vs 35.0),
+# stress:1024 +15% (23.8-24.0 vs 20.6-20.8, occ 27.5% -> 35%),
+# icosphere:3 mesh neutral (12.6 vs 12.8, within band). cb=1 measured
+# worse than cb=2 everywhere (per-entry overhead); pair stays on the
+# waste-minimizing auto heuristic (explicit 8/16/24/32 all within band).
+CHUNK_AUTO_THRESHOLD = 512
 
 
 class _Light(NamedTuple):
@@ -346,17 +355,18 @@ class PathTracer:
 
         # Heavy-pixel chunk-split resolution (see the CHUNK_GOLDEN comment
         # block above). 'auto' turns it on only for the array traversal at
-        # genuine array SCALE (> ARRAY_AUTO_THRESHOLD primitives — the
-        # stress/mesh scales whose occupancy it rescues; small scenes that
-        # merely force accel='array' keep the sequential chains and stay
-        # bit-identical to the baked sweep), and only when this tracer owns
-        # the whole budget (the sample-split mesh path passes base_quota
-        # and manages its own runtime shares; chunking there would compose
-        # two different sub-chain derivations).
+        # the scales where the v5e A/B matrix shows it WINNING
+        # (>= CHUNK_AUTO_THRESHOLD primitives — below that the glue and
+        # per-entry seeding cost more than the occupancy buys, and small
+        # scenes that merely force accel='array' keep the sequential chains
+        # and stay bit-identical to the baked sweep), and only when this
+        # tracer owns the whole budget (the sample-split mesh path passes
+        # base_quota and manages its own runtime shares; chunking there
+        # would compose two different sub-chain derivations).
         n_prims = (len(scene.spheres) + len(scene.planes)
                    + len(scene.triangles))
         auto_chunk = (self.accel == "array"
-                      and n_prims > ARRAY_AUTO_THRESHOLD
+                      and n_prims >= CHUNK_AUTO_THRESHOLD
                       and base_quota is None)
         if chunk_base == "auto":
             chunk_base = ARRAY_CHUNK_BASE if auto_chunk else None
