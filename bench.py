@@ -18,9 +18,13 @@ per-frame-dispatched configs, 960 for the chained small configs) — sized so
 the ONE host sync that ends a timed rep (~25-30 ms tunnel RTT in this dev
 setup) is <5% of the rep's device time. Round <=2 used a flat N=48, which
 silently charged that sync to the device: the north star under-read ~13%
-and the sub-ms configs up to 5x (measured, tools/perf_probe19.py). Rays are
-summed over the timed frames themselves (adaptive scenes draw different
-budgets per frame, so the warm-up frame's count is not representative).
+and the sub-ms configs up to 5x (measured, tools/perf_probe19.py). Round 4:
+the chained (sub-ms) configs additionally size their timed reps by measured
+WALL TIME (>= MIN_REP_S of device time per rep, calibrated by one untimed
+rep) — a 960-frame rep was only ~150 ms on 80x40, leaving readings ±30%.
+Rays are summed over the timed frames themselves (adaptive scenes draw
+different budgets per frame, so the warm-up frame's count is not
+representative).
 
 Correctness gate: unless --no-check, a small config is rendered with both
 backend=pallas and backend=jnp on the same seeds and compared (ray-count
@@ -44,6 +48,10 @@ import time
 import numpy as np
 
 TARGET_MRAY_S = 500.0
+# Minimum device wall time per timed rep for the chained (sub-ms) configs —
+# sized so the one rep-ending host sync (~25-30 ms tunnel RTT) stays noise
+# (VERDICT r3 #5: fixed 960-frame reps were ~150 ms on 80x40 and swung ±30%).
+MIN_REP_S = 1.0
 
 CONFIGS = {
     # "frames" = timed frames per rep (protocol v3): long enough that the
@@ -241,8 +249,25 @@ def _run_bench_chain(scene, pose, chain, backend, frames, reps, verbose,
     jax.device_get(out.rays)  # compile + first tunnel transfer
     state = out.state
 
-    mrays, fpss = [], []
+    # Wall-time-sized reps (round-4 protocol): the chained configs are the
+    # sub-ms rows, and a FIXED frame count leaves a rep only ~150 ms on the
+    # fastest (80x40) — the ~25-30 ms rep-ending sync then swings readings
+    # ±30% between sessions. Calibrate with one untimed rep at the
+    # config's protocol count and scale the timed reps to >= MIN_REP_S of
+    # device wall time (ceil'd to whole chunks, capped at 16x to bound the
+    # bench budget).
     frame = chain
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        out, rays_k = render(state, pose, seeds_for(frame), np.int32(frame))
+        state = out.state
+        frame += chain
+    jax.device_get(out.rays)
+    calib_dt = time.perf_counter() - t0
+    scale = min(max(1, int(np.ceil(MIN_REP_S / max(calib_dt, 1e-3)))), 16)
+    n_chunks *= scale
+
+    mrays, fpss = [], []
     for _ in range(reps):
         ray_vecs = []
         t0 = time.perf_counter()
@@ -427,7 +452,9 @@ def main():
         "vs_baseline": round(mray_s / TARGET_MRAY_S, 4),
         "fps": round(fps, 2),
         "protocol": f"median of {args.reps} reps x "
-                    f"{_frames_for(args.config, args.frames)} frames",
+                    f"{_frames_for(args.config, args.frames)} frames"
+                    + (" (wall-time-sized to >= 1 s reps)"
+                       if CONFIGS[args.config].get("chain") else ""),
         "vs_baseline_is": "ratio to the 500 Mray/s target (no published "
                           "reference numbers)",
     }
