@@ -75,12 +75,20 @@ def make_sharded_render_step(
     backend: str = "auto",
     jit: bool = True,
     transport: str = None,
+    dynamic: bool = False,
+    animated=None,
 ):
     """Build the multi-chip render step.
 
     Returns (step, init_state_fn). `step(state, pose, seed, frame_number) ->
     FrameOutput` with all [.., H, ..] outputs/state sharded along 'px' and
     replicated along 'sp'. `init_state_fn()` builds the sharded FrameState.
+
+    `dynamic` / `animated`: animated scenes on the mesh — the step gains a
+    trailing `arrays` argument (ops/dynamic.pack_scene values, replicated
+    over both axes; geometry values are tiny next to the pixel planes) and
+    the per-shard kernels consume them as runtime SMEM operands, exactly
+    like the single-chip dynamic step (Engine passes the same call shape).
     """
     n_px = mesh.shape["px"]
     n_sp = mesh.shape["sp"]
@@ -110,23 +118,29 @@ def make_sharded_render_step(
             from ..ops import pallas_kernel
 
             shard_kernel = pallas_kernel.make_render_frame(
-                scene, shard_rows=rows, transport=transport)
+                scene, shard_rows=rows, transport=transport,
+                dynamic=dynamic, animated=animated)
         else:
             tracer = tracer_mod.PathTracer(scene, loop_mode="while",
-                                           transport=transport)
+                                           transport=transport,
+                                           dynamic=dynamic,
+                                           dyn_animated=animated)
 
-        def shard_render(pose, seed, frame_number):
+        def shard_render(pose, seed, frame_number, arrays=None):
             px_i = jax.lax.axis_index("px")
             y0 = px_i.astype(jnp.int32) * rows
             if backend == "pallas":
-                cur, var, tot, rays, occ = shard_kernel(
-                    pose, seed, frame_number, y0
-                )
+                args = (pose, seed, frame_number) + (
+                    (arrays,) if dynamic else ())
+                cur, var, tot, rays, occ = shard_kernel(*args, y0=y0)
                 # Shard-local executed sweep capacity (the occupancy
                 # denominator, occ = rays / cap) — psum-mergeable across
                 # shards where the ratio itself is not.
                 cap = rays / jnp.maximum(occ, 1e-9)
             else:
+                if dynamic:
+                    tracer.prims.bind({k: jnp.asarray(v, jnp.float32)
+                                       for k, v in arrays.items()})
                 y = y0 + jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0)
                 x = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
                 cam = tracer_mod.cam_from_pose(pose)
@@ -146,24 +160,27 @@ def make_sharded_render_step(
         # static quota is the ceiling.
         tracer = tracer_mod.PathTracer(scene, loop_mode="while",
                                        base_quota=base_hi,
-                                       transport=transport)
+                                       transport=transport,
+                                       dynamic=dynamic,
+                                       dyn_animated=animated)
         if backend == "pallas":
             from ..ops import pallas_kernel
 
             base_fn, _ktracer, _pair = pallas_kernel.make_base_kernel(
                 scene, shard_rows=rows, base_quota=base_hi,
                 base_dynamic=base_rem > 0, transport=transport,
+                dynamic=dynamic, animated=animated,
             )
             extra_fn = (
                 pallas_kernel.make_sorted_extra_phase(
                     scene, h_out=rows, samp0_base=base_lo,
-                    transport=transport,
+                    transport=transport, dynamic=dynamic, animated=animated,
                 )
                 if base_full < spp
                 else None
             )
 
-        def shard_render(pose, seed, frame_number):
+        def shard_render(pose, seed, frame_number, arrays=None):
             px_i = jax.lax.axis_index("px")
             sp_i = jax.lax.axis_index("sp")
             y0 = px_i.astype(jnp.int32) * rows
@@ -184,13 +201,22 @@ def make_sharded_render_step(
             yf = y.astype(jnp.float32)
 
             spi = 1.0 + float(tracer.n_lights)
+            scene_ops = ()
             if backend == "pallas":
+                if dynamic:
+                    from ..ops import pallas_kernel
+
+                    scene_ops = pallas_kernel._dyn_values(_ktracer, arrays)
                 csum, csumsq, state, rays_l, it_a = base_fn(
                     pose, seed_l, frame_number, y0,
                     base_q=my_base if base_rem else None,
+                    scene_ops=scene_ops,
                 )
                 rays = jnp.sum(rays_l)
             else:
+                if dynamic:
+                    tracer.prims.bind({k: jnp.asarray(v, jnp.float32)
+                                       for k, v in arrays.items()})
                 state0 = tracer.seed_lanes(x, y, seed_l, frame_number)
                 run = lambda c: tracer._run_regen_jnp(cam, xf, yf, c)
                 state, csum, csumsq, rays_l = tracer.base_phase(
@@ -240,6 +266,7 @@ def make_sharded_render_step(
                 esum, rays_b, it_b = extra_fn(
                     pose, state, my_extra, y0,
                     samp0=my_base if base_rem else None,
+                    scene_ops=scene_ops,
                 )
             else:
                 zeros = jnp.zeros_like(xf)
@@ -265,9 +292,10 @@ def make_sharded_render_step(
                    if backend == "pallas" else None)
             return current, var, total, rays, cap
 
-    def step(state: FrameState, pose, seed, frame_number) -> FrameOutput:
+    def step(state: FrameState, pose, seed, frame_number,
+             arrays=None) -> FrameOutput:
         cur, variance, samples, rays, cap = shard_render(
-            pose, seed, frame_number)
+            pose, seed, frame_number, arrays)
         fn = jnp.asarray(frame_number, jnp.float32)
         alpha = jnp.where(fn == 0.0, 1.0, 1.0 / (fn + 1.0))
         cur_s = jnp.stack([cur.x, cur.y, cur.z])
@@ -303,13 +331,20 @@ def make_sharded_render_step(
         rays=P(),
         occupancy=P(),
     )
+    in_specs = (state_specs, P(), P(), P())
+    if dynamic:
+        # The pack_scene value arrays are replicated over both axes (tiny
+        # next to the pixel planes; every shard traces the full geometry).
+        from ..ops.dynamic import pack_scene
+
+        in_specs = in_specs + ({k: P() for k in pack_scene(scene)},)
     # check_vma off: the tracer's loop carries start from constant zeros,
     # which the varying-manual-axes checker flags against the loop's varying
     # outputs; the collectives here (pmean/psum) are hand-placed.
     sharded = jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(state_specs, P(), P(), P()),
+        in_specs=in_specs,
         out_specs=out_specs,
         check_vma=False,
     )

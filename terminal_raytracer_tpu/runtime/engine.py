@@ -99,9 +99,6 @@ class Engine:
         # single-chip step one-for-one (same call shape/FrameOutput).
         self.shard = _parse_shard(shard) if shard else None
         if self.shard is not None:
-            if animate is not None:
-                raise ValueError("--shard does not support --animate "
-                                 "(the sharded step renders static scenes)")
             if unbiased:
                 raise ValueError("--shard does not support --unbiased")
             if accel != "auto":
@@ -142,7 +139,8 @@ class Engine:
             mesh = make_mesh(n_px, n_sp)
             self.step, sharded_init = make_sharded_render_step(
                 scene, mesh, full_color=full_color, backend=backend,
-                transport=transport,
+                transport=transport, dynamic=animate is not None,
+                animated=animated_keys,
             )
             self.state = sharded_init()
         else:

@@ -270,8 +270,6 @@ def test_engine_shard_rejections():
     from terminal_raytracer_tpu.runtime.engine import Engine
 
     scene = _scene()
-    with pytest.raises(ValueError, match="animate"):
-        Engine(scene, backend="jnp", shard="px:2", animate="orbit")
     with pytest.raises(ValueError, match="unbiased"):
         Engine(scene, backend="jnp", shard="px:2", unbiased=True)
     with pytest.raises(ValueError, match="accel"):
@@ -293,13 +291,59 @@ def test_cli_shard_flag(capsys):
     assert rc == 0
     capsys.readouterr()
     for extra in (["--scan"], ["--turntable", "4", "--dump-image", "t%d.png"],
-                  ["--animate", "orbit"], ["--unbiased"],
-                  ["--accel", "array"]):
+                  ["--unbiased"], ["--accel", "array"]):
         rc = main(["--scene", "scene2", "--frames", "2", "--shard", "px:2",
                    *extra])
         assert rc == 2, extra
     rc = main(["--scene", "scene2", "--frames", "1", "--shard", "bogus"])
     assert rc == 2
+    # --animate composes with --shard since round 4 (the sharded step
+    # carries the pack_scene values as replicated runtime inputs).
+    rc = main(["--scene", "scene2", "--width", "64", "--height", "32",
+               "--spp", "4", "--depth", "3", "--frames", "2",
+               "--backend", "jnp", "--shard", "px:2", "--animate", "orbit"])
+    assert rc == 0
+    capsys.readouterr()
+
+
+def test_dynamic_sharded_step_matches_single_chip():
+    """Animated scenes on the mesh (round 4): px-sharded dynamic rendering
+    is BIT-identical to the single-chip dynamic step; the sample-split
+    axis agrees across backends exactly (ray counts are scheduler-
+    independent)."""
+    from terminal_raytracer_tpu.models.animate import ANIMATOR_KEYS, ANIMATORS
+    from terminal_raytracer_tpu.ops.dynamic import pack_scene
+    from terminal_raytracer_tpu.runtime import init_state, make_render_step
+
+    scene = _scene()
+    pose = Camera().pose()
+    arrays = ANIMATORS["orbit"](pack_scene(scene), 3)
+    keys = ANIMATOR_KEYS["orbit"]
+
+    step1 = make_render_step(scene, full_color=True, backend="jnp",
+                             dynamic=True, animated=keys)
+    out1 = step1(init_state(scene), pose, np.uint32(9), np.int32(0), arrays)
+    rays1 = float(jax.device_get(out1.rays))
+    acc1 = np.asarray(jax.device_get(out1.state.acc))
+
+    mesh = make_mesh(n_px=2, n_sp=1, devices=jax.devices()[:2])
+    step, init = make_sharded_render_step(scene, mesh, backend="jnp",
+                                          dynamic=True, animated=keys)
+    out = step(init(), pose, np.uint32(9), np.int32(0), arrays)
+    assert float(jax.device_get(out.rays)) == rays1
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out.state.acc)), acc1)
+
+    mesh22 = make_mesh(n_px=2, n_sp=2, devices=jax.devices()[:4])
+    rays = {}
+    for backend in ("jnp", "pallas"):
+        step, init = make_sharded_render_step(scene, mesh22, backend=backend,
+                                              dynamic=True, animated=keys)
+        out = step(init(), pose, np.uint32(9), np.int32(0), arrays)
+        rays[backend] = float(jax.device_get(out.rays))
+        acc = np.asarray(jax.device_get(out.state.acc))
+        assert np.isfinite(acc).all()
+    assert rays["pallas"] == rays["jnp"]
 
 
 def test_engine_shard_resumes_saved_state(tmp_path):
