@@ -100,6 +100,64 @@ def intersect_triangle(o: V3, d: V3, v0: V3, edge1: V3, edge2: V3, t_min, t_max)
     return jnp.where(hit, t, MISS)
 
 
+# ---------------------------------------------------------------------------
+# Boolean (any-hit) intersection forms — the shadow-ray sweep only consumes
+# `(t > 0) & (t < t_max)` of the exact-t forms above, and with t_min > 0
+# that boolean simplifies per primitive kind (bit-identical by case
+# analysis; round-4 op cut — the two NEE shadow sweeps are ~34% of a
+# scheduler iteration's ops at the north-star scene):
+#
+# * sphere — the returned root is the near root when in-bounds else the far
+#   root, and `hit` already requires one of them strictly inside
+#   (t_min, t_max); so blocked == hit.
+# * plane — non-strict upper bound in the hit test, but the consumer's
+#   `t < t_max` is strict: blocked == ~parallel & (t >= t_min) & (t < t_max).
+# * triangle — strict bounds already: blocked == hit.
+# ---------------------------------------------------------------------------
+
+
+def blocked_sphere(o: V3, d: V3, center: V3, radius, t_min, t_max):
+    oc = center - o
+    h = vm.dot(d, oc)
+    c = vm.dot(oc, oc) - radius * radius
+    disc = h * h - c
+    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+    near = h - sqrtd
+    far = h + sqrtd
+    near_ok = (near > t_min) & (near < t_max)
+    far_ok = (far > t_min) & (far < t_max)
+    return (disc >= 0.0) & (near_ok | far_ok)
+
+
+def blocked_plane(o: V3, d: V3, point: V3, normal: V3, t_min, t_max):
+    denom = vm.dot(normal, d)
+    parallel = jnp.abs(denom) < PLANE_PARALLEL_EPS
+    t = vm.dot(point - o, normal) / jnp.where(parallel, 1.0, denom)
+    return (~parallel) & (t >= t_min) & (t < t_max)
+
+
+def blocked_triangle(o: V3, d: V3, v0: V3, edge1: V3, edge2: V3, t_min,
+                     t_max):
+    h = vm.cross(d, edge2)
+    a = vm.dot(edge1, h)
+    parallel = (a > -TRI_PARALLEL_EPS) & (a < TRI_PARALLEL_EPS)
+    f = 1.0 / jnp.where(parallel, 1.0, a)
+    s = o - v0
+    u = f * vm.dot(s, h)
+    q = vm.cross(s, edge1)
+    v = f * vm.dot(d, q)
+    t = f * vm.dot(edge2, q)
+    return (
+        (~parallel)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > t_min)
+        & (t < t_max)
+    )
+
+
 class Hit(NamedTuple):
     """Per-lane closest-hit record (shader.wgsl:39-47). `found` replaces the
     reference's `t < 0` sentinel check; `normal` is already front-face
@@ -173,6 +231,9 @@ class ScenePrims:
         # Per primitive, in reference flatten order:
         #   (intersect(o, d, t_min, t_max) -> t, normal(p) -> V3, material)
         self._prims: List[Tuple[Callable, Callable, scene_mod.Material]] = []
+        # Boolean any-hit forms (blocked_*), one per primitive — the
+        # shadow-ray sweep's op-lean path.
+        self._blocked: List[Callable] = []
         # Per primitive: the compile-time unit normal (plane/triangle), or
         # None for spheres whose normal is runtime math. Used by the
         # grouped-select sweep below.
@@ -204,6 +265,9 @@ class ScenePrims:
                 def isect(o, d, t_min, t_max, c=c, r=r):
                     return intersect_sphere(o, d, c, r, t_min, t_max)
 
+                def blk(o, d, t_min, t_max, c=c, r=r):
+                    return blocked_sphere(o, d, c, r, t_min, t_max)
+
                 def norm(p, c=c, inv_r=inv_r):
                     # (p - center)/radius, then normalize (shader.wgsl:236)
                     return vm.normalize((p - c) * inv_r)
@@ -219,6 +283,9 @@ class ScenePrims:
                 def isect(o, d, t_min, t_max, pt=pt, n_raw=n_raw):
                     return intersect_plane(o, d, pt, n_raw, t_min, t_max)
 
+                def blk(o, d, t_min, t_max, pt=pt, n_raw=n_raw):
+                    return blocked_plane(o, d, pt, n_raw, t_min, t_max)
+
                 def norm(p, n_unit=n_unit):
                     return n_unit
 
@@ -232,6 +299,9 @@ class ScenePrims:
                 def isect(o, d, t_min, t_max, v0=v0, e1c=e1c, e2c=e2c):
                     return intersect_triangle(o, d, v0, e1c, e2c, t_min, t_max)
 
+                def blk(o, d, t_min, t_max, v0=v0, e1c=e1c, e2c=e2c):
+                    return blocked_triangle(o, d, v0, e1c, e2c, t_min, t_max)
+
                 def norm(p, n_unit=n_unit):
                     return n_unit
 
@@ -239,6 +309,7 @@ class ScenePrims:
                 self._sphere_geom.append(None)
 
             self._prims.append((isect, norm, prim.material))
+            self._blocked.append(blk)
 
     def raw_closest(self, o: V3, d: V3, t_min, t_max):
         """Closest-hit sweep WITHOUT the front-face flip: returns
@@ -250,37 +321,55 @@ class ScenePrims:
         accelerator does this per block, ops/accel.py).
 
         Op-lean formulation: the sweep tracks only the running `closest` and
-        each primitive's win mask; materials and normals resolve *after* the
-        sweep via one-hot winner masks with constants grouped by value — one
-        select per distinct channel value instead of eleven selects per
-        primitive. Bit-identical to the naive overwrite chain (the winner's
-        t equals `closest`, so its hit point / normal math sees the same
-        inputs; selected constants are the same constants)."""
+        a WINNER INDEX (the overwrite chain means the last strictly-closer
+        primitive in sweep order won, shader.wgsl:279 — one select per
+        primitive records it); materials and normals resolve *after* the
+        sweep via lazily-built one-hot masks (idx == k, cached across
+        channels) with constants grouped by value — one select per distinct
+        channel value instead of eleven selects per primitive, and `found`
+        is a single closest < t_max compare. Bit-identical to the naive
+        overwrite chain (the winner's t equals `closest`, so its hit
+        point / normal math sees the same inputs; the one-hot masks are
+        boolean-identical to the reversed better&~taken scan; selected
+        constants are the same constants)."""
         lanes = o.x
         zeros = jnp.zeros_like(lanes)
         closest = zeros + t_max
-        betters = []
-        for isect, _, _ in self._prims:
+        idx = zeros - 1.0  # winner index, -1 = miss
+        for k, (isect, _, _) in enumerate(self._prims):
             t = isect(o, d, t_min, closest)
             better = (t > 0.0) & (t < closest)  # shader.wgsl:279
             closest = jnp.where(better, t, closest)
-            betters.append(better)
+            idx = jnp.where(better, jnp.float32(k), idx)
+        # Any better strictly lowered `closest` below the initial t_max.
+        found = closest < t_max
 
         n_prims = len(self._prims)
-        # One-hot winner masks: the overwrite chain means the *last* better
-        # in sweep order won (each better is strictly closer than all
-        # predecessors, shader.wgsl:279).
-        winner = [None] * n_prims
-        taken = jnp.zeros_like(lanes, dtype=bool)
-        for k in range(n_prims - 1, -1, -1):
-            winner[k] = betters[k] & ~taken
-            taken = taken | betters[k]
-        found = taken
+        onehot_cache = {}
+
+        def winner(k):
+            m = onehot_cache.get(k)
+            if m is None:
+                m = onehot_cache[k] = idx == jnp.float32(k)
+            return m
+
+        mask_cache = {}
+
+        def group_mask(ks):
+            key = frozenset(ks)
+            m = mask_cache.get(key)
+            if m is None:
+                m = winner(ks[0])
+                for k in ks[1:]:
+                    m = m | winner(k)
+                mask_cache[key] = m
+            return m
 
         def grouped(values):
             """Select among compile-time channel values: one masked select
             per distinct nonzero value (winner masks are disjoint, so adds
-            compose exactly)."""
+            compose exactly); masks shared across channels with the same
+            primitive grouping."""
             groups = {}
             for k, v in enumerate(values):
                 groups.setdefault(float(v), []).append(k)
@@ -288,10 +377,7 @@ class ScenePrims:
             for v, ks in groups.items():
                 if v == 0.0:
                     continue
-                mask = winner[ks[0]]
-                for k in ks[1:]:
-                    mask = mask | winner[k]
-                out = out + jnp.where(mask, jnp.float32(v), 0.0)
+                out = out + jnp.where(group_mask(ks), jnp.float32(v), 0.0)
             return out
 
         mats = [m for _, _, m in self._prims]
@@ -346,7 +432,7 @@ class ScenePrims:
                 continue
             c, inv_r = geom
             n_k = vm.normalize((p - c) * inv_r)
-            normal = vm.where(winner[k], n_k, normal)
+            normal = vm.where(winner(k), n_k, normal)
 
         return (closest, found, p, normal, col, emi, refl, light_inv_area,
                 transp, ior, rough, checker_color, checker_scale)
@@ -376,10 +462,12 @@ class ScenePrims:
     def occluded(self, o: V3, d: V3, t_min, t_max, mask=None) -> jnp.ndarray:
         """Any-hit visibility test for shadow rays (shader.wgsl:399-402:
         a full hit_scene whose only consumed output is `hit.t < 0`).
-        `mask` ignored here (see closest_hit)."""
+        `mask` ignored here (see closest_hit). Uses the boolean blocked_*
+        forms — bit-identical to `(isect(...) > 0) & (isect(...) < t_max)`
+        (case analysis at their definitions), minus the per-primitive root
+        selection and re-checks."""
         del mask
         blocked = jnp.zeros_like(o.x, dtype=bool)
-        for isect, _, _ in self._prims:
-            t = isect(o, d, t_min, t_max)
-            blocked = blocked | ((t > 0.0) & (t < t_max))
+        for blk in self._blocked:
+            blocked = blocked | blk(o, d, t_min, t_max)
         return blocked
