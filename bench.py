@@ -92,6 +92,11 @@ CONFIGS = {
     # NEE transmittance exp) — measures the medium's cost vs north_star
     "fog": dict(scene="Cornell_Box", spp=16, depth=32, fog=0.15,
                 frames=480),
+    # image-texture extension at north-star params: the packaged textured
+    # scene (two 64x64 atlas textures = 64 rows; per-lane texel gathers in
+    # every scheduler iteration + the polynomial-atan2 spherical uv) —
+    # measures the gather's cost against north_star
+    "textured": dict(scene="textured", spp=16, depth=32, frames=480),
     # dynamic (animated) scenes: geometry streams through SMEM as runtime
     # values (ops/dynamic.py; --animate); north-star params, orbit animator
     "dynamic": dict(scene="Cornell_Box", spp=16, depth=32, dynamic=True,

@@ -37,6 +37,9 @@ from typing import Dict, NamedTuple, Optional, Tuple
 
 import numpy as np
 
+from .texture import (DEFAULT_SIZE as _TEX_DEFAULT_SIZE, MAX_ATLAS_ROWS,
+                      Texture, build_atlas, texture_from_spec)
+
 _SCENES_DIR = Path(__file__).parent / "scenes"
 DEFAULT_SCENE = "Cornell_Box"
 
@@ -86,6 +89,13 @@ class Material(NamedTuple):
     # (reference-exact).
     checker_color: Optional[Tuple[float, float, float]] = None
     checker_scale: float = 1.0
+    # Image texture (extension, models/texture.py): the name of a
+    # scene-level texture whose texels REPLACE `color` at hits (mapping
+    # by primitive kind — spherical for spheres, dominant-axis planar
+    # for planes/triangles; ops/tracer.py). `texture_scale` tiles the uv
+    # mapping. None = untextured (reference-exact).
+    texture: Optional[str] = None
+    texture_scale: float = 1.0
 
     @property
     def is_light(self) -> bool:
@@ -102,6 +112,10 @@ class Material(NamedTuple):
     @property
     def is_checker(self) -> bool:
         return self.checker_color is not None
+
+    @property
+    def is_textured(self) -> bool:
+        return self.texture is not None
 
 
 class Sphere(NamedTuple):
@@ -169,6 +183,12 @@ class Scene:
     # Optional homogeneous medium (extension; None = the reference's
     # vacuum — the fog code is statically absent).
     fog: Optional[Fog] = None
+    # Image textures (extension, models/texture.py): the scene-level
+    # registry materials reference by name. Hashable Texture tuples —
+    # Scene stays a valid jit static argument; the packed VMEM atlas is
+    # derived on demand (texture_atlas()). () = no textures (the texture
+    # code is statically absent).
+    textures: Tuple["Texture", ...] = ()
 
     def __post_init__(self):
         """Validate on every construction (incl. with_overrides / CLI
@@ -229,6 +249,34 @@ class Scene:
                 raise ValueError(
                     f"spheres[{i}] radius must be > 0, got {s.radius!r}"
                 )
+        tex_names = set()
+        for i, t in enumerate(self.textures):
+            if not isinstance(t, Texture):
+                raise ValueError(
+                    f"textures[{i}] must be a models.texture.Texture, got "
+                    f"{type(t).__name__}"
+                )
+            if t.name in tex_names:
+                raise ValueError(f"duplicate texture name {t.name!r}")
+            tex_names.add(t.name)
+            if t.size != self.textures[0].size:
+                raise ValueError(
+                    f"all textures in a scene share one size (they pack "
+                    f"into one atlas); got {t.size} for {t.name!r} vs "
+                    f"{self.textures[0].size} for "
+                    f"{self.textures[0].name!r}"
+                )
+            if len(t.texels) != t.size * t.size:
+                raise ValueError(
+                    f"texture {t.name!r} has {len(t.texels)} texels for "
+                    f"size {t.size} (want {t.size * t.size})"
+                )
+        if sum(t.rows for t in self.textures) > MAX_ATLAS_ROWS:
+            raise ValueError(
+                f"texture atlas exceeds {MAX_ATLAS_ROWS} rows (the trace "
+                f"cost of the per-lane gather is O(rows)); use fewer or "
+                f"smaller textures"
+            )
         for tag_name, prims in (("spheres", self.spheres),
                                 ("planes", self.planes),
                                 ("triangles", self.triangles)):
@@ -249,6 +297,18 @@ class Scene:
                         f"{tag_name}[{i}] checker_scale must be > 0 on a "
                         f"checkered material, got {m.checker_scale!r}"
                     )
+                if m.texture is not None:
+                    if m.texture not in tex_names:
+                        raise ValueError(
+                            f"{tag_name}[{i}] references texture "
+                            f"{m.texture!r}, not in the scene's textures "
+                            f"{sorted(tex_names)!r}"
+                        )
+                    if not m.texture_scale > 0.0:
+                        raise ValueError(
+                            f"{tag_name}[{i}] texture_scale must be > 0 on "
+                            f"a textured material, got {m.texture_scale!r}"
+                        )
                 if m.transparency > 0.0:
                     if not m.ior > 0.0:
                         raise ValueError(
@@ -313,6 +373,51 @@ class Scene:
         gate for the hit-recolor code (ops/tracer.py), exactly like
         has_dielectrics."""
         return any(p.material.is_checker for _, p in self.primitives)
+
+    @property
+    def has_texture(self) -> bool:
+        """True iff any primitive samples an image texture — the static
+        gate for the texel-gather code (ops/tracer.py), exactly like
+        has_dielectrics."""
+        return any(p.material.is_textured for _, p in self.primitives)
+
+    def texture_index(self, name: Optional[str]) -> int:
+        """1-based atlas id of a texture name; 0 for None (untextured).
+        Ids are positional in the `textures` tuple."""
+        if name is None:
+            return 0
+        for i, t in enumerate(self.textures):
+            if t.name == name:
+                return i + 1
+        raise KeyError(name)  # unreachable: __post_init__ validated
+
+    def texture_channel(self, tag: int, m: "Material") -> Tuple[float,
+                                                                float]:
+        """The two per-primitive texture channel values: a SIGNED id
+        (+id = planar mapping for planes/triangles, -id = spherical for
+        spheres, 0 = untextured) and the uv tiling scale (0 marks
+        untextured in the numeric channels, like checker_scale)."""
+        tid = self.texture_index(m.texture)
+        if tid == 0:
+            return 0.0, 0.0
+        return (float(-tid) if tag == SPHERE else float(tid),
+                _f32(m.texture_scale))
+
+    @property
+    def texture_size(self) -> int:
+        """The shared texel resolution S (all textures resample to one
+        size at load; validated)."""
+        return self.textures[0].size if self.textures else _TEX_DEFAULT_SIZE
+
+    @property
+    def texture_rows(self) -> int:
+        """Aligned atlas rows per texture (id stride / 128)."""
+        return max(1, (self.texture_size * self.texture_size) // 128)
+
+    def texture_atlas(self) -> np.ndarray:
+        """The packed (rows, 128) i32 texel atlas (models/texture.py) the
+        tracer gathers from — derived, not stored (Scene stays hashable)."""
+        return build_atlas(self.textures)
 
     @property
     def has_fog(self) -> bool:
@@ -394,7 +499,8 @@ class Scene:
     def to_arrays(self) -> Dict[str, np.ndarray]:
         """Packed float32 SoA arrays (for grid builds / dynamic variants)."""
 
-        def mat_cols(prims):
+        def mat_cols(tag, prims):
+            tex = [self.texture_channel(tag, p.material) for p in prims]
             return (
                 np.array([p.material.color for p in prims], np.float32).reshape(-1, 3),
                 np.array([p.material.emission for p in prims], np.float32).reshape(-1, 3),
@@ -407,31 +513,37 @@ class Scene:
                 # scale 0 encodes "no checker" in the numeric channels.
                 np.array([p.material.checker_scale if p.material.is_checker
                           else 0.0 for p in prims], np.float32),
+                # Signed texture id (0 = none) + uv scale (texture_channel).
+                np.array([ti for ti, _ in tex], np.float32),
+                np.array([ts for _, ts in tex], np.float32),
             )
 
         (s_col, s_emi, s_ref, s_tra, s_ior, s_rgh, s_ckc,
-         s_cks) = mat_cols(self.spheres)
+         s_cks, s_txi, s_txs) = mat_cols(SPHERE, self.spheres)
         (p_col, p_emi, p_ref, p_tra, p_ior, p_rgh, p_ckc,
-         p_cks) = mat_cols(self.planes)
+         p_cks, p_txi, p_txs) = mat_cols(PLANE, self.planes)
         (t_col, t_emi, t_ref, t_tra, t_ior, t_rgh, t_ckc,
-         t_cks) = mat_cols(self.triangles)
+         t_cks, t_txi, t_txs) = mat_cols(TRIANGLE, self.triangles)
         return {
             "sphere_center": np.array([s.center for s in self.spheres], np.float32).reshape(-1, 3),
             "sphere_radius": np.array([s.radius for s in self.spheres], np.float32),
             "sphere_color": s_col, "sphere_emission": s_emi, "sphere_reflectivity": s_ref,
             "sphere_transparency": s_tra, "sphere_ior": s_ior, "sphere_roughness": s_rgh,
             "sphere_checker_color": s_ckc, "sphere_checker_scale": s_cks,
+            "sphere_tex_index": s_txi, "sphere_tex_scale": s_txs,
             "plane_point": np.array([p.point for p in self.planes], np.float32).reshape(-1, 3),
             "plane_normal": np.array([p.normal for p in self.planes], np.float32).reshape(-1, 3),
             "plane_color": p_col, "plane_emission": p_emi, "plane_reflectivity": p_ref,
             "plane_transparency": p_tra, "plane_ior": p_ior, "plane_roughness": p_rgh,
             "plane_checker_color": p_ckc, "plane_checker_scale": p_cks,
+            "plane_tex_index": p_txi, "plane_tex_scale": p_txs,
             "triangle_v0": np.array([t.v0 for t in self.triangles], np.float32).reshape(-1, 3),
             "triangle_v1": np.array([t.v1 for t in self.triangles], np.float32).reshape(-1, 3),
             "triangle_v2": np.array([t.v2 for t in self.triangles], np.float32).reshape(-1, 3),
             "triangle_color": t_col, "triangle_emission": t_emi, "triangle_reflectivity": t_ref,
             "triangle_transparency": t_tra, "triangle_ior": t_ior, "triangle_roughness": t_rgh,
             "triangle_checker_color": t_ckc, "triangle_checker_scale": t_cks,
+            "triangle_tex_index": t_txi, "triangle_tex_scale": t_txs,
         }
 
 
@@ -452,6 +564,8 @@ def _material(d: dict) -> Material:
         checker_color=(_f32v(d["checker_color"])
                        if "checker_color" in d else None),
         checker_scale=_f32(d.get("checker_scale", 1.0)),
+        texture=d.get("texture"),
+        texture_scale=_f32(d.get("texture_scale", 1.0)),
     )
 
 
@@ -462,6 +576,11 @@ def _check_material_dict(d: dict) -> None:
         raise ValueError(
             "material has checker_scale but no checker_color — a checker "
             "texture needs both (did you misspell checker_color?)"
+        )
+    if "texture_scale" in d and "texture" not in d:
+        raise ValueError(
+            "material has texture_scale but no texture — an image texture "
+            "needs both (did you misspell texture?)"
         )
 
 
@@ -490,6 +609,18 @@ def scene_from_dict(cfg: dict, base_dir=None) -> Scene:
             albedo=_f32v(f.get("albedo", (1.0, 1.0, 1.0))),
             g=_f32(f.get("g", 0.0)),
         )
+    tex_cfg = cfg.get("textures", {})
+    if not isinstance(tex_cfg, dict):
+        raise ValueError(
+            f"scene 'textures' must be an object of name -> spec, got "
+            f"{type(tex_cfg).__name__}"
+        )
+    textures = tuple(
+        texture_from_spec(name, spec, base_dir=base_dir,
+                          size=int(cfg.get("texture_size",
+                                           _TEX_DEFAULT_SIZE)))
+        for name, spec in tex_cfg.items()
+    )
     return Scene(
         width=int(cfg["width"]),
         height=int(cfg["height"]),
@@ -518,6 +649,7 @@ def scene_from_dict(cfg: dict, base_dir=None) -> Scene:
             for t in cfg.get("triangles", [])
         ) + tuple(mesh_tris),
         fog=fog,
+        textures=textures,
     )
 
 

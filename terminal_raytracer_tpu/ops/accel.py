@@ -238,10 +238,10 @@ class CulledPrims:
     blocked order densely — identical results, since culling is
     output-invariant. Inside a Pallas kernel, `bind(scratch)` supplies an
     (N_SCRATCH, tile_h, tile_w) f32 VMEM scratch — N_SCRATCH is an
-    INSTANCE attribute, 13 base planes plus up to 7 extension-channel
-    planes (glass 2, rough 1, checker 4) — that carries the sweep state
-    across the `pl.when`-guarded per-block sweeps (Mosaic has no vector
-    phi across branches; refs are the idiom)."""
+    INSTANCE attribute, 13 base planes plus up to 9 extension-channel
+    planes (glass 2, rough 1, checker 4, texture 2) — that carries the
+    sweep state across the `pl.when`-guarded per-block sweeps (Mosaic has
+    no vector phi across branches; refs are the idiom)."""
 
     N_SCRATCH = 13  # closest, found, normal/color/emission xyz, refl, 1/area
 
@@ -249,7 +249,10 @@ class CulledPrims:
         self.scene_blocked, groups = blocked_scene(scene, block)
         self.dense = geom.ScenePrims(self.scene_blocked)
         self._groups = [
-            (geom.ScenePrims(g.prims), g.aabb) for g in groups
+            (geom.ScenePrims(g.prims,
+                             tex_channel=self.scene_blocked.texture_channel),
+             g.aabb)
+            for g in groups
         ]
         self._scratch = None
         # Extension material channels ride extra scratch planes
@@ -259,6 +262,7 @@ class CulledPrims:
         self.has_glass = scene.has_dielectrics
         self.has_rough = scene.has_rough_metals
         self.has_checker = scene.has_checker
+        self.has_texture = scene.has_texture
         slot = CulledPrims.N_SCRATCH
         self._glass_slots = None
         if self.has_glass:
@@ -272,6 +276,10 @@ class CulledPrims:
         if self.has_checker:
             self._checker_slots = (slot, slot + 1, slot + 2, slot + 3)
             slot += 4
+        self._tex_slots = None
+        if self.has_texture:
+            self._tex_slots = (slot, slot + 1)
+            slot += 2
         self.N_SCRATCH = slot
 
     def bind(self, scratch_ref):
@@ -304,7 +312,7 @@ class CulledPrims:
             def body(sub=sub):
                 closest0 = s[0]
                 (t, found, _p, n_b, col_b, emi_b, refl_b, lia_b, tp_b,
-                 io_b, ro_b, ckc_b, cks_b) = sub.raw_closest(
+                 io_b, ro_b, ckc_b, cks_b, txi_b, txs_b) = sub.raw_closest(
                     o, d, t_min, closest0)
                 # t == closest0 where not found, so the write is safe
                 # unconditionally; material planes merge by winner mask.
@@ -334,6 +342,10 @@ class CulledPrims:
                     s[c1] = jnp.where(found, ckc_b.y, s[c1])
                     s[c2] = jnp.where(found, ckc_b.z, s[c2])
                     s[c3] = jnp.where(found, cks_b, s[c3])
+                if self.has_texture:
+                    x0, x1 = self._tex_slots
+                    s[x0] = jnp.where(found, txi_b, s[x0])
+                    s[x1] = jnp.where(found, txs_b, s[x1])
 
             if aabb is None:
                 body()
@@ -355,6 +367,11 @@ class CulledPrims:
             ck_col, ck_scale = V3(s[c0], s[c1], s[c2]), s[c3]
         else:
             ck_col = ck_scale = None
+        if self.has_texture:
+            x0, x1 = self._tex_slots
+            tex_idx, tex_scl = s[x0], s[x1]
+        else:
+            tex_idx = tex_scl = None
         p = o + d * closest
         front = vm.dot(d, normal) < 0.0
         normal = vm.where(front, normal, -normal)
@@ -362,7 +379,8 @@ class CulledPrims:
         return geom.Hit(found, closest, p, normal, col, emi, refl, lia,
                         transparency=transp, ior=ior, front=front,
                         roughness=rough, checker_color=ck_col,
-                        checker_scale=ck_scale)
+                        checker_scale=ck_scale, tex_index=tex_idx,
+                        tex_scale=tex_scl)
 
     def occluded(self, o: V3, d: V3, t_min, t_max, mask=None):
         if self._scratch is None:

@@ -149,6 +149,8 @@ class _Rec(NamedTuple):
     kg: jnp.ndarray = None
     kb: jnp.ndarray = None
     ks: jnp.ndarray = None
+    tx: jnp.ndarray = None
+    xs: jnp.ndarray = None
 
 
 class ArrayPrims:
@@ -177,6 +179,7 @@ class ArrayPrims:
         self.has_glass = scene.has_dielectrics
         self.has_rough = scene.has_rough_metals
         self.has_checker = scene.has_checker
+        self.has_texture = scene.has_texture
         self.host_arrays = pack_scene_soa(scene)
         counts = {"s": self.n_spheres, "p": self.n_planes,
                   "t": self.n_triangles}
@@ -275,6 +278,10 @@ class ArrayPrims:
                 if rec.kb is not None else None),
             ks=(sel(a[f"{pre}_cks"][i], rec.ks)
                 if rec.ks is not None else None),
+            tx=(sel(a[f"{pre}_txi"][i], rec.tx)
+                if rec.tx is not None else None),
+            xs=(sel(a[f"{pre}_txs"][i], rec.xs)
+                if rec.xs is not None else None),
         )
 
     def _sweep_closest(self, o: V3, d: V3, t_min, rec: _Rec) -> _Rec:
@@ -333,8 +340,9 @@ class ArrayPrims:
         glass_init = (zeros, zeros) if self.has_glass else (None, None)
         rough_init = (zeros,) if self.has_rough else (None,)
         checker_init = ((zeros,) * 4 if self.has_checker else (None,) * 4)
+        tex_init = ((zeros,) * 2 if self.has_texture else (None,) * 2)
         rec = _Rec(zeros + t_max, *([zeros] * 12), *glass_init,
-                   *rough_init, *checker_init)
+                   *rough_init, *checker_init, *tex_init)
         rec = self._sweep_closest(o, d, t_min, rec)
         found = rec.found != 0.0
         p = o + d * rec.closest
@@ -349,7 +357,8 @@ class ArrayPrims:
                         V3(rec.er, rec.eg, rec.eb), rec.rf, lia,
                         transparency=rec.tp, ior=rec.io, front=front,
                         roughness=rec.ro, checker_color=ck_col,
-                        checker_scale=rec.ks)
+                        checker_scale=rec.ks, tex_index=rec.tx,
+                        tex_scale=rec.xs)
 
     def occluded(self, o: V3, d: V3, t_min, t_max, mask=None) -> jnp.ndarray:
         """Any-hit shadow sweep (shader.wgsl:399-402)."""

@@ -59,6 +59,10 @@ ROUGH_KEYS = ("rough",)
 # Procedural checker texture channels (rgb + scale; scale 0 = untextured —
 # the numeric encoding models/scene.py to_arrays emits).
 CHECKER_KEYS = ("ckr", "ckg", "ckb", "cks")
+# Image-texture channels (signed atlas id + uv scale; id 0 = untextured —
+# models/scene.py texture_channel). The atlas itself is STATIC like the
+# light topology (animators may vary the id/scale values, not the texels).
+TEXTURE_KEYS = ("txi", "txs")
 
 
 def ext_mat_keys(scene) -> tuple:
@@ -68,7 +72,8 @@ def ext_mat_keys(scene) -> tuple:
     ops/arrayscene.py all call this)."""
     return ((GLASS_KEYS if scene.has_dielectrics else ())
             + (ROUGH_KEYS if scene.has_rough_metals else ())
-            + (CHECKER_KEYS if scene.has_checker else ()))
+            + (CHECKER_KEYS if scene.has_checker else ())
+            + (TEXTURE_KEYS if scene.has_texture else ()))
 
 
 def scene_keys(scene: scene_mod.Scene) -> List[Tuple[str, int]]:
@@ -90,7 +95,7 @@ def pack_scene(scene: scene_mod.Scene) -> Dict[str, np.ndarray]:
     """Scene -> the flat scalar-array dict (the animatable state)."""
     a = scene.to_arrays()
 
-    def mats(prefix, col, emi, ref, tra, ior, rgh, ckc, cks):
+    def mats(prefix, col, emi, ref, tra, ior, rgh, ckc, cks, txi, txs):
         return {
             f"{prefix}_colr": col[:, 0], f"{prefix}_colg": col[:, 1],
             f"{prefix}_colb": col[:, 2], f"{prefix}_emir": emi[:, 0],
@@ -99,6 +104,7 @@ def pack_scene(scene: scene_mod.Scene) -> Dict[str, np.ndarray]:
             f"{prefix}_ior": ior, f"{prefix}_rough": rgh,
             f"{prefix}_ckr": ckc[:, 0], f"{prefix}_ckg": ckc[:, 1],
             f"{prefix}_ckb": ckc[:, 2], f"{prefix}_cks": cks,
+            f"{prefix}_txi": txi, f"{prefix}_txs": txs,
         }
 
     out = {
@@ -116,15 +122,18 @@ def pack_scene(scene: scene_mod.Scene) -> Dict[str, np.ndarray]:
     out.update(mats("s", a["sphere_color"], a["sphere_emission"],
                     a["sphere_reflectivity"], a["sphere_transparency"],
                     a["sphere_ior"], a["sphere_roughness"],
-                    a["sphere_checker_color"], a["sphere_checker_scale"]))
+                    a["sphere_checker_color"], a["sphere_checker_scale"],
+                    a["sphere_tex_index"], a["sphere_tex_scale"]))
     out.update(mats("p", a["plane_color"], a["plane_emission"],
                     a["plane_reflectivity"], a["plane_transparency"],
                     a["plane_ior"], a["plane_roughness"],
-                    a["plane_checker_color"], a["plane_checker_scale"]))
+                    a["plane_checker_color"], a["plane_checker_scale"],
+                    a["plane_tex_index"], a["plane_tex_scale"]))
     out.update(mats("t", a["triangle_color"], a["triangle_emission"],
                     a["triangle_reflectivity"], a["triangle_transparency"],
                     a["triangle_ior"], a["triangle_roughness"],
-                    a["triangle_checker_color"], a["triangle_checker_scale"]))
+                    a["triangle_checker_color"], a["triangle_checker_scale"],
+                    a["triangle_tex_index"], a["triangle_tex_scale"]))
     return {k: np.ascontiguousarray(v, np.float32) for k, v in out.items()}
 
 
@@ -155,6 +164,7 @@ class DynPrims:
         self.has_glass = scene.has_dielectrics
         self.has_rough = scene.has_rough_metals
         self.has_checker = scene.has_checker
+        self.has_texture = scene.has_texture
         # Static light topology: (kind, index within its kind array), in
         # primitive order, excluding planes (shader.wgsl:390-391).
         self.light_topology: List[Tuple[int, int]] = []
@@ -243,6 +253,14 @@ class DynPrims:
         return (a[f"{prefix}_ckr"][i], a[f"{prefix}_ckg"][i],
                 a[f"{prefix}_ckb"][i], a[f"{prefix}_cks"][i])
 
+    def _texture(self, prefix, i):
+        """(signed atlas id, uv scale) for one primitive, or None when the
+        template scene has no image textures."""
+        if not self.has_texture:
+            return None
+        a = self._a
+        return a[f"{prefix}_txi"][i], a[f"{prefix}_txs"][i]
+
     @staticmethod
     def _is_static(*vs) -> bool:
         return all(
@@ -288,8 +306,8 @@ class DynPrims:
         light_inv_area, glass, rough) per primitive in the reference
         flatten order (spheres, planes, triangles — lib.rs:120-154);
         `glass` is (transparency, ior) or None when the template has no
-        dielectrics; `rough` and `checker` likewise for the
-        metal-roughness and checker-texture channels."""
+        dielectrics; `rough`, `checker` and `tex` likewise for the
+        metal-roughness, checker-texture and image-texture channels."""
         four_pi = 4.0 * 3.14159265359
         light_idx = set(self.light_topology)
         for i in range(self.n_spheres):
@@ -307,7 +325,7 @@ class DynPrims:
             )
             yield (isect, norm, self._mat("s", i), lia,
                    self._glass("s", i), self._rough("s", i),
-                   self._checker("s", i))
+                   self._checker("s", i), self._texture("s", i))
         for i in range(self.n_planes):
             pt, n_raw = self._plane(i)
             n_unit = self._plane_unit(n_raw)
@@ -320,7 +338,7 @@ class DynPrims:
 
             yield (isect, norm, self._mat("p", i), 0.0,
                    self._glass("p", i), self._rough("p", i),
-                   self._checker("p", i))
+                   self._checker("p", i), self._texture("p", i))
         for i in range(self.n_triangles):
             v0, v1, v2 = self._triangle(i)
             e1, e2, n_unit, half_len = self._tri_derived(v0, v1, v2)
@@ -337,7 +355,7 @@ class DynPrims:
             )
             yield (isect, norm, self._mat("t", i), lia,
                    self._glass("t", i), self._rough("t", i),
-                   self._checker("t", i))
+                   self._checker("t", i), self._texture("t", i))
 
     # ---- ScenePrims interface ---------------------------------------------
 
@@ -361,8 +379,9 @@ class DynPrims:
         ro_v = zeros if self.has_rough else None
         ck = ((vm.splat(zeros), zeros) if self.has_checker
               else (None, None))
+        tx = ((zeros, zeros) if self.has_texture else (None, None))
         for (isect, norm, (m_col, m_emi, m_refl), lia, gl, rg,
-             cc) in self._sweep():
+             cc, tex) in self._sweep():
             t = isect(o, d, t_min, closest)
             better = (t > 0.0) & (t < closest)
             closest = jnp.where(better, t, closest)
@@ -383,6 +402,9 @@ class DynPrims:
                                vm.splat(zeros) + V3(cc[0], cc[1], cc[2]),
                                ck[0]),
                       jnp.where(better, zeros + cc[3], ck[1]))
+            if tex is not None:
+                tx = (jnp.where(better, zeros + tex[0], tx[0]),
+                      jnp.where(better, zeros + tex[1], tx[1]))
         p = o + d * closest
         front = vm.dot(d, normal) < 0.0
         normal = vm.where(front, normal, -normal)
@@ -390,12 +412,13 @@ class DynPrims:
         return geom.Hit(found, closest, p, normal, col, emi, refl, lia_v,
                         transparency=tp_v, ior=io_v, front=front,
                         roughness=ro_v, checker_color=ck[0],
-                        checker_scale=ck[1])
+                        checker_scale=ck[1], tex_index=tx[0],
+                        tex_scale=tx[1])
 
     def occluded(self, o: V3, d: V3, t_min, t_max, mask=None) -> jnp.ndarray:
         del mask
         blocked = jnp.zeros_like(o.x, dtype=bool)
-        for isect, _norm, _mat, _lia, _gl, _rg, _cc in self._sweep():
+        for isect, _norm, _mat, _lia, _gl, _rg, _cc, _tx in self._sweep():
             t = isect(o, d, t_min, t_max)
             blocked = blocked | ((t > 0.0) & (t < t_max))
         return blocked

@@ -196,6 +196,12 @@ class Hit(NamedTuple):
     # (scale 0 = untextured lane); same zero-cost contract.
     checker_color: V3 = None
     checker_scale: jnp.ndarray = None
+    # Image texture (extension): SIGNED atlas id (+planar / -spherical
+    # mapping, 0 = untextured lane) + uv tiling scale; same zero-cost
+    # contract (models/scene.py texture_channel, ops/tracer.py
+    # _texture_recolor).
+    tex_index: jnp.ndarray = None
+    tex_scale: jnp.ndarray = None
 
 
 def _c3(v) -> V3:
@@ -221,13 +227,29 @@ class ScenePrims:
     explicit (tag, primitive) list — the block-culled accelerator sweeps
     per-block sublists, ops/accel.py)."""
 
-    def __init__(self, scene):
+    def __init__(self, scene, tex_channel=None):
+        """`tex_channel`: (tag, material) -> (signed id, uv scale) resolving
+        image-texture names against the OWNING scene's registry
+        (Scene.texture_channel) — required only for explicit-list
+        construction whose materials are textured (the block-culled
+        accelerator passes its source scene's; a Scene argument supplies
+        its own)."""
         if isinstance(scene, scene_mod.Scene):
             self.scene = scene
             prim_list = scene.primitives
+            tex_channel = scene.texture_channel
         else:
             self.scene = None
             prim_list = tuple(scene)
+        if tex_channel is None:
+            def tex_channel(tag, m):
+                if m.is_textured:  # pragma: no cover - misuse guard
+                    raise ValueError(
+                        "textured material in an explicit primitive list "
+                        "needs tex_channel= (the owning scene's "
+                        "texture_channel)"
+                    )
+                return (0.0, 0.0)
         # Per primitive, in reference flatten order:
         #   (intersect(o, d, t_min, t_max) -> t, normal(p) -> V3, material)
         self._prims: List[Tuple[Callable, Callable, scene_mod.Material]] = []
@@ -243,7 +265,11 @@ class ScenePrims:
         # sphere/triangle, shader.wgsl:390-391 skips planes), else 0 — the
         # Hit.light_inv_area channel (MIS mode).
         self._light_inv_area: List[float] = []
+        # Per primitive: (signed texture id, uv scale) — the image-texture
+        # channels (0, 0) = untextured (models/scene.py texture_channel).
+        self._tex: List[Tuple[float, float]] = []
         for tag, prim in prim_list:
+            self._tex.append(tex_channel(tag, prim.material))
             # NEE samples a primitive iff sum(emission) > 1e-3 — the
             # reference's light_power test (shader.wgsl:345-346), which
             # Material.is_light mirrors. light_inv_area must gate on the
@@ -407,6 +433,10 @@ class ScenePrims:
                            grouped([c[2] for c in ck]))
         checker_scale = grouped([m.checker_scale if m.is_checker else 0.0
                                  for m in mats])
+        # Image-texture channels: all-zero (free broadcast constants) for
+        # untextured scenes, like transp.
+        tex_index = grouped([t[0] for t in self._tex])
+        tex_scale = grouped([t[1] for t in self._tex])
 
         p = o + d * closest
 
@@ -435,7 +465,8 @@ class ScenePrims:
             normal = vm.where(winner(k), n_k, normal)
 
         return (closest, found, p, normal, col, emi, refl, light_inv_area,
-                transp, ior, rough, checker_color, checker_scale)
+                transp, ior, rough, checker_color, checker_scale,
+                tex_index, tex_scale)
 
     def closest_hit(self, o: V3, d: V3, t_min=RAY_EPS, t_max=T_FAR,
                     mask=None) -> Hit:
@@ -445,7 +476,8 @@ class ScenePrims:
         lane sweeps everything, as the reference does."""
         del mask
         (closest, found, p, normal, col, emi, refl, lia, transp, ior,
-         rough, ck_col, ck_scale) = self.raw_closest(o, d, t_min, t_max)
+         rough, ck_col, ck_scale, tex_idx, tex_scl) = self.raw_closest(
+            o, d, t_min, t_max)
         # Front-face flip (shader.wgsl:284-287).
         front = vm.dot(d, normal) < 0.0
         normal = vm.where(front, normal, -normal)
@@ -457,7 +489,8 @@ class ScenePrims:
         return Hit(found, closest, p, normal, col, emi, refl, lia,
                    transparency=transp, ior=ior, front=front,
                    roughness=rough, checker_color=ck_col,
-                   checker_scale=ck_scale)
+                   checker_scale=ck_scale, tex_index=tex_idx,
+                   tex_scale=tex_scl)
 
     def occluded(self, o: V3, d: V3, t_min, t_max, mask=None) -> jnp.ndarray:
         """Any-hit visibility test for shadow rays (shader.wgsl:399-402:

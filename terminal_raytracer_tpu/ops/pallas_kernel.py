@@ -77,8 +77,8 @@ def _sweep_scratch_shapes(tracer, tile_h, tile_w):
     if not isinstance(tracer.prims, accel_mod.CulledPrims):
         return []
     mk = pltpu.VMEM if _HAS_PLTPU else pl.MemoryRef
-    # Instance attribute: up to +7 extension planes (glass 2, rough 1,
-    # checker 4) on top of the 13 base planes.
+    # Instance attribute: up to +9 extension planes (glass 2, rough 1,
+    # checker 4, texture 2) on top of the 13 base planes.
     return [mk((tracer.prims.N_SCRATCH, tile_h, tile_w), jnp.float32)]
 
 
@@ -98,6 +98,38 @@ def _dyn_layout(tracer):
     dynamic tracer's traced scene values (DynPrims), or the array-resident
     sweep's SoA arrays (ArrayPrims). Empty for baked tracers."""
     return getattr(tracer.prims, "dyn_layout", [])
+
+
+def _tex_ops(tracer):
+    """Host-side: the texel-atlas operand tuple for a textured tracer —
+    pallas rejects captured array constants, so the per-scene atlas rides
+    as one whole-array VMEM input (gathered in tracer._texture_recolor),
+    appended AFTER the scene-value operands. () when untextured."""
+    if not getattr(tracer, "has_texture", False):
+        return ()
+    return (jnp.asarray(tracer.tex_atlas_host, jnp.int32),)
+
+
+def _tex_specs(tracer, grid_rank, vmem):
+    """The matching in_spec list: the whole (rows, 128) atlas replicated
+    to every grid step."""
+    if not getattr(tracer, "has_texture", False):
+        return []
+    r, c = tracer.tex_atlas_host.shape
+    index_map = ((lambda i, j: (0, 0)) if grid_rank == 2
+                 else (lambda i: (0, 0)))
+    return [pl.BlockSpec((r, c), index_map, **vmem)]
+
+
+def _tex_bind_front(tracer, rest):
+    """Pop the texel-atlas VMEM ref off the front of `rest` (right after
+    the scene-value refs) and bind it into the tracer; rows are then read
+    lazily inside the trace (`tab[k:k+1, :]` works on refs and arrays
+    alike). No-op for untextured tracers."""
+    if not getattr(tracer, "has_texture", False):
+        return rest
+    tracer.bind_texture(rest[0])
+    return rest[1:]
 
 
 def _dyn_bind_front(tracer, rest):
@@ -270,6 +302,7 @@ def make_render_frame(
 
     def kernel_lockstep(pose_ref, seed_ref, frame_ref, y0_ref, *rest):
         rest = _bind_dyn(rest)
+        rest = _tex_bind_front(tracer, rest)
         out_refs = _maybe_bind_sweep(tracer, rest)
         xs, ys, active = _tile_coords(y0_ref[0])
         cam = tracer_mod.cam_from_pose(pose_ref)
@@ -297,6 +330,7 @@ def make_render_frame(
 
     def kernel_regen(pose_ref, seed_ref, frame_ref, y0_ref, *rest):
         rest = _bind_dyn(rest)
+        rest = _tex_bind_front(tracer, rest)
         rest = _maybe_bind_sweep(tracer, rest)
         (r_ref, g_ref, b_ref, var_ref, tot_ref, rays_ref, it_ref,
          u32_s, i32_s, f32_s) = rest
@@ -380,7 +414,8 @@ def make_render_frame(
             pl.BlockSpec(**smem),  # seed (1,)
             pl.BlockSpec(**smem),  # frame (1,)
             pl.BlockSpec(**smem),  # y0 row offset (1,)
-        ] + [pl.BlockSpec(**smem)] * len(dyn_operands),  # scene values
+        ] + [pl.BlockSpec(**smem)] * len(dyn_operands)  # scene values
+        + _tex_specs(tracer, 2, vmem),  # texel atlas (textured scenes)
         out_specs=[tile_spec] * n_out,
         # r, g, b, variance, total samples, per-pixel ray counts
         # (+ regen: the per-tile executed-iteration plane)
@@ -427,7 +462,8 @@ def make_render_frame(
             frame = jnp.asarray(frame_number, jnp.int32).reshape((1,))
             y0 = jnp.asarray(y0, jnp.int32).reshape((1,))
             scene_ops = _dyn_values(tracer, arrays)
-            return _finish(call(pose, seed, frame, y0, *scene_ops))
+            return _finish(call(pose, seed, frame, y0, *scene_ops,
+                                *_tex_ops(tracer)))
     else:
         auto_ops = _auto_scene_ops(tracer)
 
@@ -436,7 +472,8 @@ def make_render_frame(
             seed = jnp.asarray(seed, jnp.uint32).reshape((1,))
             frame = jnp.asarray(frame_number, jnp.int32).reshape((1,))
             y0 = jnp.asarray(y0, jnp.int32).reshape((1,))
-            return _finish(call(pose, seed, frame, y0, *(auto_ops or ())))
+            return _finish(call(pose, seed, frame, y0, *(auto_ops or ()),
+                                *_tex_ops(tracer)))
 
     return render_frame
 
@@ -676,6 +713,7 @@ def make_base_kernel(
         else:
             base_q = None
         rest = _dyn_bind_front(tracer, rest)
+        rest = _tex_bind_front(tracer, rest)
         rest = _maybe_bind_sweep(tracer, rest)
         out_refs = rest[:-3]
         u32_s, i32_s, f32_s = rest[-3:]
@@ -786,7 +824,8 @@ def make_base_kernel(
         # tile; then the optional runtime base quota and the dynamic
         # scene-value operands (SMEM scalar arrays)
         in_specs=[pl.BlockSpec(**smem)] * 4 + [tile_spec] * (3 if cb else 2)
-        + [pl.BlockSpec(**smem)] * (int(base_dynamic) + len(dyn_operands)),
+        + [pl.BlockSpec(**smem)] * (int(base_dynamic) + len(dyn_operands))
+        + _tex_specs(tracer, 1, vmem),  # texel atlas (textured scenes)
         # per-entry result bands + the trailing per-tile iteration plane
         out_specs=[tile_spec] * (bpe * pair + 1),
         out_shape=([stream_f32] * 6 + [stream_u32, stream_f32]
@@ -813,7 +852,8 @@ def make_base_kernel(
         coord_ops = ((jnp.asarray(cs0_np),) if cb else ())
         bands = call_a(pose, seed_a, frame_a, y0_a,
                        jnp.asarray(xs0_np), jnp.asarray(ys0_np),
-                       *coord_ops, *quota_ops, *scene_ops)
+                       *coord_ops, *quota_ops, *scene_ops,
+                       *_tex_ops(tracer))
 
         def assemble(q, reduce="sum"):
             # Entry e of lane L is stream entry e*n_lanes + L, so
@@ -895,7 +935,8 @@ def make_extra_kernel(
     def kernel_extra(pose_ref, xs_ref, ys_ref, state_ref, add_ref, samp0_ref,
                      *rest):
         dyn_refs = rest[: len(dyn_operands)]
-        rest = _maybe_bind_sweep(tracer, rest[len(dyn_operands):])
+        rest = _tex_bind_front(tracer, rest[len(dyn_operands):])
+        rest = _maybe_bind_sweep(tracer, rest)
         er_ref, eg_ref, eb_ref, rays_ref, it_ref, u32_s, i32_s, f32_s = rest
         zeros_t = jnp.zeros((tile_h, tile_w), jnp.float32)
         er_ref[:, :] = zeros_t
@@ -939,7 +980,8 @@ def make_extra_kernel(
         kernel_extra,
         grid=grid_b,
         in_specs=[pl.BlockSpec(**smem)] + [lane_spec] * 5
-        + [pl.BlockSpec(**smem)] * len(dyn_operands),
+        + [pl.BlockSpec(**smem)] * len(dyn_operands)
+        + _tex_specs(tracer, 2, vmem),  # texel atlas (textured scenes)
         out_specs=[lane_spec] * 5,
         out_shape=[plane_b] * 5,
         scratch_shapes=scratch_shapes + sweep_scratch,
@@ -953,7 +995,7 @@ def make_extra_kernel(
             scene_ops = auto_ops  # accel='array': the tracer's own arrays
         pose = jnp.asarray(pose, jnp.float32)
         er, eg, eb, rays, iters = call_b(pose, xs, ys, state, add, samp0,
-                                         *scene_ops)
+                                         *scene_ops, *_tex_ops(tracer))
         return V3(er, eg, eb), rays, jnp.sum(iters)
 
     return extra_fn

@@ -100,6 +100,28 @@ def hg_phase(cos_t, g: float):
     )
 
 
+def atan2(y, x):
+    """Branchless polynomial atan2 for the texture uv mapping — Mosaic has
+    no atan2 lowering (tools/perf_probe21c.py), so the SAME jnp-primitive
+    code runs in the oracle and the Pallas kernels: parity by construction
+    (the core invariant — no backend-divergent math in shared code).
+
+    Octant reduction to a = min/max of |x|,|y| in [0, 1], then a degree-9
+    odd minimax polynomial for atan(a) (max abs error ~1e-5 rad — a texel
+    knife-edge far finer than the 8-bit texel grid), then the standard
+    quadrant unfolds. atan2(0, 0) returns 0. NOT a drop-in libm atan2 —
+    accuracy is sized for texture addressing, nothing else consumes it."""
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    a = jnp.minimum(ax, ay) / jnp.where(hi > 0.0, hi, 1.0)
+    s = a * a
+    r = a * (0.99997726 + s * (-0.33262347 + s * (0.19354346 + s * (
+        -0.11643287 + s * (0.05265332 - s * 0.01172120)))))
+    r = jnp.where(ay > ax, 0.5 * PI - r, r)
+    r = jnp.where(x < 0.0, PI - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
 def sphere_light_point(state, center: V3, radius, gate=None) -> Tuple[jnp.ndarray, V3, V3, float]:
     """Uniform point on a sphere light; 2 RNG draws (shader.wgsl:352-369).
 

@@ -58,6 +58,36 @@ ADAPTIVE_VAR_THRESHOLD = 10.0  # shader.wgsl:561
 ADAPTIVE_VAR_SCALE = 50.0  # shader.wgsl:562
 
 
+def gather_texels(tab, idx, n_rows):
+    """Per-lane fetch ``tab.flat[idx]`` from the packed (n_rows, 128) i32
+    texel atlas (models/texture.py) — the image-texture extension's one
+    gather, written so the SAME shape-polymorphic jnp runs in the oracle
+    and the Pallas kernels (core invariant).
+
+    Mosaic lowers exactly one dynamic-index gather: ``take_along_axis``
+    along the minor (lane) axis (tools/perf_probe21b.py — sublane-axis and
+    1-D forms fail). A full-atlas fetch therefore decomposes by row: for
+    each atlas row, broadcast it across the lane grid, lane-gather the
+    in-row column ``idx & 127``, and select the rows' results by
+    ``idx >> 7``. O(n_rows) vector ops — measured ~1.1 us at 16 rows on
+    v5e, and n_rows is capped at scene validation (MAX_ATLAS_ROWS).
+
+    ``tab`` may be a jnp array (oracle) or a VMEM ref (kernels) — both
+    support the ``tab[k:k+1, :]`` row read. Out-of-range idx (untextured
+    lanes) return 0."""
+    r = jax.lax.shift_right_logical(idx, 7)
+    c = jnp.bitwise_and(idx, 127)
+    lead = (1,) * (c.ndim - 1)
+    shape = c.shape[:-1] + (128,)
+    out = jnp.zeros(c.shape, jnp.int32)
+    for k in range(n_rows):
+        row = jnp.broadcast_to(
+            jnp.reshape(tab[k:k + 1, :], lead + (128,)), shape)
+        got = jnp.take_along_axis(row, c, axis=-1)
+        out = jnp.where(r == k, got, out)
+    return out
+
+
 class Cam(NamedTuple):
     """Per-frame camera basis as traced scalars (the only per-frame-varying
     render inputs besides seed/frame — SURVEY.md §3.5)."""
@@ -269,10 +299,23 @@ class PathTracer:
         # pdf). reference/unbiased semantics are exact.
         self.has_rough = scene.has_rough_metals
         # Checker texture (extension): recolor hits on a world-space 3-D
-        # checkerboard — pure lane math (the TPU-sane texture; image
-        # textures would need per-lane gathers, the one thing the lane
-        # grid can't do). Statically gated like the other channels.
+        # checkerboard — pure lane math (the TPU-sane texture, no
+        # gathers at all). Statically gated like the other channels.
         self.has_checker = scene.has_checker
+        # Image textures (extension, models/texture.py): per-lane texel
+        # fetches from a packed VMEM atlas via the ONE dynamic-index
+        # gather Mosaic lowers natively — take_along_axis along the
+        # minor/lane axis (measured ~free; tools/perf_probe21b.py). The
+        # atlas is a per-scene constant: a jnp constant in the oracle,
+        # a VMEM operand in the Pallas kernels (pallas rejects captured
+        # array constants) bound via bind_texture() before tracing.
+        # Statically gated like the other channels.
+        self.has_texture = scene.has_texture
+        if self.has_texture:
+            self.tex_size = scene.texture_size
+            self.tex_rows = scene.texture_rows  # atlas rows per texture
+            self.tex_atlas_host = scene.texture_atlas()
+            self._tex_tab = None  # kernel-bound table ref/value, or None
         # Homogeneous participating medium (extension, models/scene.Fog):
         # scatter distances are sampled analytically, t = -ln(1-u)/sigma,
         # which importance-samples the transmittance EXACTLY — the path
@@ -420,6 +463,81 @@ class PathTracer:
                     )
                 )
         self.n_lights = len(self.lights)
+
+    # ------------------------------------------------------------------
+    # Image textures (extension)
+    # ------------------------------------------------------------------
+
+    def bind_texture(self, tab) -> None:
+        """Bind the texel-atlas VMEM ref (or a pre-read value) for an
+        in-kernel trace — pallas rejects captured array constants, so the
+        Pallas builders pass the atlas as an operand and bind it here
+        before tracing the kernel body. Unbound (oracle) traces read the
+        atlas as a jnp constant. No-op for untextured scenes."""
+        if self.has_texture:
+            self._tex_tab = tab
+
+    def _texture_table(self):
+        if self._tex_tab is not None:
+            return self._tex_tab
+        return jnp.asarray(self.tex_atlas_host)
+
+    def _texture_recolor(self, hit: geom.Hit) -> geom.Hit:
+        """REPLACE hit.color with the sampled texel on textured lanes.
+        Mapping by the channel's sign (models/scene.py texture_channel):
+        +id = dominant-axis planar projection of the world-space hit point
+        (the natural wall/floor mapping, same world-space spirit as the
+        checker), -id = spherical latitude/longitude of the hit normal
+        (which IS the unit radial direction on a sphere). Runs before NEE
+        and the scatter, so both consume the textured albedo.
+
+        Same KNIFE-EDGE caveat as the checker recolor below: texel-grid
+        floor() parity can flip an isolated boundary pixel between
+        programs; decisions stay exact below the RR start depth, which is
+        what the texture tests pin."""
+        ti = hit.tex_index  # f32 signed id, 0 = untextured
+        ts = hit.tex_scale
+        n, p = hit.normal, hit.p
+        # Planar: project p on the plane of the dominant |n| axis. Axis
+        # conventions: x-dominant -> (z, y), y-dominant -> (x, z),
+        # z-dominant -> (x, y).
+        ax, ay, az = jnp.abs(n.x), jnp.abs(n.y), jnp.abs(n.z)
+        xdom = (ax >= ay) & (ax >= az)
+        ydom = (~xdom) & (ay >= az)
+        u_pl = jnp.where(xdom, p.z, p.x)
+        v_pl = jnp.where(xdom, p.y, jnp.where(ydom, p.z, p.y))
+        # Spherical: latitude/longitude of the unit normal.
+        half_inv_pi = 0.5 / sampling.PI
+        u_sp = 0.5 + sampling.atan2(n.z, n.x) * half_inv_pi
+        ny = jnp.clip(n.y, -1.0, 1.0)
+        v_sp = 0.5 + sampling.atan2(
+            ny, jnp.sqrt(jnp.maximum(1.0 - ny * ny, 0.0))
+        ) * (2.0 * half_inv_pi)
+        spherical = ti < 0.0
+        u = jnp.where(spherical, u_sp, u_pl) * ts
+        v = jnp.where(spherical, v_sp, v_pl) * ts
+        u = u - jnp.floor(u)
+        v = v - jnp.floor(v)
+        s = float(self.tex_size)
+        smax = self.tex_size - 1
+        iu = jnp.minimum(jnp.floor(u * s).astype(jnp.int32), smax)
+        iv = jnp.minimum(jnp.floor(v * s).astype(jnp.int32), smax)
+        tid = jnp.abs(ti).astype(jnp.int32)
+        idx = (tid - 1) * (self.tex_rows * 128) + iv * self.tex_size + iu
+        # Untextured lanes (tid 0) compute a negative idx; max() clamps it
+        # to texel 0 (a valid but irrelevant fetch) and the final select
+        # keeps hit.color on those lanes.
+        packed = gather_texels(self._texture_table(),
+                               jnp.maximum(idx, 0),
+                               self.tex_rows * len(self.scene.textures))
+        q = 1.0 / 255.0
+        texel = V3(
+            jax.lax.shift_right_logical(packed, 16).astype(jnp.float32) * q,
+            jnp.bitwise_and(jax.lax.shift_right_logical(packed, 8),
+                            255).astype(jnp.float32) * q,
+            jnp.bitwise_and(packed, 255).astype(jnp.float32) * q,
+        )
+        return hit._replace(color=vm.where(ti != 0.0, texel, hit.color))
 
     # ------------------------------------------------------------------
     # NEE direct lighting (shader.wgsl:338-436)
@@ -639,6 +757,13 @@ class PathTracer:
             hit = hit._replace(color=vm.where(
                 (k > 0.0) & odd, hit.checker_color, hit.color
             ))
+
+        if self.has_texture:
+            # Image-texture recolor (extension): texels REPLACE the albedo
+            # on textured lanes — after the checker, so a material with
+            # both sees the texture win. Same before-NEE/scatter placement
+            # and knife-edge caveat as the checker (see _texture_recolor).
+            hit = self._texture_recolor(hit)
 
         scatter = None
         if self.has_fog:

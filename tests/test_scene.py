@@ -113,7 +113,7 @@ def test_default_scene_is_cornell():
     assert sm.load_scene() == sm.load_scene("Cornell_Box")
     assert sorted(sm.list_scenes()) == ["Cornell_Box", "cornell_glass",
                                         "demo", "mesh_demo", "scene2",
-                                        "showcase"]
+                                        "showcase", "textured"]
 
 
 def test_scene_validation_rejects_nonsense():
