@@ -97,6 +97,10 @@ CONFIGS = {
     # every scheduler iteration + the polynomial-atan2 spherical uv) —
     # measures the gather's cost against north_star
     "textured": dict(scene="textured", spp=16, depth=32, frames=480),
+    # environment-map sky at north-star params: the packaged envmap scene
+    # (globe texture sampled by ray direction on every miss; sky-lit only,
+    # no NEE lights) — measures the miss-branch sky fetch
+    "envmap": dict(scene="envmap", spp=16, depth=32, frames=480),
     # dynamic (animated) scenes: geometry streams through SMEM as runtime
     # values (ops/dynamic.py; --animate); north-star params, orbit animator
     "dynamic": dict(scene="Cornell_Box", spp=16, depth=32, dynamic=True,

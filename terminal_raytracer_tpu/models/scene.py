@@ -156,6 +156,20 @@ class Fog:
 
 
 @dataclasses.dataclass(frozen=True)
+class Sky:
+    """Environment-map sky (extension — the reference's miss shading is
+    the fixed two-color gradient, shader.wgsl:297-304). `texture` names an
+    entry in the scene's `textures` registry; rays that miss all geometry
+    sample it by direction (spherical latitude/longitude — the same
+    mapping textured spheres use) instead of the gradient, scaled by
+    `intensity`. Compile-time constants like Fog (static even in dynamic
+    mode); scenes without a sky block compile the exact gradient code."""
+
+    texture: str
+    intensity: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
 class Camera_Config:
     fov_degrees: float
     char_aspect_ratio: float
@@ -183,6 +197,9 @@ class Scene:
     # Optional homogeneous medium (extension; None = the reference's
     # vacuum — the fog code is statically absent).
     fog: Optional[Fog] = None
+    # Optional environment-map sky (extension; None = the reference's
+    # gradient — the sky-texture code is statically absent).
+    sky: Optional[Sky] = None
     # Image textures (extension, models/texture.py): the scene-level
     # registry materials reference by name. Hashable Texture tuples —
     # Scene stays a valid jit static argument; the packed VMEM atlas is
@@ -277,6 +294,17 @@ class Scene:
                 f"cost of the per-lane gather is O(rows)); use fewer or "
                 f"smaller textures"
             )
+        if self.sky is not None:
+            if self.sky.texture not in tex_names:
+                raise ValueError(
+                    f"sky references texture {self.sky.texture!r}, not in "
+                    f"the scene's textures {sorted(tex_names)!r}"
+                )
+            if not self.sky.intensity > 0.0:
+                raise ValueError(
+                    f"sky intensity must be > 0, got {self.sky.intensity!r} "
+                    f"(omit the sky block for the gradient sky)"
+                )
         for tag_name, prims in (("spheres", self.spheres),
                                 ("planes", self.planes),
                                 ("triangles", self.triangles)):
@@ -380,6 +408,20 @@ class Scene:
         gate for the texel-gather code (ops/tracer.py), exactly like
         has_dielectrics."""
         return any(p.material.is_textured for _, p in self.primitives)
+
+    @property
+    def has_sky_texture(self) -> bool:
+        """True iff miss shading samples an environment texture — the
+        static gate for the sky-fetch code (ops/tracer.py), exactly like
+        has_fog. Scene-level: no per-primitive channel exists."""
+        return self.sky is not None
+
+    @property
+    def needs_atlas(self) -> bool:
+        """True iff the trace reads the texel atlas at all — primitive
+        textures or a sky texture. Gates the atlas operand in the Pallas
+        builders (pallas_kernel._tex_ops)."""
+        return self.has_texture or self.has_sky_texture
 
     def texture_index(self, name: Optional[str]) -> int:
         """1-based atlas id of a texture name; 0 for None (untextured).
@@ -609,6 +651,25 @@ def scene_from_dict(cfg: dict, base_dir=None) -> Scene:
             albedo=_f32v(f.get("albedo", (1.0, 1.0, 1.0))),
             g=_f32(f.get("g", 0.0)),
         )
+    sky = None
+    if cfg.get("sky") is not None:
+        s = cfg["sky"]
+        # Short form: "sky": "name". Long form: {"texture": .., "intensity": ..}.
+        if isinstance(s, str):
+            sky = Sky(texture=s)
+        elif isinstance(s, dict):
+            if "texture" not in s:
+                raise ValueError(
+                    "scene 'sky' object needs a 'texture' name (or use the "
+                    "short form: \"sky\": \"texture_name\")"
+                )
+            sky = Sky(texture=str(s["texture"]),
+                      intensity=_f32(s.get("intensity", 1.0)))
+        else:
+            raise ValueError(
+                f"scene 'sky' must be a texture name or an object, got "
+                f"{type(s).__name__}"
+            )
     tex_cfg = cfg.get("textures", {})
     if not isinstance(tex_cfg, dict):
         raise ValueError(
@@ -649,6 +710,7 @@ def scene_from_dict(cfg: dict, base_dir=None) -> Scene:
             for t in cfg.get("triangles", [])
         ) + tuple(mesh_tris),
         fog=fog,
+        sky=sky,
         textures=textures,
     )
 

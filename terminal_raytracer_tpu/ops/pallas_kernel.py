@@ -101,11 +101,12 @@ def _dyn_layout(tracer):
 
 
 def _tex_ops(tracer):
-    """Host-side: the texel-atlas operand tuple for a textured tracer —
-    pallas rejects captured array constants, so the per-scene atlas rides
-    as one whole-array VMEM input (gathered in tracer._texture_recolor),
-    appended AFTER the scene-value operands. () when untextured."""
-    if not getattr(tracer, "has_texture", False):
+    """Host-side: the texel-atlas operand tuple for an atlas-reading
+    tracer (primitive textures and/or a sky texture) — pallas rejects
+    captured array constants, so the per-scene atlas rides as one
+    whole-array VMEM input (gathered in tracer._fetch_texel), appended
+    AFTER the scene-value operands. () when no texture is read."""
+    if not getattr(tracer, "needs_atlas", False):
         return ()
     return (jnp.asarray(tracer.tex_atlas_host, jnp.int32),)
 
@@ -113,7 +114,7 @@ def _tex_ops(tracer):
 def _tex_specs(tracer, grid_rank, vmem):
     """The matching in_spec list: the whole (rows, 128) atlas replicated
     to every grid step."""
-    if not getattr(tracer, "has_texture", False):
+    if not getattr(tracer, "needs_atlas", False):
         return []
     r, c = tracer.tex_atlas_host.shape
     index_map = ((lambda i, j: (0, 0)) if grid_rank == 2
@@ -125,8 +126,8 @@ def _tex_bind_front(tracer, rest):
     """Pop the texel-atlas VMEM ref off the front of `rest` (right after
     the scene-value refs) and bind it into the tracer; rows are then read
     lazily inside the trace (`tab[k:k+1, :]` works on refs and arrays
-    alike). No-op for untextured tracers."""
-    if not getattr(tracer, "has_texture", False):
+    alike). No-op for atlas-free tracers."""
+    if not getattr(tracer, "needs_atlas", False):
         return rest
     tracer.bind_texture(rest[0])
     return rest[1:]

@@ -58,8 +58,8 @@ ADAPTIVE_VAR_THRESHOLD = 10.0  # shader.wgsl:561
 ADAPTIVE_VAR_SCALE = 50.0  # shader.wgsl:562
 
 
-def gather_texels(tab, idx, n_rows):
-    """Per-lane fetch ``tab.flat[idx]`` from the packed (n_rows, 128) i32
+def gather_texels(tab, idx, n_rows, lo=0):
+    """Per-lane fetch ``tab.flat[idx]`` from the packed (rows, 128) i32
     texel atlas (models/texture.py) — the image-texture extension's one
     gather, written so the SAME shape-polymorphic jnp runs in the oracle
     and the Pallas kernels (core invariant).
@@ -69,8 +69,13 @@ def gather_texels(tab, idx, n_rows):
     1-D forms fail). A full-atlas fetch therefore decomposes by row: for
     each atlas row, broadcast it across the lane grid, lane-gather the
     in-row column ``idx & 127``, and select the rows' results by
-    ``idx >> 7``. O(n_rows) vector ops — measured ~1.1 us at 16 rows on
-    v5e, and n_rows is capped at scene validation (MAX_ATLAS_ROWS).
+    ``idx >> 7``. O(n_rows − lo) vector ops — measured ~1.1 us at 16 rows
+    on v5e, and rows are capped at scene validation (MAX_ATLAS_ROWS).
+
+    ``lo``/``n_rows`` bound the swept row range [lo, n_rows) STATICALLY —
+    callers whose indices provably land in a sub-range (a single known
+    texture, e.g. the sky map; primitive ids excluding sky-only textures)
+    pay only that slice of the atlas.
 
     ``tab`` may be a jnp array (oracle) or a VMEM ref (kernels) — both
     support the ``tab[k:k+1, :]`` row read. Out-of-range idx (untextured
@@ -80,7 +85,7 @@ def gather_texels(tab, idx, n_rows):
     lead = (1,) * (c.ndim - 1)
     shape = c.shape[:-1] + (128,)
     out = jnp.zeros(c.shape, jnp.int32)
-    for k in range(n_rows):
+    for k in range(lo, n_rows):
         row = jnp.broadcast_to(
             jnp.reshape(tab[k:k + 1, :], lead + (128,)), shape)
         got = jnp.take_along_axis(row, c, axis=-1)
@@ -311,11 +316,33 @@ class PathTracer:
         # array constants) bound via bind_texture() before tracing.
         # Statically gated like the other channels.
         self.has_texture = scene.has_texture
-        if self.has_texture:
+        # Environment-map sky (extension, models/scene.Sky): miss shading
+        # samples a texture by ray direction instead of the gradient.
+        # Scene-level and static (texture id, intensity, atlas row range
+        # are compile-time constants) — no per-primitive channel, so the
+        # traversals are untouched; only bounce_step's miss branch and the
+        # atlas operand (needs_atlas) change.
+        self.has_sky = scene.has_sky_texture
+        self.needs_atlas = scene.needs_atlas
+        if self.needs_atlas:
             self.tex_size = scene.texture_size
             self.tex_rows = scene.texture_rows  # atlas rows per texture
             self.tex_atlas_host = scene.texture_atlas()
             self._tex_tab = None  # kernel-bound table ref/value, or None
+        if self.has_texture:
+            # Static sweep bounds of the hit-recolor fetch: only rows of
+            # textures PRIMITIVES reference (a sky-only texture's rows are
+            # never recolor targets — each skipped row is ~4 vector ops
+            # per bounce, gather_texels).
+            prim_tids = sorted(
+                scene.texture_index(p.material.texture)
+                for _, p in scene.primitives if p.material.is_textured
+            )
+            self.tex_prim_lo = (prim_tids[0] - 1) * self.tex_rows
+            self.tex_prim_hi = prim_tids[-1] * self.tex_rows
+        if self.has_sky:
+            self.sky_tid = scene.texture_index(scene.sky.texture)
+            self.sky_intensity = float(scene.sky.intensity)
         # Homogeneous participating medium (extension, models/scene.Fog):
         # scatter distances are sampled analytically, t = -ln(1-u)/sigma,
         # which importance-samples the transmittance EXACTLY — the path
@@ -473,14 +500,57 @@ class PathTracer:
         in-kernel trace — pallas rejects captured array constants, so the
         Pallas builders pass the atlas as an operand and bind it here
         before tracing the kernel body. Unbound (oracle) traces read the
-        atlas as a jnp constant. No-op for untextured scenes."""
-        if self.has_texture:
+        atlas as a jnp constant. No-op for atlas-free scenes."""
+        if self.needs_atlas:
             self._tex_tab = tab
 
     def _texture_table(self):
         if self._tex_tab is not None:
             return self._tex_tab
         return jnp.asarray(self.tex_atlas_host)
+
+    def _fetch_texel(self, idx, lo, hi):
+        """Per-lane atlas fetch + rgb unpack (models/texture.py packing:
+        ``r<<16 | g<<8 | b``), sweeping atlas rows [lo, hi) — static
+        bounds, see gather_texels. Returns a [0,1] V3."""
+        packed = gather_texels(self._texture_table(), idx, hi, lo)
+        q = 1.0 / 255.0
+        return V3(
+            jax.lax.shift_right_logical(packed, 16).astype(jnp.float32) * q,
+            jnp.bitwise_and(jax.lax.shift_right_logical(packed, 8),
+                            255).astype(jnp.float32) * q,
+            jnp.bitwise_and(packed, 255).astype(jnp.float32) * q,
+        )
+
+    def _spherical_uv(self, n: V3):
+        """Latitude/longitude uv of a unit vector — the textured-sphere
+        mapping, shared by the sky fetch (sampling.atan2: the polynomial
+        both backends lower identically; Mosaic has no atan2)."""
+        half_inv_pi = 0.5 / sampling.PI
+        u = 0.5 + sampling.atan2(n.z, n.x) * half_inv_pi
+        ny = jnp.clip(n.y, -1.0, 1.0)
+        v = 0.5 + sampling.atan2(
+            ny, jnp.sqrt(jnp.maximum(1.0 - ny * ny, 0.0))
+        ) * (2.0 * half_inv_pi)
+        return u, v
+
+    def _sky_radiance(self, d: V3) -> V3:
+        """Environment-map miss shading (extension): sample the sky
+        texture by ray direction — spherical uv of the (unit) direction,
+        nearest texel, scaled by the scene's sky intensity. Replaces
+        sky_color() when scene.sky is set; the fetch sweeps ONLY the sky
+        texture's atlas rows (static bounds)."""
+        u, v = self._spherical_uv(d)
+        s = float(self.tex_size)
+        smax = self.tex_size - 1
+        # u is already in [0,1) from atan2; guard the v=1 pole exactly
+        # like the recolor clamps its top texel.
+        iu = jnp.minimum(jnp.floor(u * s).astype(jnp.int32), smax)
+        iv = jnp.minimum(jnp.floor(v * s).astype(jnp.int32), smax)
+        lo = (self.sky_tid - 1) * self.tex_rows
+        idx = lo * 128 + iv * self.tex_size + iu
+        texel = self._fetch_texel(idx, lo, lo + self.tex_rows)
+        return texel * self.sky_intensity
 
     def _texture_recolor(self, hit: geom.Hit) -> geom.Hit:
         """REPLACE hit.color with the sampled texel on textured lanes.
@@ -507,12 +577,7 @@ class PathTracer:
         u_pl = jnp.where(xdom, p.z, p.x)
         v_pl = jnp.where(xdom, p.y, jnp.where(ydom, p.z, p.y))
         # Spherical: latitude/longitude of the unit normal.
-        half_inv_pi = 0.5 / sampling.PI
-        u_sp = 0.5 + sampling.atan2(n.z, n.x) * half_inv_pi
-        ny = jnp.clip(n.y, -1.0, 1.0)
-        v_sp = 0.5 + sampling.atan2(
-            ny, jnp.sqrt(jnp.maximum(1.0 - ny * ny, 0.0))
-        ) * (2.0 * half_inv_pi)
+        u_sp, v_sp = self._spherical_uv(n)
         spherical = ti < 0.0
         u = jnp.where(spherical, u_sp, u_pl) * ts
         v = jnp.where(spherical, v_sp, v_pl) * ts
@@ -525,18 +590,13 @@ class PathTracer:
         tid = jnp.abs(ti).astype(jnp.int32)
         idx = (tid - 1) * (self.tex_rows * 128) + iv * self.tex_size + iu
         # Untextured lanes (tid 0) compute a negative idx; max() clamps it
-        # to texel 0 (a valid but irrelevant fetch) and the final select
-        # keeps hit.color on those lanes.
-        packed = gather_texels(self._texture_table(),
-                               jnp.maximum(idx, 0),
-                               self.tex_rows * len(self.scene.textures))
-        q = 1.0 / 255.0
-        texel = V3(
-            jax.lax.shift_right_logical(packed, 16).astype(jnp.float32) * q,
-            jnp.bitwise_and(jax.lax.shift_right_logical(packed, 8),
-                            255).astype(jnp.float32) * q,
-            jnp.bitwise_and(packed, 255).astype(jnp.float32) * q,
-        )
+        # to texel 0 (a valid but irrelevant fetch — or, when the swept
+        # range excludes row 0, an unswept index returning 0) and the
+        # final select keeps hit.color on those lanes. The sweep covers
+        # only rows of primitive-referenced textures (tex_prim_lo/hi —
+        # sky-only textures are excluded statically).
+        texel = self._fetch_texel(jnp.maximum(idx, 0),
+                                  self.tex_prim_lo, self.tex_prim_hi)
         return hit._replace(color=vm.where(ti != 0.0, texel, hit.color))
 
     # ------------------------------------------------------------------
@@ -792,7 +852,13 @@ class PathTracer:
         if scatter is not None:
             miss_now = miss_now & (~scatter)
             live = live & (~scatter)
-        acc = acc + vm.where(miss_now, sky_color(d) * att, vm.splat(zeros))
+        # Environment-map sky (extension): miss radiance comes from the
+        # sky texture sampled by ray direction instead of the gradient.
+        # The sky is never NEE-sampled (reference semantics — NEE targets
+        # emissive primitives only), so every transport adds it at full
+        # attenuation, exactly like the gradient.
+        sky = self._sky_radiance(d) if self.has_sky else sky_color(d)
+        acc = acc + vm.where(miss_now, sky * att, vm.splat(zeros))
 
         # Emission on direct hit (wgsl:455) — every bounce, unweighted, in
         # reference mode; NEE-aware gating in unbiased mode; balance-

@@ -112,8 +112,8 @@ def test_malformed_json_error(tmp_path):
 def test_default_scene_is_cornell():
     assert sm.load_scene() == sm.load_scene("Cornell_Box")
     assert sorted(sm.list_scenes()) == ["Cornell_Box", "cornell_glass",
-                                        "demo", "mesh_demo", "scene2",
-                                        "showcase", "textured"]
+                                        "demo", "envmap", "mesh_demo",
+                                        "scene2", "showcase", "textured"]
 
 
 def test_scene_validation_rejects_nonsense():
