@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--focus", type=float, default=None,
                    help="(ext) focus distance along the view axis "
                         "(with --aperture)")
+    p.add_argument("--filter", dest="texture_filter", default=None,
+                   choices=("nearest", "bilinear"),
+                   help="(ext) texture magnification filter override: "
+                        "'bilinear' blends the 2x2 texel neighborhood at "
+                        "every image-texture/sky fetch (default: the "
+                        "scene's texture_filter, or nearest)")
     p.add_argument("--fog", metavar="D[:R,G,B[:G]]", default=None,
                    help="(ext) homogeneous volumetric fog: extinction "
                         "density D per world unit, optional scattering "
@@ -200,7 +206,7 @@ def main(argv=None) -> int:
             width=args.width, height=args.height,
             samples_per_pixel=args.spp, max_depth=args.depth,
             aperture=args.aperture, focus_distance=args.focus,
-            fog=fog,
+            fog=fog, texture_filter=args.texture_filter,
         )
     except (FileNotFoundError, ValueError, KeyError) as e:
         print(f"error: {e}", file=sys.stderr)

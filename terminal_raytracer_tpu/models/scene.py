@@ -200,6 +200,13 @@ class Scene:
     # Optional environment-map sky (extension; None = the reference's
     # gradient — the sky-texture code is statically absent).
     sky: Optional[Sky] = None
+    # Texture magnification filter (extension): 'nearest' (default —
+    # scenes compile the exact one-gather fetch) or 'bilinear' (a
+    # 2x2-texel lerp at every fetch site: smooth close-ups for ~3x the
+    # gather cost; texel coordinates wrap on all edges, matching the
+    # fract() tiling of the nearest path — at the spherical mapping's
+    # poles the blend wraps to the opposite row, a documented artifact).
+    texture_filter: str = "nearest"
     # Image textures (extension, models/texture.py): the scene-level
     # registry materials reference by name. Hashable Texture tuples —
     # Scene stays a valid jit static argument; the packed VMEM atlas is
@@ -293,6 +300,11 @@ class Scene:
                 f"texture atlas exceeds {MAX_ATLAS_ROWS} rows (the trace "
                 f"cost of the per-lane gather is O(rows)); use fewer or "
                 f"smaller textures"
+            )
+        if self.texture_filter not in ("nearest", "bilinear"):
+            raise ValueError(
+                f"texture_filter must be 'nearest' or 'bilinear', got "
+                f"{self.texture_filter!r}"
             )
         if self.sky is not None:
             if self.sky.texture not in tex_names:
@@ -423,6 +435,13 @@ class Scene:
         builders (pallas_kernel._tex_ops)."""
         return self.has_texture or self.has_sky_texture
 
+    @property
+    def tex_bilinear(self) -> bool:
+        """True iff texel fetches bilinearly blend the 2x2 neighborhood —
+        the static gate for the filtered fetch (ops/tracer.py); 'nearest'
+        scenes compile the exact one-gather program."""
+        return self.texture_filter == "bilinear"
+
     def texture_index(self, name: Optional[str]) -> int:
         """1-based atlas id of a texture name; 0 for None (untextured).
         Ids are positional in the `textures` tuple."""
@@ -499,6 +518,7 @@ class Scene:
         aperture: Optional[float] = None,
         focus_distance: Optional[float] = None,
         fog: Optional["Fog"] = None,
+        texture_filter: Optional[str] = None,
     ) -> "Scene":
         """Benchmark / terminal-clamp overrides (lib.rs:113-115), plus the
         depth-of-field lens parameters (CLI --aperture/--focus)."""
@@ -525,6 +545,8 @@ class Scene:
             kw["frames_to_accumulate"] = int(frames_to_accumulate)
         if fog is not None:
             kw["fog"] = fog
+        if texture_filter is not None:
+            kw["texture_filter"] = str(texture_filter)
         return dataclasses.replace(self, **kw)
 
     def clamp_to_terminal(self, term_width: int, term_height: int) -> "Scene":
@@ -712,6 +734,7 @@ def scene_from_dict(cfg: dict, base_dir=None) -> Scene:
         fog=fog,
         sky=sky,
         textures=textures,
+        texture_filter=str(cfg.get("texture_filter", "nearest")),
     )
 
 

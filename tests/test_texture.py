@@ -314,3 +314,111 @@ def test_untextured_scene_pays_nothing():
     assert not tracer.has_texture
     assert pallas_kernel._tex_ops(tracer) == ()
     assert pallas_kernel._tex_specs(tracer, 2, {}) == []
+
+
+# ---------------------------------------------------------------------------
+# Bilinear magnification filter (texture_filter='bilinear')
+# ---------------------------------------------------------------------------
+
+
+def test_bilinear_gate_and_validation():
+    assert not _textured_scene().tex_bilinear  # default: nearest
+    assert _textured_scene(texture_filter="bilinear").tex_bilinear
+    with pytest.raises(ValueError, match="texture_filter"):
+        _textured_scene(texture_filter="cubic")
+
+
+def test_bilinear_equals_nearest_on_constant_texture():
+    # All four blended texels are equal, so the lerp is exact — the whole
+    # render (colors, ray counts, budgets) must match nearest bit-for-bit.
+    flat = {"pixels": [[[200, 100, 50]] * 4] * 4}
+    cn = _render(PathTracer(_textured_scene(textures={"quad": flat})))
+    cb = _render(PathTracer(_textured_scene(textures={"quad": flat},
+                                            texture_filter="bilinear")))
+    for a, b in zip(cn[0], cb[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(cn[2]), np.asarray(cb[2]))
+    assert float(cn[3]) == float(cb[3])
+
+
+def test_bilinear_fetch_matches_numpy_reference():
+    # The raw filtered fetch vs an independent numpy bilinear-with-wrap:
+    # texel centers at (i+0.5)/S, all edges wrap (tracer._fetch_bilinear).
+    scene = _textured_scene(texture_filter="bilinear")
+    t = PathTracer(scene)
+    S = t.tex_size
+    rng = np.random.default_rng(7)
+    u = rng.random((16, 128), np.float32)
+    v = rng.random((16, 128), np.float32)
+    got = jax.jit(
+        lambda uu, vv: t._fetch_bilinear(0, uu, vv, 0, t.tex_rows)
+    )(jnp.asarray(u), jnp.asarray(v))
+    atlas = np.asarray(t.tex_atlas_host).reshape(-1)[:S * S]
+    tex = np.stack([(atlas >> 16) & 255, (atlas >> 8) & 255, atlas & 255],
+                   axis=-1).reshape(S, S, 3).astype(np.float32) / 255.0
+    x = u.astype(np.float64) * S - 0.5
+    y = v.astype(np.float64) * S - 0.5
+    x0, y0 = np.floor(x).astype(int), np.floor(y).astype(int)
+    fx, fy = (x - x0).astype(np.float32), (y - y0).astype(np.float32)
+    iu0, iv0 = x0 & (S - 1), y0 & (S - 1)
+    iu1, iv1 = (iu0 + 1) & (S - 1), (iv0 + 1) & (S - 1)
+    t00, t01 = tex[iv0, iu0], tex[iv0, iu1]
+    t10, t11 = tex[iv1, iu0], tex[iv1, iu1]
+    fx, fy = fx[..., None], fy[..., None]
+    want = (t00 + (t01 - t00) * fx) * (1 - fy) + (t10 + (t11 - t10) * fx) * fy
+    for c, ch in enumerate((got.x, got.y, got.z)):
+        np.testing.assert_allclose(np.asarray(ch), want[..., c],
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_bilinear_smooths_texel_edges():
+    # Across one texel row of a 2-color stripe texture, nearest jumps in
+    # one step; bilinear produces intermediate values.
+    stripe = {"pixels": [[[255, 0, 0] if j < 8 else [0, 0, 255]
+                          for j in range(16)] for _ in range(16)]}
+    scene = _textured_scene(textures={"quad": stripe},
+                            texture_filter="bilinear")
+    t = PathTracer(scene)
+    u = jnp.asarray(np.linspace(0.3, 0.7, 128, dtype=np.float32)[None, :])
+    v = jnp.full((1, 128), 0.5, jnp.float32)
+    got = np.asarray(jax.jit(
+        lambda uu, vv: t._fetch_bilinear(0, uu, vv, 0, t.tex_rows).x
+    )(u, v))[0]
+    mid = (got > 0.2) & (got < 0.8)
+    assert mid.sum() >= 4, "no blended samples across the stripe edge"
+    assert got[0] > 0.9 and got[-1] < 0.1
+
+
+def test_bilinear_pallas_schedulers_match_oracle():
+    scene = _textured_scene(texture_filter="bilinear")
+    cur_o, _vo, tot_o, rays_o = _render(PathTracer(scene))
+    for mode in ("lockstep", "regen", "sorted"):
+        pf = jax.jit(pallas_kernel.make_render_frame(scene, mode=mode))
+        cur_p, _vp, tot_p, rays_p, _occ = pf(POSE, np.uint32(42),
+                                             np.int32(0))
+        err = f"mode={mode}"
+        np.testing.assert_array_equal(np.asarray(tot_p), np.asarray(tot_o),
+                                      err)
+        assert float(rays_p) == float(rays_o), err
+        for a, b in ((cur_p.x, cur_o.x), (cur_p.y, cur_o.y),
+                     (cur_p.z, cur_o.z)):
+            diff = np.abs(np.asarray(a) - np.asarray(b))
+            outliers = int((diff > 2e-5).sum())
+            assert outliers <= diff.size // 100, (err, outliers)
+            assert np.median(diff) < 2e-6, (err, float(np.median(diff)))
+
+
+def test_bilinear_sky():
+    # The sky fetch takes the same filtered path (scene-level static).
+    import copy as _copy
+
+    from tests.test_sky import _sky_scene, _WHITE
+
+    scene = _sky_scene(textures={"quad": _copy.deepcopy(_WHITE)},
+                       sky={"texture": "quad", "intensity": 1.5},
+                       samples_per_pixel=4, texture_filter="bilinear")
+    assert scene.tex_bilinear and scene.has_sky_texture
+    cur, *_ = _render(PathTracer(scene))
+    a = np.asarray(cur.x)
+    assert (a == a[0, 0]).all()
+    np.testing.assert_allclose(a, 1.5, rtol=2e-7)
