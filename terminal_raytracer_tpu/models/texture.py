@@ -28,7 +28,8 @@ Scene JSON (schema superset, inert when absent):
     ...
     "planes": [{..., "texture": "bricks", "texture_scale": 0.5}]
 
-``file`` is a binary PPM (P6) resolved relative to the scene file;
+``file`` is a binary PPM (P6) or an 8-bit truecolor PNG (by suffix),
+resolved relative to the scene file;
 ``pixels`` is rows-of-[r,g,b] ints in [0,255], row 0 = TOP row (image
 order, flipped to bottom-up at pack time). Mapping is chosen by primitive
 kind: spheres get spherical (latitude/longitude of the hit normal),
@@ -115,7 +116,10 @@ def texture_from_spec(name: str, spec: dict, base_dir=None,
             raise FileNotFoundError(
                 f"texture {name!r}: no such file {str(path)!r}"
             )
-        img = imageio.read_ppm(path)
+        if path.suffix.lower() == ".png":
+            img = imageio.read_png(path)
+        else:
+            img = imageio.read_ppm(path)
     else:
         img = np.asarray(spec["pixels"])
         if img.ndim != 3 or img.shape[2] != 3 or img.size == 0:

@@ -422,3 +422,63 @@ def test_bilinear_sky():
     a = np.asarray(cur.x)
     assert (a == a[0, 0]).all()
     np.testing.assert_allclose(a, 1.5, rtol=2e-7)
+
+
+# ---------------------------------------------------------------------------
+# PNG texture files (stdlib reader, utils/imageio.read_png)
+# ---------------------------------------------------------------------------
+
+
+def test_read_png_roundtrip_and_filters(tmp_path):
+    from terminal_raytracer_tpu.utils import imageio
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(24, 17, 3)).astype(np.uint8)
+    # our own writer (filter 0 rows)
+    imageio.write_png(tmp_path / "a.png", img)
+    np.testing.assert_array_equal(imageio.read_png(tmp_path / "a.png"), img)
+    # an independent encoder picks Sub/Up/Average/Paeth filters per row —
+    # exercise the full filter decoder (PIL is a dev-env tool here, not a
+    # package dependency)
+    PIL = pytest.importorskip("PIL.Image")
+    grad = (np.arange(24)[:, None, None] * 10
+            + np.arange(17)[None, :, None] * 5
+            + np.arange(3)[None, None, :]) % 256
+    for arr in (img, grad.astype(np.uint8)):
+        PIL.fromarray(arr).save(tmp_path / "b.png", optimize=True)
+        np.testing.assert_array_equal(imageio.read_png(tmp_path / "b.png"),
+                                      arr)
+        # RGBA: alpha dropped
+        rgba = np.concatenate([arr, np.full((24, 17, 1), 200, np.uint8)],
+                              axis=-1)
+        PIL.fromarray(rgba, "RGBA").save(tmp_path / "c.png")
+        np.testing.assert_array_equal(imageio.read_png(tmp_path / "c.png"),
+                                      arr)
+
+
+def test_read_png_rejects_unsupported(tmp_path):
+    from terminal_raytracer_tpu.utils import imageio
+
+    (tmp_path / "x.png").write_bytes(b"not a png")
+    with pytest.raises(ValueError, match="not a PNG"):
+        imageio.read_png(tmp_path / "x.png")
+    PIL = pytest.importorskip("PIL.Image")
+    pal = PIL.fromarray(np.zeros((4, 4, 3), np.uint8)).convert("P")
+    pal.save(tmp_path / "p.png")
+    with pytest.raises(ValueError, match="color type"):
+        imageio.read_png(tmp_path / "p.png")
+
+
+def test_png_texture_in_scene(tmp_path):
+    from terminal_raytracer_tpu.utils import imageio
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:8] = (255, 0, 0)
+    img[8:] = (0, 0, 255)
+    imageio.write_png(tmp_path / "t.png", img)
+    imageio.write_ppm(tmp_path / "t.ppm", img)
+    t_png = tx.texture_from_spec("t", {"file": "t.png"},
+                                 base_dir=tmp_path, size=16)
+    t_ppm = tx.texture_from_spec("t", {"file": "t.ppm"},
+                                 base_dir=tmp_path, size=16)
+    assert t_png.texels == t_ppm.texels  # byte-identical load paths
