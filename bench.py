@@ -101,6 +101,10 @@ CONFIGS = {
     # (globe texture sampled by ray direction on every miss; sky-lit only,
     # no NEE lights) — measures the miss-branch sky fetch
     "envmap": dict(scene="envmap", spp=16, depth=32, frames=480),
+    # normal-map extension at north-star params: the packaged bumpy scene
+    # (bricks color + derived normal map on floor/wall = TWO mapped
+    # fetches + the tangent-frame math every iteration)
+    "bumpy": dict(scene="bumpy", spp=16, depth=32, frames=480),
     # dynamic (animated) scenes: geometry streams through SMEM as runtime
     # values (ops/dynamic.py; --animate); north-star params, orbit animator
     "dynamic": dict(scene="Cornell_Box", spp=16, depth=32, dynamic=True,

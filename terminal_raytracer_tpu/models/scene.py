@@ -96,6 +96,15 @@ class Material(NamedTuple):
     # mapping. None = untextured (reference-exact).
     texture: Optional[str] = None
     texture_scale: float = 1.0
+    # Normal map (extension): the name of a scene-level texture read as a
+    # TANGENT-SPACE normal map (rgb -> [-1,1] xyz, z up) perturbing the
+    # shading normal at hits — same uv mapping as `texture` (spherical on
+    # spheres, dominant-axis planar on planes/triangles), tiled by
+    # `normal_scale`; `normal_strength` scales the tangential deflection
+    # (1 = the map as authored). None = flat (reference-exact).
+    normal_map: Optional[str] = None
+    normal_scale: float = 1.0
+    normal_strength: float = 1.0
 
     @property
     def is_light(self) -> bool:
@@ -116,6 +125,10 @@ class Material(NamedTuple):
     @property
     def is_textured(self) -> bool:
         return self.texture is not None
+
+    @property
+    def is_normal_mapped(self) -> bool:
+        return self.normal_map is not None
 
 
 class Sphere(NamedTuple):
@@ -349,6 +362,26 @@ class Scene:
                             f"{tag_name}[{i}] texture_scale must be > 0 on "
                             f"a textured material, got {m.texture_scale!r}"
                         )
+                if m.normal_map is not None:
+                    if m.normal_map not in tex_names:
+                        raise ValueError(
+                            f"{tag_name}[{i}] references normal_map "
+                            f"{m.normal_map!r}, not in the scene's textures "
+                            f"{sorted(tex_names)!r}"
+                        )
+                    if not m.normal_scale > 0.0:
+                        raise ValueError(
+                            f"{tag_name}[{i}] normal_scale must be > 0 on "
+                            f"a normal-mapped material, got "
+                            f"{m.normal_scale!r}"
+                        )
+                    if not m.normal_strength > 0.0:
+                        raise ValueError(
+                            f"{tag_name}[{i}] normal_strength must be > 0 "
+                            f"on a normal-mapped material, got "
+                            f"{m.normal_strength!r} (omit normal_map for a "
+                            f"flat surface)"
+                        )
                 if m.transparency > 0.0:
                     if not m.ior > 0.0:
                         raise ValueError(
@@ -422,6 +455,13 @@ class Scene:
         return any(p.material.is_textured for _, p in self.primitives)
 
     @property
+    def has_normal_map(self) -> bool:
+        """True iff any primitive perturbs its shading normal from a
+        normal-map texture — the static gate for the tangent-frame +
+        perturbation code (ops/tracer.py), exactly like has_texture."""
+        return any(p.material.is_normal_mapped for _, p in self.primitives)
+
+    @property
     def has_sky_texture(self) -> bool:
         """True iff miss shading samples an environment texture — the
         static gate for the sky-fetch code (ops/tracer.py), exactly like
@@ -431,9 +471,9 @@ class Scene:
     @property
     def needs_atlas(self) -> bool:
         """True iff the trace reads the texel atlas at all — primitive
-        textures or a sky texture. Gates the atlas operand in the Pallas
-        builders (pallas_kernel._tex_ops)."""
-        return self.has_texture or self.has_sky_texture
+        textures, normal maps, or a sky texture. Gates the atlas operand
+        in the Pallas builders (pallas_kernel._tex_ops)."""
+        return self.has_texture or self.has_sky_texture or self.has_normal_map
 
     @property
     def tex_bilinear(self) -> bool:
@@ -463,6 +503,18 @@ class Scene:
             return 0.0, 0.0
         return (float(-tid) if tag == SPHERE else float(tid),
                 _f32(m.texture_scale))
+
+    def normal_channel(self, tag: int, m: "Material") -> Tuple[float, float,
+                                                               float]:
+        """The three per-primitive normal-map channel values: a SIGNED id
+        (same mapping convention as texture_channel: +planar / -spherical,
+        0 = unmapped), the uv tiling scale, and the tangential deflection
+        strength (0 marks unmapped in the numeric channels)."""
+        nid = self.texture_index(m.normal_map)
+        if nid == 0:
+            return 0.0, 0.0, 0.0
+        return (float(-nid) if tag == SPHERE else float(nid),
+                _f32(m.normal_scale), _f32(m.normal_strength))
 
     @property
     def texture_size(self) -> int:
@@ -565,6 +617,7 @@ class Scene:
 
         def mat_cols(tag, prims):
             tex = [self.texture_channel(tag, p.material) for p in prims]
+            nm = [self.normal_channel(tag, p.material) for p in prims]
             return (
                 np.array([p.material.color for p in prims], np.float32).reshape(-1, 3),
                 np.array([p.material.emission for p in prims], np.float32).reshape(-1, 3),
@@ -580,14 +633,21 @@ class Scene:
                 # Signed texture id (0 = none) + uv scale (texture_channel).
                 np.array([ti for ti, _ in tex], np.float32),
                 np.array([ts for _, ts in tex], np.float32),
+                # Normal-map channels (normal_channel: id, scale, strength).
+                np.array([c[0] for c in nm], np.float32),
+                np.array([c[1] for c in nm], np.float32),
+                np.array([c[2] for c in nm], np.float32),
             )
 
         (s_col, s_emi, s_ref, s_tra, s_ior, s_rgh, s_ckc,
-         s_cks, s_txi, s_txs) = mat_cols(SPHERE, self.spheres)
+         s_cks, s_txi, s_txs, s_nmi, s_nmx, s_nms) = mat_cols(
+            SPHERE, self.spheres)
         (p_col, p_emi, p_ref, p_tra, p_ior, p_rgh, p_ckc,
-         p_cks, p_txi, p_txs) = mat_cols(PLANE, self.planes)
+         p_cks, p_txi, p_txs, p_nmi, p_nmx, p_nms) = mat_cols(
+            PLANE, self.planes)
         (t_col, t_emi, t_ref, t_tra, t_ior, t_rgh, t_ckc,
-         t_cks, t_txi, t_txs) = mat_cols(TRIANGLE, self.triangles)
+         t_cks, t_txi, t_txs, t_nmi, t_nmx, t_nms) = mat_cols(
+            TRIANGLE, self.triangles)
         return {
             "sphere_center": np.array([s.center for s in self.spheres], np.float32).reshape(-1, 3),
             "sphere_radius": np.array([s.radius for s in self.spheres], np.float32),
@@ -595,12 +655,14 @@ class Scene:
             "sphere_transparency": s_tra, "sphere_ior": s_ior, "sphere_roughness": s_rgh,
             "sphere_checker_color": s_ckc, "sphere_checker_scale": s_cks,
             "sphere_tex_index": s_txi, "sphere_tex_scale": s_txs,
+            "sphere_nm_index": s_nmi, "sphere_nm_scale": s_nmx, "sphere_nm_strength": s_nms,
             "plane_point": np.array([p.point for p in self.planes], np.float32).reshape(-1, 3),
             "plane_normal": np.array([p.normal for p in self.planes], np.float32).reshape(-1, 3),
             "plane_color": p_col, "plane_emission": p_emi, "plane_reflectivity": p_ref,
             "plane_transparency": p_tra, "plane_ior": p_ior, "plane_roughness": p_rgh,
             "plane_checker_color": p_ckc, "plane_checker_scale": p_cks,
             "plane_tex_index": p_txi, "plane_tex_scale": p_txs,
+            "plane_nm_index": p_nmi, "plane_nm_scale": p_nmx, "plane_nm_strength": p_nms,
             "triangle_v0": np.array([t.v0 for t in self.triangles], np.float32).reshape(-1, 3),
             "triangle_v1": np.array([t.v1 for t in self.triangles], np.float32).reshape(-1, 3),
             "triangle_v2": np.array([t.v2 for t in self.triangles], np.float32).reshape(-1, 3),
@@ -608,6 +670,7 @@ class Scene:
             "triangle_transparency": t_tra, "triangle_ior": t_ior, "triangle_roughness": t_rgh,
             "triangle_checker_color": t_ckc, "triangle_checker_scale": t_cks,
             "triangle_tex_index": t_txi, "triangle_tex_scale": t_txs,
+            "triangle_nm_index": t_nmi, "triangle_nm_scale": t_nmx, "triangle_nm_strength": t_nms,
         }
 
 
@@ -630,6 +693,9 @@ def _material(d: dict) -> Material:
         checker_scale=_f32(d.get("checker_scale", 1.0)),
         texture=d.get("texture"),
         texture_scale=_f32(d.get("texture_scale", 1.0)),
+        normal_map=d.get("normal_map"),
+        normal_scale=_f32(d.get("normal_scale", 1.0)),
+        normal_strength=_f32(d.get("normal_strength", 1.0)),
     )
 
 
@@ -646,6 +712,12 @@ def _check_material_dict(d: dict) -> None:
             "material has texture_scale but no texture — an image texture "
             "needs both (did you misspell texture?)"
         )
+    for k in ("normal_scale", "normal_strength"):
+        if k in d and "normal_map" not in d:
+            raise ValueError(
+                f"material has {k} but no normal_map — a normal map needs "
+                f"the map name (did you misspell normal_map?)"
+            )
 
 
 def scene_from_dict(cfg: dict, base_dir=None) -> Scene:

@@ -238,8 +238,9 @@ class CulledPrims:
     blocked order densely — identical results, since culling is
     output-invariant. Inside a Pallas kernel, `bind(scratch)` supplies an
     (N_SCRATCH, tile_h, tile_w) f32 VMEM scratch — N_SCRATCH is an
-    INSTANCE attribute, 13 base planes plus up to 9 extension-channel
-    planes (glass 2, rough 1, checker 4, texture 2) — that carries the
+    INSTANCE attribute, 13 base planes plus up to 12 extension-channel
+    planes (glass 2, rough 1, checker 4, texture 2, normal map 3) — that
+    carries the
     sweep state across the `pl.when`-guarded per-block sweeps (Mosaic has
     no vector phi across branches; refs are the idiom)."""
 
@@ -250,7 +251,8 @@ class CulledPrims:
         self.dense = geom.ScenePrims(self.scene_blocked)
         self._groups = [
             (geom.ScenePrims(g.prims,
-                             tex_channel=self.scene_blocked.texture_channel),
+                             tex_channel=self.scene_blocked.texture_channel,
+                             nm_channel=self.scene_blocked.normal_channel),
              g.aabb)
             for g in groups
         ]
@@ -280,6 +282,11 @@ class CulledPrims:
         if self.has_texture:
             self._tex_slots = (slot, slot + 1)
             slot += 2
+        self.has_normal_map = scene.has_normal_map
+        self._nm_slots = None
+        if self.has_normal_map:
+            self._nm_slots = (slot, slot + 1, slot + 2)
+            slot += 3
         self.N_SCRATCH = slot
 
     def bind(self, scratch_ref):
@@ -312,8 +319,8 @@ class CulledPrims:
             def body(sub=sub):
                 closest0 = s[0]
                 (t, found, _p, n_b, col_b, emi_b, refl_b, lia_b, tp_b,
-                 io_b, ro_b, ckc_b, cks_b, txi_b, txs_b) = sub.raw_closest(
-                    o, d, t_min, closest0)
+                 io_b, ro_b, ckc_b, cks_b, txi_b, txs_b, nmi_b, nmx_b,
+                 nms_b) = sub.raw_closest(o, d, t_min, closest0)
                 # t == closest0 where not found, so the write is safe
                 # unconditionally; material planes merge by winner mask.
                 s[0] = t
@@ -346,6 +353,11 @@ class CulledPrims:
                     x0, x1 = self._tex_slots
                     s[x0] = jnp.where(found, txi_b, s[x0])
                     s[x1] = jnp.where(found, txs_b, s[x1])
+                if self.has_normal_map:
+                    m0, m1, m2 = self._nm_slots
+                    s[m0] = jnp.where(found, nmi_b, s[m0])
+                    s[m1] = jnp.where(found, nmx_b, s[m1])
+                    s[m2] = jnp.where(found, nms_b, s[m2])
 
             if aabb is None:
                 body()
@@ -372,6 +384,11 @@ class CulledPrims:
             tex_idx, tex_scl = s[x0], s[x1]
         else:
             tex_idx = tex_scl = None
+        if self.has_normal_map:
+            m0, m1, m2 = self._nm_slots
+            nm_idx, nm_scl, nm_str = s[m0], s[m1], s[m2]
+        else:
+            nm_idx = nm_scl = nm_str = None
         p = o + d * closest
         front = vm.dot(d, normal) < 0.0
         normal = vm.where(front, normal, -normal)
@@ -380,7 +397,8 @@ class CulledPrims:
                         transparency=transp, ior=ior, front=front,
                         roughness=rough, checker_color=ck_col,
                         checker_scale=ck_scale, tex_index=tex_idx,
-                        tex_scale=tex_scl)
+                        tex_scale=tex_scl, nm_index=nm_idx,
+                        nm_scale=nm_scl, nm_strength=nm_str)
 
     def occluded(self, o: V3, d: V3, t_min, t_max, mask=None):
         if self._scratch is None:

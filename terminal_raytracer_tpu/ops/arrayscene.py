@@ -151,6 +151,10 @@ class _Rec(NamedTuple):
     ks: jnp.ndarray = None
     tx: jnp.ndarray = None
     xs: jnp.ndarray = None
+    # normal-map channels (id / uv scale / strength)
+    mi: jnp.ndarray = None
+    mx: jnp.ndarray = None
+    ms: jnp.ndarray = None
 
 
 class ArrayPrims:
@@ -180,6 +184,7 @@ class ArrayPrims:
         self.has_rough = scene.has_rough_metals
         self.has_checker = scene.has_checker
         self.has_texture = scene.has_texture
+        self.has_normal_map = scene.has_normal_map
         self.host_arrays = pack_scene_soa(scene)
         counts = {"s": self.n_spheres, "p": self.n_planes,
                   "t": self.n_triangles}
@@ -282,6 +287,12 @@ class ArrayPrims:
                 if rec.tx is not None else None),
             xs=(sel(a[f"{pre}_txs"][i], rec.xs)
                 if rec.xs is not None else None),
+            mi=(sel(a[f"{pre}_nmi"][i], rec.mi)
+                if rec.mi is not None else None),
+            mx=(sel(a[f"{pre}_nmx"][i], rec.mx)
+                if rec.mx is not None else None),
+            ms=(sel(a[f"{pre}_nms"][i], rec.ms)
+                if rec.ms is not None else None),
         )
 
     def _sweep_closest(self, o: V3, d: V3, t_min, rec: _Rec) -> _Rec:
@@ -341,8 +352,9 @@ class ArrayPrims:
         rough_init = (zeros,) if self.has_rough else (None,)
         checker_init = ((zeros,) * 4 if self.has_checker else (None,) * 4)
         tex_init = ((zeros,) * 2 if self.has_texture else (None,) * 2)
+        nm_init = ((zeros,) * 3 if self.has_normal_map else (None,) * 3)
         rec = _Rec(zeros + t_max, *([zeros] * 12), *glass_init,
-                   *rough_init, *checker_init, *tex_init)
+                   *rough_init, *checker_init, *tex_init, *nm_init)
         rec = self._sweep_closest(o, d, t_min, rec)
         found = rec.found != 0.0
         p = o + d * rec.closest
@@ -358,7 +370,8 @@ class ArrayPrims:
                         transparency=rec.tp, ior=rec.io, front=front,
                         roughness=rec.ro, checker_color=ck_col,
                         checker_scale=rec.ks, tex_index=rec.tx,
-                        tex_scale=rec.xs)
+                        tex_scale=rec.xs, nm_index=rec.mi,
+                        nm_scale=rec.mx, nm_strength=rec.ms)
 
     def occluded(self, o: V3, d: V3, t_min, t_max, mask=None) -> jnp.ndarray:
         """Any-hit shadow sweep (shader.wgsl:399-402)."""

@@ -63,6 +63,10 @@ CHECKER_KEYS = ("ckr", "ckg", "ckb", "cks")
 # models/scene.py texture_channel). The atlas itself is STATIC like the
 # light topology (animators may vary the id/scale values, not the texels).
 TEXTURE_KEYS = ("txi", "txs")
+# Normal-map channels (signed atlas id + uv scale + tangential strength;
+# id 0 = unmapped — models/scene.py normal_channel). Same static-atlas
+# contract as TEXTURE_KEYS.
+NORMALMAP_KEYS = ("nmi", "nmx", "nms")
 
 
 def ext_mat_keys(scene) -> tuple:
@@ -73,7 +77,8 @@ def ext_mat_keys(scene) -> tuple:
     return ((GLASS_KEYS if scene.has_dielectrics else ())
             + (ROUGH_KEYS if scene.has_rough_metals else ())
             + (CHECKER_KEYS if scene.has_checker else ())
-            + (TEXTURE_KEYS if scene.has_texture else ()))
+            + (TEXTURE_KEYS if scene.has_texture else ())
+            + (NORMALMAP_KEYS if scene.has_normal_map else ()))
 
 
 def scene_keys(scene: scene_mod.Scene) -> List[Tuple[str, int]]:
@@ -95,7 +100,8 @@ def pack_scene(scene: scene_mod.Scene) -> Dict[str, np.ndarray]:
     """Scene -> the flat scalar-array dict (the animatable state)."""
     a = scene.to_arrays()
 
-    def mats(prefix, col, emi, ref, tra, ior, rgh, ckc, cks, txi, txs):
+    def mats(prefix, col, emi, ref, tra, ior, rgh, ckc, cks, txi, txs,
+             nmi, nmx, nms):
         return {
             f"{prefix}_colr": col[:, 0], f"{prefix}_colg": col[:, 1],
             f"{prefix}_colb": col[:, 2], f"{prefix}_emir": emi[:, 0],
@@ -105,6 +111,8 @@ def pack_scene(scene: scene_mod.Scene) -> Dict[str, np.ndarray]:
             f"{prefix}_ckr": ckc[:, 0], f"{prefix}_ckg": ckc[:, 1],
             f"{prefix}_ckb": ckc[:, 2], f"{prefix}_cks": cks,
             f"{prefix}_txi": txi, f"{prefix}_txs": txs,
+            f"{prefix}_nmi": nmi, f"{prefix}_nmx": nmx,
+            f"{prefix}_nms": nms,
         }
 
     out = {
@@ -123,17 +131,23 @@ def pack_scene(scene: scene_mod.Scene) -> Dict[str, np.ndarray]:
                     a["sphere_reflectivity"], a["sphere_transparency"],
                     a["sphere_ior"], a["sphere_roughness"],
                     a["sphere_checker_color"], a["sphere_checker_scale"],
-                    a["sphere_tex_index"], a["sphere_tex_scale"]))
+                    a["sphere_tex_index"], a["sphere_tex_scale"],
+                    a["sphere_nm_index"], a["sphere_nm_scale"],
+                    a["sphere_nm_strength"]))
     out.update(mats("p", a["plane_color"], a["plane_emission"],
                     a["plane_reflectivity"], a["plane_transparency"],
                     a["plane_ior"], a["plane_roughness"],
                     a["plane_checker_color"], a["plane_checker_scale"],
-                    a["plane_tex_index"], a["plane_tex_scale"]))
+                    a["plane_tex_index"], a["plane_tex_scale"],
+                    a["plane_nm_index"], a["plane_nm_scale"],
+                    a["plane_nm_strength"]))
     out.update(mats("t", a["triangle_color"], a["triangle_emission"],
                     a["triangle_reflectivity"], a["triangle_transparency"],
                     a["triangle_ior"], a["triangle_roughness"],
                     a["triangle_checker_color"], a["triangle_checker_scale"],
-                    a["triangle_tex_index"], a["triangle_tex_scale"]))
+                    a["triangle_tex_index"], a["triangle_tex_scale"],
+                    a["triangle_nm_index"], a["triangle_nm_scale"],
+                    a["triangle_nm_strength"]))
     return {k: np.ascontiguousarray(v, np.float32) for k, v in out.items()}
 
 
@@ -165,6 +179,7 @@ class DynPrims:
         self.has_rough = scene.has_rough_metals
         self.has_checker = scene.has_checker
         self.has_texture = scene.has_texture
+        self.has_normal_map = scene.has_normal_map
         # Static light topology: (kind, index within its kind array), in
         # primitive order, excluding planes (shader.wgsl:390-391).
         self.light_topology: List[Tuple[int, int]] = []
@@ -261,6 +276,15 @@ class DynPrims:
         a = self._a
         return a[f"{prefix}_txi"][i], a[f"{prefix}_txs"][i]
 
+    def _normalmap(self, prefix, i):
+        """(signed atlas id, uv scale, strength) for one primitive, or
+        None when the template scene has no normal maps."""
+        if not self.has_normal_map:
+            return None
+        a = self._a
+        return (a[f"{prefix}_nmi"][i], a[f"{prefix}_nmx"][i],
+                a[f"{prefix}_nms"][i])
+
     @staticmethod
     def _is_static(*vs) -> bool:
         return all(
@@ -306,8 +330,9 @@ class DynPrims:
         light_inv_area, glass, rough) per primitive in the reference
         flatten order (spheres, planes, triangles — lib.rs:120-154);
         `glass` is (transparency, ior) or None when the template has no
-        dielectrics; `rough`, `checker` and `tex` likewise for the
-        metal-roughness, checker-texture and image-texture channels."""
+        dielectrics; `rough`, `checker`, `tex` and `nm` likewise for the
+        metal-roughness, checker-texture, image-texture and normal-map
+        channels."""
         four_pi = 4.0 * 3.14159265359
         light_idx = set(self.light_topology)
         for i in range(self.n_spheres):
@@ -325,7 +350,8 @@ class DynPrims:
             )
             yield (isect, norm, self._mat("s", i), lia,
                    self._glass("s", i), self._rough("s", i),
-                   self._checker("s", i), self._texture("s", i))
+                   self._checker("s", i), self._texture("s", i),
+                   self._normalmap("s", i))
         for i in range(self.n_planes):
             pt, n_raw = self._plane(i)
             n_unit = self._plane_unit(n_raw)
@@ -338,7 +364,8 @@ class DynPrims:
 
             yield (isect, norm, self._mat("p", i), 0.0,
                    self._glass("p", i), self._rough("p", i),
-                   self._checker("p", i), self._texture("p", i))
+                   self._checker("p", i), self._texture("p", i),
+                   self._normalmap("p", i))
         for i in range(self.n_triangles):
             v0, v1, v2 = self._triangle(i)
             e1, e2, n_unit, half_len = self._tri_derived(v0, v1, v2)
@@ -355,7 +382,8 @@ class DynPrims:
             )
             yield (isect, norm, self._mat("t", i), lia,
                    self._glass("t", i), self._rough("t", i),
-                   self._checker("t", i), self._texture("t", i))
+                   self._checker("t", i), self._texture("t", i),
+                   self._normalmap("t", i))
 
     # ---- ScenePrims interface ---------------------------------------------
 
@@ -380,8 +408,9 @@ class DynPrims:
         ck = ((vm.splat(zeros), zeros) if self.has_checker
               else (None, None))
         tx = ((zeros, zeros) if self.has_texture else (None, None))
+        nm = ((zeros,) * 3 if self.has_normal_map else (None,) * 3)
         for (isect, norm, (m_col, m_emi, m_refl), lia, gl, rg,
-             cc, tex) in self._sweep():
+             cc, tex, nmc) in self._sweep():
             t = isect(o, d, t_min, closest)
             better = (t > 0.0) & (t < closest)
             closest = jnp.where(better, t, closest)
@@ -405,6 +434,9 @@ class DynPrims:
             if tex is not None:
                 tx = (jnp.where(better, zeros + tex[0], tx[0]),
                       jnp.where(better, zeros + tex[1], tx[1]))
+            if nmc is not None:
+                nm = tuple(jnp.where(better, zeros + nmc[j], nm[j])
+                           for j in range(3))
         p = o + d * closest
         front = vm.dot(d, normal) < 0.0
         normal = vm.where(front, normal, -normal)
@@ -413,12 +445,14 @@ class DynPrims:
                         transparency=tp_v, ior=io_v, front=front,
                         roughness=ro_v, checker_color=ck[0],
                         checker_scale=ck[1], tex_index=tx[0],
-                        tex_scale=tx[1])
+                        tex_scale=tx[1], nm_index=nm[0], nm_scale=nm[1],
+                        nm_strength=nm[2])
 
     def occluded(self, o: V3, d: V3, t_min, t_max, mask=None) -> jnp.ndarray:
         del mask
         blocked = jnp.zeros_like(o.x, dtype=bool)
-        for isect, _norm, _mat, _lia, _gl, _rg, _cc, _tx in self._sweep():
+        for (isect, _norm, _mat, _lia, _gl, _rg, _cc, _tx,
+             _nm) in self._sweep():
             t = isect(o, d, t_min, t_max)
             blocked = blocked | ((t > 0.0) & (t < t_max))
         return blocked

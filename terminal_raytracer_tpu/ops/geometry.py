@@ -202,6 +202,13 @@ class Hit(NamedTuple):
     # _texture_recolor).
     tex_index: jnp.ndarray = None
     tex_scale: jnp.ndarray = None
+    # Normal map (extension): SIGNED atlas id (+planar / -spherical, 0 =
+    # unmapped lane) + uv tiling scale + tangential strength; same
+    # zero-cost contract (models/scene.py normal_channel, ops/tracer.py
+    # _apply_normal_map).
+    nm_index: jnp.ndarray = None
+    nm_scale: jnp.ndarray = None
+    nm_strength: jnp.ndarray = None
 
 
 def _c3(v) -> V3:
@@ -227,17 +234,18 @@ class ScenePrims:
     explicit (tag, primitive) list — the block-culled accelerator sweeps
     per-block sublists, ops/accel.py)."""
 
-    def __init__(self, scene, tex_channel=None):
-        """`tex_channel`: (tag, material) -> (signed id, uv scale) resolving
-        image-texture names against the OWNING scene's registry
-        (Scene.texture_channel) — required only for explicit-list
-        construction whose materials are textured (the block-culled
-        accelerator passes its source scene's; a Scene argument supplies
-        its own)."""
+    def __init__(self, scene, tex_channel=None, nm_channel=None):
+        """`tex_channel` / `nm_channel`: (tag, material) -> channel values
+        resolving image-texture / normal-map names against the OWNING
+        scene's registry (Scene.texture_channel / normal_channel) —
+        required only for explicit-list construction whose materials use
+        them (the block-culled accelerator passes its source scene's; a
+        Scene argument supplies its own)."""
         if isinstance(scene, scene_mod.Scene):
             self.scene = scene
             prim_list = scene.primitives
             tex_channel = scene.texture_channel
+            nm_channel = scene.normal_channel
         else:
             self.scene = None
             prim_list = tuple(scene)
@@ -250,6 +258,15 @@ class ScenePrims:
                         "texture_channel)"
                     )
                 return (0.0, 0.0)
+        if nm_channel is None:
+            def nm_channel(tag, m):
+                if m.is_normal_mapped:  # pragma: no cover - misuse guard
+                    raise ValueError(
+                        "normal-mapped material in an explicit primitive "
+                        "list needs nm_channel= (the owning scene's "
+                        "normal_channel)"
+                    )
+                return (0.0, 0.0, 0.0)
         # Per primitive, in reference flatten order:
         #   (intersect(o, d, t_min, t_max) -> t, normal(p) -> V3, material)
         self._prims: List[Tuple[Callable, Callable, scene_mod.Material]] = []
@@ -268,8 +285,12 @@ class ScenePrims:
         # Per primitive: (signed texture id, uv scale) — the image-texture
         # channels (0, 0) = untextured (models/scene.py texture_channel).
         self._tex: List[Tuple[float, float]] = []
+        # Per primitive: (signed id, uv scale, strength) — the normal-map
+        # channels, (0, 0, 0) = unmapped (models/scene.py normal_channel).
+        self._nm: List[Tuple[float, float, float]] = []
         for tag, prim in prim_list:
             self._tex.append(tex_channel(tag, prim.material))
+            self._nm.append(nm_channel(tag, prim.material))
             # NEE samples a primitive iff sum(emission) > 1e-3 — the
             # reference's light_power test (shader.wgsl:345-346), which
             # Material.is_light mirrors. light_inv_area must gate on the
@@ -437,6 +458,11 @@ class ScenePrims:
         # untextured scenes, like transp.
         tex_index = grouped([t[0] for t in self._tex])
         tex_scale = grouped([t[1] for t in self._tex])
+        # Normal-map channels: all-zero (free broadcast constants) for
+        # unmapped scenes, like tex_index.
+        nm_index = grouped([c[0] for c in self._nm])
+        nm_scale = grouped([c[1] for c in self._nm])
+        nm_strength = grouped([c[2] for c in self._nm])
 
         p = o + d * closest
 
@@ -466,7 +492,7 @@ class ScenePrims:
 
         return (closest, found, p, normal, col, emi, refl, light_inv_area,
                 transp, ior, rough, checker_color, checker_scale,
-                tex_index, tex_scale)
+                tex_index, tex_scale, nm_index, nm_scale, nm_strength)
 
     def closest_hit(self, o: V3, d: V3, t_min=RAY_EPS, t_max=T_FAR,
                     mask=None) -> Hit:
@@ -476,8 +502,8 @@ class ScenePrims:
         lane sweeps everything, as the reference does."""
         del mask
         (closest, found, p, normal, col, emi, refl, lia, transp, ior,
-         rough, ck_col, ck_scale, tex_idx, tex_scl) = self.raw_closest(
-            o, d, t_min, t_max)
+         rough, ck_col, ck_scale, tex_idx, tex_scl, nm_idx, nm_scl,
+         nm_str) = self.raw_closest(o, d, t_min, t_max)
         # Front-face flip (shader.wgsl:284-287).
         front = vm.dot(d, normal) < 0.0
         normal = vm.where(front, normal, -normal)
@@ -490,7 +516,8 @@ class ScenePrims:
                    transparency=transp, ior=ior, front=front,
                    roughness=rough, checker_color=ck_col,
                    checker_scale=ck_scale, tex_index=tex_idx,
-                   tex_scale=tex_scl)
+                   tex_scale=tex_scl, nm_index=nm_idx, nm_scale=nm_scl,
+                   nm_strength=nm_str)
 
     def occluded(self, o: V3, d: V3, t_min, t_max, mask=None) -> jnp.ndarray:
         """Any-hit visibility test for shadow rays (shader.wgsl:399-402:

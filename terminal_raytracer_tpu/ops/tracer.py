@@ -355,6 +355,17 @@ class PathTracer:
             )
             self.tex_prim_lo = (prim_tids[0] - 1) * self.tex_rows
             self.tex_prim_hi = prim_tids[-1] * self.tex_rows
+        # Normal maps (extension): a second mapped fetch perturbing the
+        # shading normal (_apply_normal_map) — per-primitive channels like
+        # the texture channels, with their own static sweep bounds.
+        self.has_normal_map = scene.has_normal_map
+        if self.has_normal_map:
+            nm_tids = sorted(
+                scene.texture_index(p.material.normal_map)
+                for _, p in scene.primitives if p.material.is_normal_mapped
+            )
+            self.nm_prim_lo = (nm_tids[0] - 1) * self.tex_rows
+            self.nm_prim_hi = nm_tids[-1] * self.tex_rows
         if self.has_sky:
             self.sky_tid = scene.texture_index(scene.sky.texture)
             self.sky_intensity = float(scene.sky.intensity)
@@ -612,21 +623,23 @@ class PathTracer:
             texel = self._fetch_texel(idx, lo, lo + self.tex_rows)
         return texel * self.sky_intensity
 
-    def _texture_recolor(self, hit: geom.Hit) -> geom.Hit:
-        """REPLACE hit.color with the sampled texel on textured lanes.
-        Mapping by the channel's sign (models/scene.py texture_channel):
+    def _mapped_texel(self, hit: geom.Hit, signed_id, scale, lo, hi) -> V3:
+        """One per-lane texel sample at a hit, mapped by the channel's
+        sign convention (models/scene.py texture_channel/normal_channel):
         +id = dominant-axis planar projection of the world-space hit point
         (the natural wall/floor mapping, same world-space spirit as the
         checker), -id = spherical latitude/longitude of the hit normal
-        (which IS the unit radial direction on a sphere). Runs before NEE
-        and the scatter, so both consume the textured albedo.
+        (which IS the unit radial direction on a sphere). `scale` tiles
+        the uv; [lo, hi) bound the swept atlas rows statically; the fetch
+        honors the scene's texture_filter. Unmapped lanes (id 0) compute a
+        negative index; max() clamps it to texel 0 (a valid but irrelevant
+        fetch — or, when the swept range excludes row 0, an unswept index
+        returning 0) and the CALLER's select drops the result there.
 
-        Same KNIFE-EDGE caveat as the checker recolor below: texel-grid
-        floor() parity can flip an isolated boundary pixel between
-        programs; decisions stay exact below the RR start depth, which is
-        what the texture tests pin."""
-        ti = hit.tex_index  # f32 signed id, 0 = untextured
-        ts = hit.tex_scale
+        KNIFE-EDGE caveat (shared with the checker recolor in
+        bounce_step): texel-grid floor() parity can flip an isolated
+        boundary pixel between programs; decisions stay exact below the
+        RR start depth, which is what the texture tests pin."""
         n, p = hit.normal, hit.p
         # Planar: project p on the plane of the dominant |n| axis. Axis
         # conventions: x-dominant -> (z, y), y-dominant -> (x, z),
@@ -638,31 +651,83 @@ class PathTracer:
         v_pl = jnp.where(xdom, p.y, jnp.where(ydom, p.z, p.y))
         # Spherical: latitude/longitude of the unit normal.
         u_sp, v_sp = self._spherical_uv(n)
-        spherical = ti < 0.0
-        u = jnp.where(spherical, u_sp, u_pl) * ts
-        v = jnp.where(spherical, v_sp, v_pl) * ts
+        spherical = signed_id < 0.0
+        u = jnp.where(spherical, u_sp, u_pl) * scale
+        v = jnp.where(spherical, v_sp, v_pl) * scale
         u = u - jnp.floor(u)
         v = v - jnp.floor(v)
-        tid = jnp.abs(ti).astype(jnp.int32)
+        tid = jnp.abs(signed_id).astype(jnp.int32)
         base = (tid - 1) * (self.tex_rows * 128)
-        # Untextured lanes (tid 0) compute a negative index; max() clamps
-        # it to texel 0 (a valid but irrelevant fetch — or, when the swept
-        # range excludes row 0, an unswept index returning 0) and the
-        # final select keeps hit.color on those lanes. The sweep covers
-        # only rows of primitive-referenced textures (tex_prim_lo/hi —
-        # sky-only textures are excluded statically).
         if self.tex_bilinear:
-            texel = self._fetch_bilinear(base, u, v,
-                                         self.tex_prim_lo, self.tex_prim_hi)
-        else:
-            s = float(self.tex_size)
-            smax = self.tex_size - 1
-            iu = jnp.minimum(jnp.floor(u * s).astype(jnp.int32), smax)
-            iv = jnp.minimum(jnp.floor(v * s).astype(jnp.int32), smax)
-            texel = self._fetch_texel(
-                jnp.maximum(base + iv * self.tex_size + iu, 0),
-                self.tex_prim_lo, self.tex_prim_hi)
+            return self._fetch_bilinear(base, u, v, lo, hi)
+        s = float(self.tex_size)
+        smax = self.tex_size - 1
+        iu = jnp.minimum(jnp.floor(u * s).astype(jnp.int32), smax)
+        iv = jnp.minimum(jnp.floor(v * s).astype(jnp.int32), smax)
+        return self._fetch_texel(
+            jnp.maximum(base + iv * self.tex_size + iu, 0), lo, hi)
+
+    def _texture_recolor(self, hit: geom.Hit) -> geom.Hit:
+        """REPLACE hit.color with the sampled texel on textured lanes
+        (_mapped_texel). Runs before NEE and the scatter, so both consume
+        the textured albedo. The sweep covers only rows of
+        primitive-COLOR-referenced textures (tex_prim_lo/hi — sky-only or
+        normal-map-only textures are excluded statically)."""
+        ti = hit.tex_index  # f32 signed id, 0 = untextured
+        texel = self._mapped_texel(hit, ti, hit.tex_scale,
+                                   self.tex_prim_lo, self.tex_prim_hi)
         return hit._replace(color=vm.where(ti != 0.0, texel, hit.color))
+
+    def _apply_normal_map(self, hit: geom.Hit) -> geom.Hit:
+        """Perturb the shading normal from a tangent-space normal map
+        (extension): texel rgb -> [-1,1] xyz (z = up along the geometric
+        normal), tangential xy deflection scaled by the per-primitive
+        strength, re-normalized. The tangent frame follows the uv mapping
+        (_mapped_texel): planar lanes take the two world axes the uv
+        projects onto; spherical lanes take the longitude tangent
+        (-n.z, 0, n.x)/len with its bitangent cross(n, T) (singular at the
+        poles — guarded to +x there, where the map's own uv is singular
+        anyway). Replaces hit.normal AFTER the front-face flip, so NEE
+        cosines, the mirror/glass reflections, and the cosine-hemisphere
+        scatter all see the perturbed normal; `front` (and the ray-side
+        logic built on it) stays geometric. The perturbed z component is
+        clamped to stay above the surface (a strength-independent safety:
+        authored maps keep z > 0)."""
+        ni = hit.nm_index  # f32 signed id, 0 = unmapped
+        texel = self._mapped_texel(hit, ni, hit.nm_scale,
+                                   self.nm_prim_lo, self.nm_prim_hi)
+        tn = texel * 2.0 - V3(1.0, 1.0, 1.0)
+        n = hit.normal
+        # Planar frames by dominant axis (must match _mapped_texel's
+        # (u, v) axis pairs so the map reads as authored):
+        #   x-dominant: u = p.z, v = p.y -> T = +z, B = +y
+        #   y-dominant: u = p.x, v = p.z -> T = +x, B = +z
+        #   z-dominant: u = p.x, v = p.y -> T = +x, B = +y
+        ax, ay, az = jnp.abs(n.x), jnp.abs(n.y), jnp.abs(n.z)
+        xdom = (ax >= ay) & (ax >= az)
+        ydom = (~xdom) & (ay >= az)
+        t_pl = vm.where(xdom, V3(0.0, 0.0, 1.0),
+                        vm.splat(jnp.zeros_like(n.x)) + V3(1.0, 0.0, 0.0))
+        b_pl = vm.where(xdom | (~ydom),
+                        vm.splat(jnp.zeros_like(n.x)) + V3(0.0, 1.0, 0.0),
+                        vm.splat(jnp.zeros_like(n.x)) + V3(0.0, 0.0, 1.0))
+        # Spherical frame: longitude tangent + its bitangent.
+        len2 = n.x * n.x + n.z * n.z
+        inv = jax.lax.rsqrt(jnp.maximum(len2, 1e-12))
+        pole = len2 < 1e-12
+        t_sp = V3(jnp.where(pole, 1.0, -n.z * inv),
+                  jnp.zeros_like(n.x),
+                  jnp.where(pole, 0.0, n.x * inv))
+        b_sp = vm.cross(n, t_sp)
+        spherical = ni < 0.0
+        t_v = vm.where(spherical, t_sp, t_pl)
+        b_v = vm.where(spherical, b_sp, b_pl)
+        ns = hit.nm_strength
+        raw = (t_v * (tn.x * ns) + b_v * (tn.y * ns)
+               + n * jnp.maximum(tn.z, 1e-3))
+        perturbed = vm.normalize(raw)
+        return hit._replace(
+            normal=vm.where(ni != 0.0, perturbed, n))
 
     # ------------------------------------------------------------------
     # NEE direct lighting (shader.wgsl:338-436)
@@ -889,6 +954,13 @@ class PathTracer:
             # both sees the texture win. Same before-NEE/scatter placement
             # and knife-edge caveat as the checker (see _texture_recolor).
             hit = self._texture_recolor(hit)
+
+        if self.has_normal_map:
+            # Normal-map perturbation (extension): the shading normal
+            # bends per texel BEFORE NEE and the scatter consume it. After
+            # the recolor (whose uv must come from the geometric normal,
+            # matching how the maps are authored).
+            hit = self._apply_normal_map(hit)
 
         scatter = None
         if self.has_fog:

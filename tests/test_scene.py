@@ -111,9 +111,10 @@ def test_malformed_json_error(tmp_path):
 
 def test_default_scene_is_cornell():
     assert sm.load_scene() == sm.load_scene("Cornell_Box")
-    assert sorted(sm.list_scenes()) == ["Cornell_Box", "cornell_glass",
-                                        "demo", "envmap", "mesh_demo",
-                                        "scene2", "showcase", "textured"]
+    assert sorted(sm.list_scenes()) == ["Cornell_Box", "bumpy",
+                                        "cornell_glass", "demo", "envmap",
+                                        "mesh_demo", "scene2", "showcase",
+                                        "textured"]
 
 
 def test_scene_validation_rejects_nonsense():
