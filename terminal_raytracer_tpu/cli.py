@@ -94,10 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="(ext) multiple importance sampling: weigh NEE and "
                         "BSDF-hit emission by the balance heuristic — same "
                         "mean as --unbiased, lower variance; traces the "
-                        "exact same paths (same RNG chains). Caveat: rough "
-                        "(brushed) metals are weighted as delta lobes — "
-                        "light seen via rough reflections carries a mild, "
-                        "roughness-bounded double count")
+                        "exact same paths (same RNG chains). Rough "
+                        "(brushed) metals are weighted exactly too: the "
+                        "fuzz lobe has an analytic pdf, so NEE covers "
+                        "light seen via rough reflections")
     p.add_argument("--animate", choices=("orbit", "pulse", "bob"),
                    default=None,
                    help="(ext) animate the scene (geometry/emission stream "

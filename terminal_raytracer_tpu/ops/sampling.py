@@ -89,6 +89,37 @@ def henyey_greenstein_dir(state, d: V3, g: float,
                    + w * cos_t)
 
 
+def fuzz_pdf(cos_r, roughness):
+    """Solid-angle pdf of the metal fuzz lobe normalize(R + f*S), S the
+    uniform_sphere_dir draw, about the perfect mirror axis R; `cos_r` is
+    dot(direction, R) and `roughness` the per-lane f in [0, 1].
+
+    The offset point R + f*S is uniform on a radius-f sphere centered at
+    the unit point R, so the direction density is that sphere's area
+    measure pushed through the projection: with c = 1 - f^2 and the
+    ray-sphere discriminant D = cos_r^2 - c, the ray from the origin meets
+    the sphere at depths t = cos_r -+ sqrt(D) and
+
+        p(cos_r) = (t1^2 + t2^2) / (4 pi f sqrt(D))
+                 = (2 cos_r^2 - c) / (2 pi f sqrt(D)),   cos_r >= sqrt(c),
+
+    0 outside that cone. Closed form checked by its antiderivative
+    b*sqrt(b^2 - c)/f, which integrates the lobe to exactly 1
+    (test_roughness pins the histogram against the sampler). The
+    integrable edge singularity (D -> 0) is floored; both 'mis' consumers
+    (direct_light's NEE weight and the scatter-history pdf) evaluate this
+    SAME guarded form, so their balance weights stay an exact partition
+    of unity even where the floor bites. roughness == 0 lanes return 0 —
+    the delta mirror lobe never enters a continuous pdf."""
+    c = 1.0 - roughness * roughness
+    disc = cos_r * cos_r - c
+    inside = (cos_r > 0.0) & (disc > 1e-9) & (roughness > 0.0)
+    denom = 2.0 * PI * roughness * jnp.sqrt(jnp.maximum(disc, 1e-9))
+    return jnp.where(
+        inside, (2.0 * cos_r * cos_r - c) / jnp.maximum(denom, 1e-20), 0.0
+    )
+
+
 def hg_phase(cos_t, g: float):
     """The Henyey-Greenstein phase function value p(cos theta) — the
     per-steradian scattering density NEE evaluates toward a sampled light

@@ -263,7 +263,10 @@ class PathTracer:
           stochastic mirror-or-cosine scatter's continuous part,
           (1 - reflectivity) * cos/pi, and p_nee the light's area pdf
           converted to solid angle, t^2 / (cos_l * area). Mirror chains are
-          delta-distributed: their hits keep full emission weight. NEE
+          delta-distributed: their hits keep full emission weight (a FUZZY
+          mirror, roughness > 0, is instead a continuous lobe with an
+          analytic pdf — NEE estimates it and the balance weights use the
+          full mixture density, see direct_light's `rough`). NEE
           additionally carries the (1 - reflectivity) mixture factor (see
           direct_light), making both strategies estimate the physical
           BSDF mixture — so on partially-reflective surfaces 'mis' and
@@ -307,11 +310,11 @@ class PathTracer:
         # the static light topology, ops/dynamic.py).
         self.has_glass = scene.has_dielectrics
         # Same static-gate contract for the metal-roughness (fuzzy mirror)
-        # branch. NOTE: the 'mis' transport treats the metal lobe as a
-        # delta regardless of roughness — full emission weight on its
-        # hits; a mild, roughness-bounded double count of light seen via
-        # rough reflections (an exact weight would need the fuzz lobe's
-        # pdf). reference/unbiased semantics are exact.
+        # branch. Under 'mis' the fuzz lobe is a CONTINUOUS lobe with an
+        # analytic solid-angle pdf (sampling.fuzz_pdf): NEE estimates the
+        # metal lobe too and both weight sites compete against the full
+        # mixture density — exact balance weights, no delta approximation
+        # (roughness == 0 stays the delta mirror).
         self.has_rough = scene.has_rough_metals
         # Checker texture (extension): recolor hits on a world-space 3-D
         # checkerboard — pure lane math (the TPU-sane texture, no
@@ -734,7 +737,7 @@ class PathTracer:
     # ------------------------------------------------------------------
 
     def direct_light(self, state, p: V3, normal: V3, color: V3, att: V3, gate,
-                     refl=None, fog=None):
+                     refl=None, fog=None, rough=None):
         """One NEE estimate per light. Returns (state', direct V3).
 
         The result is fully masked internally (occlusion + cosine terms);
@@ -764,6 +767,16 @@ class PathTracer:
         medium's no-collision probability exp(-sigma * t) (distance
         sampling must not scatter before the light for a BSDF ray to
         reach it).
+
+        `rough` (optional, has_rough scenes under 'mis'): the 3-tuple
+        (roughness, reflectivity, mirror_dir V3) of the hit — the metal
+        fuzz lobe is CONTINUOUS (its solid-angle pdf about the perfect
+        mirror axis is analytic, sampling.fuzz_pdf), so NEE at a
+        fuzzy-metal surface additionally estimates the metal lobe and the
+        balance weight competes against the full mixture pdf
+        (1 - refl)*cos/pi + reflectivity*fuzz_pdf. reflectivity rides
+        separately from `refl` (which adds transparency — glass stays a
+        delta lobe).
         """
         zeros = jnp.zeros_like(p.x)
         direct = vm.splat(zeros)
@@ -855,6 +868,24 @@ class PathTracer:
                 p_l = (ldist * ldist) / (jnp.maximum(cos_l, 1e-8) * area)
                 p_b = (1.0 - refl) * cos_s * (1.0 / sampling.PI)
                 mix = 1.0 - refl
+                if rough is not None:
+                    # Metal-lobe extension (has_rough scenes): the fuzz
+                    # lobe's analytic pdf about the mirror axis joins the
+                    # mixture density AND the NEE integrand gains the
+                    # metal lobe (BSDF*cos = color * fuzz_pdf). contrib
+                    # below scales (color/pi) by cos_s * mix, i.e. by
+                    # mix * pi/cos_s per unit pdf — so the metal term
+                    # enters mix as metal * pi / cos_s (cos_s > 0 on every
+                    # lane `ok` keeps; fuzz directions with cos_s <= 0 are
+                    # absorbed, so both strategies drop them consistently).
+                    f_r, m_refl, m_dir = rough
+                    metal = m_refl * sampling.fuzz_pdf(
+                        vm.dot(m_dir, ldir), f_r
+                    )
+                    p_b = p_b + metal
+                    mix = mix + metal * sampling.PI / jnp.maximum(
+                        cos_s, 1e-8
+                    )
                 if fog is not None:
                     # Volume senders compete against the PHASE lobe (no
                     # surface mixture factor), and in a medium the
@@ -1049,11 +1080,22 @@ class PathTracer:
         nee_refl = hit.reflectivity
         if self.has_glass:
             nee_refl = nee_refl + hit.transparency
+        rough_mis = None
+        if self.has_rough and self.transport == "mis":
+            # Under 'mis' the metal fuzz lobe is CONTINUOUS (analytic pdf
+            # about the perfect mirror axis, sampling.fuzz_pdf): NEE also
+            # estimates the metal lobe and both weight sites use the full
+            # mixture density. The axis must be the PRE-fuzz mirror
+            # direction — hoisted here (and reused by the scatter below)
+            # so NEE can evaluate the lobe toward each sampled light.
+            mirror_dir = vm.reflect(d, hit.normal)
+            rough_mis = (hit.roughness, hit.reflectivity, mirror_dir)
         nee_gate = live if scatter is None else (live | scatter)
         state, direct = self.direct_light(
             state, hit.p, hit.normal, hit.color, att, nee_gate,
             refl=nee_refl,
             fog=None if scatter is None else (scatter, sp, d),
+            rough=rough_mis,
         )
         if self.has_glass and self.transport != "mis":
             # The reference's NEE evaluates a full Lambertian lobe on
@@ -1079,7 +1121,8 @@ class PathTracer:
         # glass branch statically absent — reference-exact draws and ops.
         state, r_spec = prng.next_f32(state, live)
         is_refl = hit.reflectivity > r_spec
-        refl_dir = vm.reflect(d, hit.normal)
+        refl_dir = (mirror_dir if rough_mis is not None
+                    else vm.reflect(d, hit.normal))
         absorbed = None
         if self.has_rough:
             # Metal roughness (extension): fuzz the mirror branch —
@@ -1190,6 +1233,16 @@ class PathTracer:
         if self.transport == "mis":
             cos_new = jnp.maximum(vm.dot(hit.normal, new_d), 0.0)
             p_cont = (1.0 - nee_refl) * cos_new * (1.0 / sampling.PI)
+            if rough_mis is not None:
+                # Fuzzy mirror scatters are continuous: drop them from
+                # the delta set and extend the mixture pdf with the metal
+                # lobe's density at the chosen direction (the same
+                # guarded fuzz_pdf direct_light competes with — an exact
+                # partition of unity between the two weight sites).
+                is_delta = is_delta & ~(is_refl & fuzzy)
+                p_cont = p_cont + hit.reflectivity * sampling.fuzz_pdf(
+                    vm.dot(mirror_dir, new_d), hit.roughness
+                )
             emit_info = jnp.where(is_delta, -1.0, p_cont)
             if scatter is not None:
                 # A volume scatter is a continuous (phase-sampled) event:
@@ -1211,7 +1264,7 @@ class PathTracer:
     # ray_color: the masked wavefront bounce loop (shader.wgsl:439-495)
     # ------------------------------------------------------------------
 
-    def ray_color(self, state, o: V3, d: V3, gate=None):
+    def ray_color(self, state, o: V3, d: V3, gate=None, with_iters=False):
         """Trace one path per lane. Returns (state', color V3, rays).
 
         `rays` counts hit_scene traversals per lane (primary/bounce sweeps
@@ -1219,6 +1272,12 @@ class PathTracer:
         `gate` (bool lanes) marks lanes whose reference thread runs this
         trace at all (the adaptive extra-sample loop); gated-off lanes never
         draw RNG and contribute nothing.
+
+        with_iters=True appends the EXECUTED bounce-loop trip count (i32
+        scalar — the loop is lockstep, so one number covers every lane):
+        the denominator unit of the oracle's measured occupancy
+        (render_frame with_occ). The flag only re-exposes the loop's own
+        counter — the traced program is unchanged.
         """
         lanes = o.x
         zeros = jnp.zeros_like(lanes)
@@ -1255,7 +1314,9 @@ class PathTracer:
             out = jax.lax.fori_loop(
                 0, self.max_depth, lambda _, c: body(c), init
             )
-        _, state, _, _, _, acc, _, rays, _ = out
+        iters, state, _, _, _, acc, _, rays, _ = out
+        if with_iters:
+            return state, acc, rays, iters
         return state, acc, rays
 
     # ------------------------------------------------------------------
@@ -1294,7 +1355,8 @@ class PathTracer:
     # Per-pixel sample loops + adaptive sampling (shader.wgsl:499-602)
     # ------------------------------------------------------------------
 
-    def render_lanes(self, cam: Cam, x, y, seed, frame_number, active=None):
+    def render_lanes(self, cam: Cam, x, y, seed, frame_number, active=None,
+                     with_cap=False):
         """Render a lane grid of pixels.
 
         x, y: integer pixel coordinate arrays of the lane shape.
@@ -1304,6 +1366,14 @@ class PathTracer:
         Returns (current_sample V3, variance, total_samples, rays) per lane,
         where current_sample is already divided per the reference's
         (quirky) normalization — ready for temporal accumulation.
+
+        with_cap=True appends the EXECUTED bounce-iteration total (i32
+        scalar, summed over every sample/chunk loop) — the lockstep sweep
+        capacity behind the oracle's measured occupancy: each executed
+        iteration runs 1 closest-hit + n_lights shadow sweeps on every
+        lane, owed or not. False (the default, and every Pallas caller)
+        threads nothing extra — the traced program is bit-identical to
+        the pre-flag code.
         """
         xf = x.astype(jnp.float32)
         yf = y.astype(jnp.float32)
@@ -1314,20 +1384,32 @@ class PathTracer:
         base = self.base_samples
         spp = self.spp
 
+        cap = jnp.zeros((), jnp.int32)
+
         def sample_body(i, carry):
-            state, csum, csumsq, rays = carry
+            if with_cap:
+                state, csum, csumsq, rays, cp = carry
+            else:
+                state, csum, csumsq, rays = carry
             state = prng.advance_sample(state, i)
             state, o, d = self.gen_ray(state, cam, xf, yf)
+            if with_cap:
+                state, c, r, it = self.ray_color(state, o, d, active,
+                                                 with_iters=True)
+                return (state, csum + c, csumsq + c * c, rays + r, cp + it)
             state, c, r = self.ray_color(state, o, d, active)
             return (state, csum + c, csumsq + c * c, rays + r)
 
         if self.chunk_base is None:
-            state, csum, csumsq, rays = jax.lax.fori_loop(
-                0,
-                base,
-                sample_body,
-                (state0, vm.splat(zeros), vm.splat(zeros), zeros),
-            )
+            init_b = (state0, vm.splat(zeros), vm.splat(zeros), zeros)
+            if with_cap:
+                state, csum, csumsq, rays, cap = jax.lax.fori_loop(
+                    0, base, sample_body, init_b + (cap,)
+                )
+            else:
+                state, csum, csumsq, rays = jax.lax.fori_loop(
+                    0, base, sample_body, init_b
+                )
         else:
             # Chunk-split base phase — the ORACLE side of the sub-chain
             # derivation (see CHUNK_GOLDEN): chunk c seeds
@@ -1344,16 +1426,29 @@ class PathTracer:
                         state0 + jnp.uint32(c) * jnp.uint32(CHUNK_GOLDEN))
 
                 def chunk_body(j, carry, _c=c):
-                    st, cs, cq, ry = carry
+                    if with_cap:
+                        st, cs, cq, ry, cp = carry
+                    else:
+                        st, cs, cq, ry = carry
                     st = prng.advance_sample(st, _c * cb + j)
                     st, o, d = self.gen_ray(st, cam, xf, yf)
+                    if with_cap:
+                        st, col, r, it = self.ray_color(st, o, d, active,
+                                                        with_iters=True)
+                        return (st, cs + col, cq + col * col, ry + r,
+                                cp + it)
                     st, col, r = self.ray_color(st, o, d, active)
                     return (st, cs + col, cq + col * col, ry + r)
 
-                st_c, cs, cq, ry = jax.lax.fori_loop(
-                    0, share, chunk_body,
-                    (st_c, vm.splat(zeros), vm.splat(zeros), zeros),
-                )
+                init_cb = (st_c, vm.splat(zeros), vm.splat(zeros), zeros)
+                if with_cap:
+                    st_c, cs, cq, ry, cap = jax.lax.fori_loop(
+                        0, share, chunk_body, init_cb + (cap,)
+                    )
+                else:
+                    st_c, cs, cq, ry = jax.lax.fori_loop(
+                        0, share, chunk_body, init_cb
+                    )
                 csum, csumsq, rays = csum + cs, csumsq + cq, rays + ry
                 if c == 0:
                     state = st_c
@@ -1369,6 +1464,8 @@ class PathTracer:
             # spp < 4 brightening quirk.
             current = csum * (1.0 / spp)
             total = zeros + float(base)
+            if with_cap:
+                return current, var, total, rays, cap
             return current, var, total, rays
 
         # Per-pixel extra-sample budget (wgsl:561-562): f32 compare avoids
@@ -1387,13 +1484,22 @@ class PathTracer:
             return (j < (spp - base)) & jnp.any(j.astype(jnp.float32) < additional)
 
         def extra_body(carry):
-            j, state, esum, rays = carry
+            if with_cap:
+                j, state, esum, rays, cp = carry
+            else:
+                j, state, esum, rays = carry
             take = j.astype(jnp.float32) < additional
             state = prng.advance_sample(state, base + j, take)
             state, o, d = self.gen_ray(state, cam, xf, yf, take)
-            state, c, r = self.ray_color(state, o, d, take)
+            if with_cap:
+                state, c, r, it = self.ray_color(state, o, d, take,
+                                                 with_iters=True)
+            else:
+                state, c, r = self.ray_color(state, o, d, take)
             esum = esum + vm.where(take, c, vm.splat(zeros))
             rays = rays + jnp.where(take, r, 0.0)
+            if with_cap:
+                return (j + 1, state, esum, rays, cp + it)
             return (j + 1, state, esum, rays)
 
         if self.chunk_extra is not None:
@@ -1415,38 +1521,59 @@ class PathTracer:
                     return (j < ce) & jnp.any(j.astype(jnp.float32) < _b)
 
                 def chunk_extra_body(carry, _b=budget_c, _s0=s0):
-                    j, st, es, ry = carry
+                    if with_cap:
+                        j, st, es, ry, cp = carry
+                    else:
+                        j, st, es, ry = carry
                     take = j.astype(jnp.float32) < _b
                     st = prng.advance_sample(st, _s0 + j, take)
                     st, o, d = self.gen_ray(st, cam, xf, yf, take)
-                    st, col, r = self.ray_color(st, o, d, take)
+                    if with_cap:
+                        st, col, r, it = self.ray_color(st, o, d, take,
+                                                        with_iters=True)
+                    else:
+                        st, col, r = self.ray_color(st, o, d, take)
                     es = es + vm.where(take, col, vm.splat(zeros))
                     ry = ry + jnp.where(take, r, 0.0)
+                    if with_cap:
+                        return (j + 1, st, es, ry, cp + it)
                     return (j + 1, st, es, ry)
 
                 init_c = (jnp.zeros((), jnp.int32), st_c, vm.splat(zeros),
                           zeros)
+                if with_cap:
+                    init_c = init_c + (cap,)
                 if self.loop_mode == "while":
-                    _, _, es_c, ry_c = jax.lax.while_loop(
+                    out_c = jax.lax.while_loop(
                         chunk_cond, chunk_extra_body, init_c
                     )
                 else:
-                    _, _, es_c, ry_c = jax.lax.fori_loop(
+                    out_c = jax.lax.fori_loop(
                         0, ce, lambda _, cr: chunk_extra_body(cr), init_c
                     )
+                if with_cap:
+                    _, _, es_c, ry_c, cap = out_c
+                else:
+                    _, _, es_c, ry_c = out_c
                 esum = esum + es_c
                 rays = rays + ry_c
         else:
             extra_init = (jnp.zeros((), jnp.int32), state, vm.splat(zeros),
                           rays)
+            if with_cap:
+                extra_init = extra_init + (cap,)
             if self.loop_mode == "while":
-                _, state, esum, rays = jax.lax.while_loop(
+                out_e = jax.lax.while_loop(
                     extra_cond, extra_body, extra_init
                 )
             else:
-                _, state, esum, rays = jax.lax.fori_loop(
+                out_e = jax.lax.fori_loop(
                     0, spp - base, lambda _, c: extra_body(c), extra_init
                 )
+            if with_cap:
+                _, state, esum, rays, cap = out_e
+            else:
+                _, state, esum, rays = out_e
 
         # Normalization (wgsl:600-610): adaptive pixels average over the
         # samples actually taken; everyone else divides base sum by spp.
@@ -1456,6 +1583,8 @@ class PathTracer:
             (csum + esum) * (1.0 / total),
             csum * (1.0 / spp),
         )
+        if with_cap:
+            return current, var, total, rays, cap
         return current, var, total, rays
 
     # ------------------------------------------------------------------
@@ -1911,18 +2040,38 @@ class PathTracer:
     # Whole-frame oracle entry point
     # ------------------------------------------------------------------
 
-    def render_frame(self, pose, seed, frame_number):
+    def render_frame(self, pose, seed, frame_number, with_occ=False):
         """Render the full (H, W) image in one fused jax.numpy computation —
         the oracle renderer (and the CPU path). Returns
-        (current V3[H,W], variance[H,W], total_samples[H,W], rays_total)."""
+        (current V3[H,W], variance[H,W], total_samples[H,W], rays_total).
+
+        with_occ=True appends the measured sweep-weighted lane occupancy
+        — owed sweeps (rays) over executed lane-iteration sweeps, the
+        SAME accounting every Pallas scheduler surfaces: each executed
+        lockstep bounce iteration charges every lane 1 closest-hit +
+        n_lights shadow sweeps, whether the lane owed them or not. The
+        oracle's lockstep sample loops exit when every lane dies
+        (loop_mode='while'), so the capacity is measured, like the
+        sorted/regen schedulers' — not the static spp x max_depth bound."""
         h, w = self.height, self.width
         y = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         x = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
         cam = cam_from_pose(pose)
+        if with_occ:
+            current, var, total, rays, cap = self.render_lanes(
+                cam, x, y, seed, frame_number, with_cap=True
+            )
+            rays_sum = jnp.sum(rays)
+            sweeps = cap.astype(jnp.float32) * float(
+                h * w * (1 + self.n_lights)
+            )
+            occ = rays_sum / jnp.maximum(sweeps, 1.0)
+            return current, var, total, rays_sum, occ
         current, var, total, rays = self.render_lanes(cam, x, y, seed, frame_number)
         return current, var, total, jnp.sum(rays)
 
-    def render_frame_dynamic(self, pose, seed, frame_number, arrays):
+    def render_frame_dynamic(self, pose, seed, frame_number, arrays,
+                             with_occ=False):
         """render_frame for a dynamic=True tracer: `arrays` is the
         ops.dynamic.pack_scene mapping of traced geometry/material values
         — a runtime input, so animated scenes never retrace (the template
@@ -1930,4 +2079,4 @@ class PathTracer:
         assert self.dynamic
         self.prims.bind({k: jnp.asarray(v, jnp.float32)
                          for k, v in arrays.items()})
-        return self.render_frame(pose, seed, frame_number)
+        return self.render_frame(pose, seed, frame_number, with_occ=with_occ)

@@ -48,8 +48,9 @@ class FrameOutput(NamedTuple):
     # sweeps (rays) over executed lane-iteration sweeps. All Pallas
     # schedulers surface it (sorted/regen measured; lockstep's denominator
     # is its static fixed-trip schedule), as does the sharded mesh step
-    # (per-shard capacities psum-merged). -1 on the jnp oracle, which
-    # doesn't surface iteration counts.
+    # (per-shard capacities psum-merged) and the jnp oracle (measured
+    # lockstep trips, tracer.render_frame with_occ). -1 only where a
+    # caller bypasses make_render_step with a bare 4-tuple render_frame.
     occupancy: jnp.ndarray = None
 
 
@@ -94,8 +95,13 @@ def make_render_step(
         tracer = tracer_mod.PathTracer(scene, unbiased=unbiased,
                                        transport=transport, accel=accel,
                                        dynamic=dynamic, dyn_animated=animated)
-        render_frame = (tracer.render_frame_dynamic if dynamic
-                        else tracer.render_frame)
+        _rf = (tracer.render_frame_dynamic if dynamic
+               else tracer.render_frame)
+
+        def render_frame(*args, _rf=_rf):
+            # The oracle measures occupancy too (with_occ appends it) —
+            # same owed/executed sweep accounting as the Pallas paths.
+            return _rf(*args, with_occ=True)
     elif backend == "pallas":
         from ..ops import pallas_kernel
 

@@ -237,6 +237,100 @@ def test_mis_variance_reduction_big_light():
     assert var["mis"] < var["unbiased"], var
 
 
+def _rough_floor_scene(rough, radius=3.0, emission=6.0):
+    """A pure fuzzy-mirror floor under a sphere light sitting on the
+    mirror axis of the camera's floor reflections (so the fuzz lobe,
+    half-angle asin-ish sqrt(1-c) ~ 30 deg at roughness 0.5, genuinely
+    covers the light)."""
+    return scene_from_dict({
+        "width": 32, "height": 16, "samples_per_pixel": 4, "max_depth": 2,
+        "frames_to_accumulate": 1,
+        "camera": {"fov_degrees": 60.0, "char_aspect_ratio": 1.0},
+        "spheres": [{"center": [0, 4.0, -12], "radius": radius,
+                     "color": [0, 0, 0], "emission": [emission] * 3,
+                     "reflectivity": 0.0}],
+        "planes": [{"point": [0, -1, 0], "normal": [0, 1, 0],
+                    "color": [0.9, 0.9, 0.9], "emission": [0, 0, 0],
+                    "reflectivity": 1.0, "roughness": rough}],
+    })
+
+
+def test_mis_rough_metal_mean_unbiased():
+    """The fuzzy-metal lobe under 'mis' is weighted EXACTLY (the analytic
+    fuzz pdf, sampling.fuzz_pdf): on a pure fuzzy mirror floor the mis
+    mean must equal the metal transport alone. Ground truth by linear
+    decomposition: unbiased = metal + Lambert-NEE ghost, and at depth 2
+    the ghost is roughness-independent (NEE precedes the scatter, at
+    identical hit points with identical light draws) — so
+
+        E[mis(f)] = E[unb(f)] - E[unb(0)] + E[mis(0)],
+
+    where the roughness-0 renders are exact delta treatments (mis(0) has
+    zero NEE at reflectivity 1 and weight-1 mirror emission). A delta
+    treatment of the fuzz lobe would instead reproduce unb(f) minus the
+    ghost plus NOTHING from NEE — the decomposition catches both a lost
+    and a double-counted metal lobe."""
+    def run(scene, transport, n=64):
+        step = make_render_step(scene, backend="jnp", transport=transport)
+        state = init_state(scene)
+        for f in range(n):
+            out = step(state, POSE,
+                       np.uint32((f * 2654435761 + 3) % 2**32), np.int32(f))
+            state = out.state
+        return np.asarray(state.acc)
+
+    sf, s0 = _rough_floor_scene(0.5), _rough_floor_scene(0.0)
+    floor = np.s_[:, 8:, :]
+    a = run(sf, "unbiased")[floor].mean()
+    b = run(sf, "mis")[floor].mean()
+    c = run(s0, "unbiased")[floor].mean()
+    d = run(s0, "mis")[floor].mean()
+    truth = a - c + d
+    # Measured at this seed schedule: rel ~ 0.005 with the ghost (a - c
+    # + d differs from a by ~23%) far above the tolerance — the test has
+    # real power against a mis-weighted lobe.
+    assert abs(b - truth) / truth < 0.03, (b, truth, a, c, d)
+    assert (c - d) / truth > 0.1  # the ghost the decomposition removes
+
+
+def test_mis_rough_metal_variance_reduction():
+    """A SMALL bright light seen via a wide fuzz lobe is the case BSDF
+    sampling handles poorly; with the metal lobe in the NEE balance
+    (rather than delta-treated), mis must cut the sample variance."""
+    scene = _rough_floor_scene(0.5, radius=0.6, emission=150.0)
+    var = {
+        t: float(np.asarray(_render(scene, t).state.variance).mean())
+        for t in ("unbiased", "mis")
+    }
+    # measured: ~153 (unbiased) vs ~75 (mis)
+    assert var["mis"] < 0.75 * var["unbiased"], var
+
+
+def test_mis_rough_pallas_matches_oracle():
+    """The rough-metal mis path through all three Pallas schedulers —
+    exact decisions, radiance to interpret-mode tolerance."""
+    scene = _rough_floor_scene(0.5).with_overrides(
+        width=64, height=8, samples_per_pixel=8, max_depth=3
+    )
+    of = jax.jit(PathTracer(scene, transport="mis").render_frame)
+    cur_o, var_o, tot_o, rays_o = of(POSE, np.uint32(11), np.int32(0))
+    for mode in ("lockstep", "regen", "sorted"):
+        pf = jax.jit(
+            pallas_kernel.make_render_frame(scene, mode=mode, transport="mis")
+        )
+        cur_p, var_p, tot_p, rays_p, _occ = pf(POSE, np.uint32(11), np.int32(0))
+        err = f"mode={mode}"
+        for a, b in ((cur_p.x, cur_o.x), (cur_p.y, cur_o.y),
+                     (cur_p.z, cur_o.z)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5, err_msg=err
+            )
+        np.testing.assert_array_equal(
+            np.asarray(tot_p), np.asarray(tot_o), err
+        )
+        assert float(rays_p) == float(rays_o), err
+
+
 def test_mis_pallas_matches_oracle():
     """All three Pallas schedulers reproduce the mis-mode oracle (interpret
     mode — same backend math, bit-equal decisions)."""

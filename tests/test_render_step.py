@@ -78,6 +78,38 @@ def test_output_shapes_and_dtypes():
     assert int(np.asarray(out_a.glyphs).max()) > 0  # ASCII mode fills glyphs
 
 
+def test_oracle_occupancy_measured():
+    """The jnp oracle surfaces measured sweep-weighted occupancy (owed
+    sweeps over executed lane-iteration sweeps — the Pallas schedulers'
+    accounting). Exact pin: a depth-1 all-hit scene keeps every lane
+    owing every sweep of its single iteration -> occupancy exactly 1.
+    A deep multi-bounce scene must land strictly inside (0, 1)."""
+    pose = Camera().pose()
+    s1 = load_scene("Cornell_Box").with_overrides(
+        width=32, height=16, samples_per_pixel=4, max_depth=1
+    )
+    out = make_render_step(s1, backend="jnp")(
+        init_state(s1), pose, np.uint32(5), np.int32(0)
+    )
+    assert float(out.occupancy) == 1.0
+
+    s2 = load_scene("scene2").with_overrides(
+        width=64, height=24, samples_per_pixel=16, max_depth=8
+    )
+    out2 = make_render_step(s2, backend="jnp")(
+        init_state(s2), pose, np.uint32(5), np.int32(0)
+    )
+    occ = float(out2.occupancy)
+    assert 0.0 < occ < 1.0, occ
+    # Consistency with the owed-ray count: occ * capacity == rays.
+    # (scene2 has one light: 2 sweeps per executed lane-iteration.)
+    lanes = 64 * 24
+    cap = float(out2.rays) / occ
+    m = lanes * 2
+    r = cap % m
+    assert min(r, m - r) < 1e-3 * cap  # whole iterations of the grid
+
+
 def test_determinism_fixed_seed():
     scene = _tiny_scene()
     cam = Camera()
