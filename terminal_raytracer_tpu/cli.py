@@ -63,6 +63,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "'bilinear' blends the 2x2 texel neighborhood at "
                         "every image-texture/sky fetch (default: the "
                         "scene's texture_filter, or nearest)")
+    p.add_argument("--denoise", type=float, default=0.0, metavar="K",
+                   help="(ext) edge-aware à-trous reconstruction filter "
+                        "over the accumulated radiance before tonemap "
+                        "(SVGF-family spatial pass, guided by the adaptive "
+                        "sampler's variance): K is the edge-stop strength "
+                        "(try 0.5-2; larger = smoother). A pure display "
+                        "post-process — the estimator, RNG chains and "
+                        "checkpoints stay raw, and the filter fades to the "
+                        "identity as accumulation converges. 0 = off")
+    p.add_argument("--denoise-passes", type=int, default=3, metavar="N",
+                   help="(ext) à-trous rounds (tap stride doubles each "
+                        "round; default 3 = 13x13 footprint)")
     p.add_argument("--fog", metavar="D[:R,G,B[:G]]", default=None,
                    help="(ext) homogeneous volumetric fog: extinction "
                         "density D per world unit, optional scattering "
@@ -276,6 +288,8 @@ def main(argv=None) -> int:
             accel=args.accel,
             animate=args.animate,
             shard=args.shard,
+            denoise=args.denoise,
+            denoise_passes=args.denoise_passes,
         )
     except ValueError as e:
         # e.g. a bad --shard spec, or more shards than devices
@@ -361,6 +375,8 @@ def main(argv=None) -> int:
                     scene, args.frames, args.until_noise,
                     full_color=args.full_color, backend=args.backend,
                     accel=args.accel, transport=transport,
+                    denoise=args.denoise,
+                    denoise_passes=args.denoise_passes,
                 )
                 engine.state, rgb, glyphs, rays, frames_done = render(
                     engine.state, engine.camera.pose(), jnp.asarray(seeds),
@@ -373,7 +389,8 @@ def main(argv=None) -> int:
                 render = make_scan_renderer(
                     scene, args.frames, full_color=args.full_color,
                     backend=args.backend, accel=args.accel,
-                    transport=transport,
+                    transport=transport, denoise=args.denoise,
+                    denoise_passes=args.denoise_passes,
                 )
                 engine.state, rgb, glyphs, rays = render(
                     engine.state, engine.camera.pose(), jnp.asarray(seeds),
@@ -505,6 +522,7 @@ def _run_animation_scan(engine, scene, args):
             "unbiased" if args.unbiased else None
         ),
         animated=ANIMATOR_KEYS.get(args.animate),
+        denoise=args.denoise, denoise_passes=args.denoise_passes,
     )
     # Output paths resolved BEFORE the render (like _run_turntable), so a
     # bad pattern fails before compute, not after.
@@ -545,6 +563,7 @@ def _run_turntable(engine, scene, args):
             transport="mis" if args.mis else (
                 "unbiased" if args.unbiased else None
             ),
+            denoise=args.denoise, denoise_passes=args.denoise_passes,
         )
         rng = np.random.RandomState(args.deterministic)
         seeds = rng.randint(

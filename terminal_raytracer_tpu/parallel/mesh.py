@@ -77,6 +77,8 @@ def make_sharded_render_step(
     transport: str = None,
     dynamic: bool = False,
     animated=None,
+    denoise: float = 0.0,
+    denoise_passes: int = 3,
 ):
     """Build the multi-chip render step.
 
@@ -89,6 +91,11 @@ def make_sharded_render_step(
     over both axes; geometry values are tiny next to the pixel planes) and
     the per-shard kernels consume them as runtime SMEM operands, exactly
     like the single-chip dynamic step (Engine passes the same call shape).
+
+    `denoise` > 0: the à-trous reconstruction filter runs on the sharded
+    row blocks before tonemap — each pass exchanges halo rows with the
+    neighbor shards over ICI (ops/denoise.denoise_sharded, ppermute along
+    'px'), bit-identical to the single-chip filter of the full image.
     """
     n_px = mesh.shape["px"]
     n_sp = mesh.shape["sp"]
@@ -301,6 +308,13 @@ def make_sharded_render_step(
         cur_s = jnp.stack([cur.x, cur.y, cur.z])
         acc = state.acc * (1.0 - alpha) + cur_s * alpha
         acc_v = V3(acc[0], acc[1], acc[2])
+        if denoise > 0.0:
+            from ..ops import denoise as dn
+
+            total = samples * (fn + 1.0)
+            acc_v = dn.denoise_sharded(
+                acc_v, variance / jnp.maximum(total, 1.0), denoise,
+                denoise_passes, "px", n_px)
         if full_color:
             rgb = tm.tonemap_fullcolor(acc_v)
             glyphs = jnp.zeros(rgb.shape[:2], jnp.uint8)

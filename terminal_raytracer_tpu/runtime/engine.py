@@ -87,6 +87,8 @@ class Engine:
         accel: str = "auto",
         animate: str = None,
         shard: str = None,
+        denoise: float = 0.0,
+        denoise_passes: int = 3,
     ):
         self.scene = scene
         self.full_color = full_color
@@ -140,7 +142,8 @@ class Engine:
             self.step, sharded_init = make_sharded_render_step(
                 scene, mesh, full_color=full_color, backend=backend,
                 transport=transport, dynamic=animate is not None,
-                animated=animated_keys,
+                animated=animated_keys, denoise=denoise,
+                denoise_passes=denoise_passes,
             )
             self.state = sharded_init()
         else:
@@ -148,13 +151,20 @@ class Engine:
                                          backend=backend, unbiased=unbiased,
                                          transport=transport, accel=accel,
                                          dynamic=animate is not None,
-                                         animated=animated_keys)
+                                         animated=animated_keys,
+                                         denoise=denoise,
+                                         denoise_passes=denoise_passes)
             self.state = init_state(scene)
+        # --denoise: kept for the screenshot path ('p' re-finalizes the
+        # accumulation the way the step displays it).
+        self.denoise = float(denoise)
+        self.denoise_passes = int(denoise_passes)
         # Step-construction options, kept for the lazily-built chunked
         # headless renderers (run_headless folds k frames per dispatch).
         self._step_opts = dict(full_color=full_color, backend=backend,
                                unbiased=unbiased, transport=transport,
-                               accel=accel)
+                               accel=accel, denoise=denoise,
+                               denoise_passes=denoise_passes)
         self._chunk_renderers = {}
         self.blitter = Blitter(scene.height, scene.width, full_color, threads)
         # The variance heat map is always drawn as truecolor blocks.
@@ -284,7 +294,17 @@ class Engine:
         from ..utils import imageio
 
         acc = self.state.acc
-        rgb = jax.device_get(tm.tonemap_fullcolor(V3(acc[0], acc[1], acc[2])))
+        acc_v = V3(acc[0], acc[1], acc[2])
+        if self.denoise > 0.0:
+            # Re-finalize the way the step displays it (ops/denoise.py);
+            # the checkpointed accumulation itself stays raw.
+            from ..ops import denoise as dn
+
+            acc_v = dn.denoise_acc(acc_v, self.state.variance,
+                                   self.state.samples,
+                                   max(self.frame_count - 1, 0),
+                                   self.denoise, self.denoise_passes)
+        rgb = jax.device_get(tm.tonemap_fullcolor(acc_v))
         path = f"screenshot_{self._shot_idx}.png"
         self._shot_idx += 1
         imageio.write_png(path, np.asarray(rgb))

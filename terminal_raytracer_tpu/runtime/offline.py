@@ -19,9 +19,29 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import scene as scene_mod
+from ..ops import denoise as dn
 from ..ops import tonemap as tm
 from ..ops.vecmath import V3
 from .state import FrameOutput, FrameState, init_state, make_render_step
+
+
+def _finalize(state: FrameState, last_frame, full_color: bool,
+              denoise: float, denoise_passes: int):
+    """Tonemap a final accumulation the way the per-frame step would have
+    on its LAST frame: optional à-trous denoise (ops/denoise.py, guided by
+    the last frame's variance/samples planes at that frame number), then
+    the reference tonemap. Keeps every scan/chunk path bit-identical to
+    per-frame driving under --denoise."""
+    acc_v = V3(state.acc[0], state.acc[1], state.acc[2])
+    if denoise > 0.0:
+        acc_v = dn.denoise_acc(acc_v, state.variance, state.samples,
+                               last_frame, denoise, denoise_passes)
+    if full_color:
+        rgb = tm.tonemap_fullcolor(acc_v)
+        glyphs = jnp.zeros(rgb.shape[:2], jnp.uint8)
+    else:
+        rgb, glyphs = tm.tonemap_ascii(acc_v)
+    return rgb, glyphs
 
 
 def make_chunk_renderer(
@@ -32,6 +52,8 @@ def make_chunk_renderer(
     accel: str = "auto",
     transport: str = None,
     unbiased: bool = False,
+    denoise: float = 0.0,
+    denoise_passes: int = 3,
 ):
     """k accumulation frames as ONE compiled dispatch: a ``lax.scan`` over
     the render step, tonemapping once from the final accumulation.
@@ -67,12 +89,8 @@ def make_chunk_renderer(
         )
         state, rays = jax.lax.scan(body, state, (jnp.asarray(seeds), frames))
 
-        acc_v = V3(state.acc[0], state.acc[1], state.acc[2])
-        if full_color:
-            rgb = tm.tonemap_fullcolor(acc_v)
-            glyphs = jnp.zeros(rgb.shape[:2], jnp.uint8)
-        else:
-            rgb, glyphs = tm.tonemap_ascii(acc_v)
+        rgb, glyphs = _finalize(state, frames[-1], full_color,
+                                denoise, denoise_passes)
         out = FrameOutput(state=state, rgb=rgb, glyphs=glyphs, rays=rays[-1])
         return out, rays
 
@@ -88,6 +106,8 @@ def make_noise_scan_renderer(
     backend: str = "auto",
     accel: str = "auto",
     transport: str = None,
+    denoise: float = 0.0,
+    denoise_passes: int = 3,
 ):
     """``--until-noise`` composed with ``--scan``: a ``lax.while_loop``
     over chunk-of-frames scans, entirely on device (VERDICT r2 #8).
@@ -146,12 +166,8 @@ def make_noise_scan_renderer(
         state, ci, rays = jax.lax.while_loop(
             cond, body, (state, jnp.int32(0), jnp.float32(0.0))
         )
-        acc_v = V3(state.acc[0], state.acc[1], state.acc[2])
-        if full_color:
-            rgb = tm.tonemap_fullcolor(acc_v)
-            glyphs = jnp.zeros(rgb.shape[:2], jnp.uint8)
-        else:
-            rgb, glyphs = tm.tonemap_ascii(acc_v)
+        rgb, glyphs = _finalize(state, frame0 + ci * chunk - 1, full_color,
+                                denoise, denoise_passes)
         return state, rgb, glyphs, rays, ci * chunk
 
     return jax.jit(render, donate_argnums=(0,))
@@ -164,6 +180,8 @@ def make_scan_renderer(
     backend: str = "auto",
     accel: str = "auto",
     transport: str = None,
+    denoise: float = 0.0,
+    denoise_passes: int = 3,
 ):
     """Build `render(state0, pose, seeds, frame0=0) -> (state, rgb, glyphs,
     rays)`.
@@ -175,7 +193,8 @@ def make_scan_renderer(
     """
     chunk = make_chunk_renderer(scene, n_frames, full_color=full_color,
                                 backend=backend, accel=accel,
-                                transport=transport)
+                                transport=transport, denoise=denoise,
+                                denoise_passes=denoise_passes)
 
     def render(state: FrameState, pose, seeds, frame0=jnp.int32(0)):
         out, rays = chunk(state, pose, seeds, frame0)
@@ -192,6 +211,8 @@ def make_orbit_scan_renderer(
     backend: str = "auto",
     accel: str = "auto",
     transport: Optional[str] = None,
+    denoise: float = 0.0,
+    denoise_passes: int = 3,
 ):
     """The whole turntable orbit as ONE compiled XLA program: an outer
     ``lax.scan`` over camera poses, each scan step running
@@ -222,12 +243,8 @@ def make_orbit_scan_renderer(
             state, rays_acc = jax.lax.fori_loop(
                 0, frames_per_pose, frame_body, (state0, rays_acc)
             )
-            acc_v = V3(state.acc[0], state.acc[1], state.acc[2])
-            if full_color:
-                rgb = tm.tonemap_fullcolor(acc_v)
-                glyphs = jnp.zeros(rgb.shape[:2], jnp.uint8)
-            else:
-                rgb, glyphs = tm.tonemap_ascii(acc_v)
+            rgb, glyphs = _finalize(state, jnp.int32(frames_per_pose - 1),
+                                    full_color, denoise, denoise_passes)
             return rays_acc, (rgb, glyphs)
 
         rays, (rgbs, glyphss) = jax.lax.scan(
@@ -245,6 +262,8 @@ def make_animation_scan_renderer(
     backend: str = "auto",
     transport: Optional[str] = None,
     animated=None,
+    denoise: float = 0.0,
+    denoise_passes: int = 3,
 ):
     """A whole ANIMATION as one compiled XLA program: ``lax.scan`` over
     per-frame geometry/material arrays (the ops.dynamic.pack_scene layout,
@@ -258,7 +277,8 @@ def make_animation_scan_renderer(
     """
     step = make_render_step(scene, full_color=full_color, backend=backend,
                             jit=False, dynamic=True, transport=transport,
-                            animated=animated)
+                            animated=animated, denoise=denoise,
+                            denoise_passes=denoise_passes)
 
     def render(pose, arrays_seq, seeds):
         state0 = init_state(scene)

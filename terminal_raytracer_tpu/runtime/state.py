@@ -73,6 +73,8 @@ def make_render_step(
     accel: str = "auto",
     dynamic: bool = False,
     animated=None,
+    denoise: float = 0.0,
+    denoise_passes: int = 3,
 ):
     """Build `step(state, pose16, seed, frame_number) -> FrameOutput`.
 
@@ -87,6 +89,11 @@ def make_render_step(
     animated: with dynamic, the key subset that actually varies — the rest
     folds back to baked constants (models.animate.ANIMATOR_KEYS for the
     built-in animators; None = everything runtime).
+    denoise: > 0 runs the edge-aware à-trous reconstruction filter
+    (ops/denoise.py) over the accumulated radiance before tonemapping —
+    a pure post-process (estimator, RNG chains, checkpoints untouched).
+    Statically gated: 0.0 (the default) compiles the exact unfiltered
+    program.
     """
     if backend == "auto":
         backend = "pallas" if jax.default_backend().startswith("tpu") else "jnp"
@@ -116,8 +123,8 @@ def make_render_step(
         args = (pose, seed, frame_number, arrays) if dynamic else (
             pose, seed, frame_number)
         res = render_frame(*args)
-        # The pallas render_frames append the measured occupancy; the
-        # oracle doesn't surface one.
+        # Every render_frame built above appends the measured occupancy;
+        # the 4-tuple branch covers externally-supplied bare oracles.
         if len(res) == 5:
             current, variance, samples, rays, occ = res
         else:
@@ -131,6 +138,11 @@ def make_render_step(
         acc = state.acc * (1.0 - alpha) + cur * alpha
 
         acc_v = V3(acc[0], acc[1], acc[2])
+        if denoise > 0.0:
+            from ..ops import denoise as dn
+
+            acc_v = dn.denoise_acc(acc_v, variance, samples, frame_number,
+                                   denoise, denoise_passes)
         if full_color:
             rgb = tm.tonemap_fullcolor(acc_v)
             glyphs = jnp.zeros(rgb.shape[:2], jnp.uint8)
