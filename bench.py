@@ -105,6 +105,11 @@ CONFIGS = {
     # (bricks color + derived normal map on floor/wall = TWO mapped
     # fetches + the tangent-frame math every iteration)
     "bumpy": dict(scene="bumpy", spp=16, depth=32, frames=480),
+    # à-trous denoiser at north-star params (ops/denoise.py; 3 passes =
+    # 75 shifted-plane taps fused into the step epilogue) — measures the
+    # reconstruction filter's cost against north_star
+    "denoised": dict(scene="Cornell_Box", spp=16, depth=32, denoise=1.0,
+                     frames=480),
     # dynamic (animated) scenes: geometry streams through SMEM as runtime
     # values (ops/dynamic.py; --animate); north-star params, orbit animator
     "dynamic": dict(scene="Cornell_Box", spp=16, depth=32, dynamic=True,
@@ -171,7 +176,8 @@ def run_bench(config_name: str, backend: str, frames, reps: int,
     else:
         animated = None
     step = make_render_step(scene, full_color=True, backend=backend,
-                            dynamic=dynamic, animated=animated)
+                            dynamic=dynamic, animated=animated,
+                            denoise=float(cfg.get("denoise", 0.0)))
     if dynamic:
         from terminal_raytracer_tpu.models.animate import orbit
         from terminal_raytracer_tpu.ops.dynamic import pack_scene

@@ -14,6 +14,15 @@ import argparse
 import sys
 
 
+def _tonemap_spec(spec: str) -> str:
+    """argparse type for --tonemap: validate eagerly (parse_mode raises
+    ValueError -> a clean flag error), keep the raw spec string."""
+    from .ops.tonemap import parse_mode
+
+    parse_mode(spec)
+    return spec
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="terminal-raytracer-tpu",
@@ -75,6 +84,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--denoise-passes", type=int, default=3, metavar="N",
                    help="(ext) à-trous rounds (tap stride doubles each "
                         "round; default 3 = 13x13 footprint)")
+    p.add_argument("--tonemap", type=_tonemap_spec, default="reference",
+                   metavar="MODE",
+                   help="(ext) display transform: 'reference' (the "
+                        "reference's sqrt / pow-0.3 curves, default), "
+                        "'aces' (Narkowicz ACES filmic fit + 1/2.2 display "
+                        "gamma), or 'gamma:G' (plain 1/G power curve). "
+                        "Display-only — the estimator and checkpoints "
+                        "stay linear radiance")
+    p.add_argument("--exposure", type=float, default=0.0, metavar="STOPS",
+                   help="(ext) pre-tonemap exposure in stops (radiance x "
+                        "2^STOPS); display-only, composes with --tonemap")
     p.add_argument("--fog", metavar="D[:R,G,B[:G]]", default=None,
                    help="(ext) homogeneous volumetric fog: extinction "
                         "density D per world unit, optional scattering "
@@ -290,6 +310,8 @@ def main(argv=None) -> int:
             shard=args.shard,
             denoise=args.denoise,
             denoise_passes=args.denoise_passes,
+            tonemap=args.tonemap,
+            exposure=args.exposure,
         )
     except ValueError as e:
         # e.g. a bad --shard spec, or more shards than devices
@@ -377,6 +399,7 @@ def main(argv=None) -> int:
                     accel=args.accel, transport=transport,
                     denoise=args.denoise,
                     denoise_passes=args.denoise_passes,
+                    tonemap=args.tonemap, exposure=args.exposure,
                 )
                 engine.state, rgb, glyphs, rays, frames_done = render(
                     engine.state, engine.camera.pose(), jnp.asarray(seeds),
@@ -391,6 +414,7 @@ def main(argv=None) -> int:
                     backend=args.backend, accel=args.accel,
                     transport=transport, denoise=args.denoise,
                     denoise_passes=args.denoise_passes,
+                    tonemap=args.tonemap, exposure=args.exposure,
                 )
                 engine.state, rgb, glyphs, rays = render(
                     engine.state, engine.camera.pose(), jnp.asarray(seeds),
@@ -523,6 +547,7 @@ def _run_animation_scan(engine, scene, args):
         ),
         animated=ANIMATOR_KEYS.get(args.animate),
         denoise=args.denoise, denoise_passes=args.denoise_passes,
+        tonemap=args.tonemap, exposure=args.exposure,
     )
     # Output paths resolved BEFORE the render (like _run_turntable), so a
     # bad pattern fails before compute, not after.
@@ -564,6 +589,7 @@ def _run_turntable(engine, scene, args):
                 "unbiased" if args.unbiased else None
             ),
             denoise=args.denoise, denoise_passes=args.denoise_passes,
+            tonemap=args.tonemap, exposure=args.exposure,
         )
         rng = np.random.RandomState(args.deterministic)
         seeds = rng.randint(

@@ -79,6 +79,8 @@ def make_sharded_render_step(
     animated=None,
     denoise: float = 0.0,
     denoise_passes: int = 3,
+    tonemap="reference",
+    exposure: float = 0.0,
 ):
     """Build the multi-chip render step.
 
@@ -97,6 +99,8 @@ def make_sharded_render_step(
     neighbor shards over ICI (ops/denoise.denoise_sharded, ppermute along
     'px'), bit-identical to the single-chip filter of the full image.
     """
+    tm_mode = tm.parse_mode(tonemap)
+    tm_scale = 2.0 ** float(exposure)
     n_px = mesh.shape["px"]
     n_sp = mesh.shape["sp"]
     h, w = scene.height, scene.width
@@ -316,10 +320,10 @@ def make_sharded_render_step(
                 acc_v, variance / jnp.maximum(total, 1.0), denoise,
                 denoise_passes, "px", n_px)
         if full_color:
-            rgb = tm.tonemap_fullcolor(acc_v)
+            rgb = tm.tonemap_fullcolor(acc_v, tm_mode, tm_scale)
             glyphs = jnp.zeros(rgb.shape[:2], jnp.uint8)
         else:
-            rgb, glyphs = tm.tonemap_ascii(acc_v)
+            rgb, glyphs = tm.tonemap_ascii(acc_v, tm_mode, tm_scale)
         rays_g = jax.lax.psum(rays, "px")
         if cap is None:
             occ_g = jnp.float32(-1.0)

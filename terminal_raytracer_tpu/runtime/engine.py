@@ -89,6 +89,8 @@ class Engine:
         shard: str = None,
         denoise: float = 0.0,
         denoise_passes: int = 3,
+        tonemap="reference",
+        exposure: float = 0.0,
     ):
         self.scene = scene
         self.full_color = full_color
@@ -143,7 +145,8 @@ class Engine:
                 scene, mesh, full_color=full_color, backend=backend,
                 transport=transport, dynamic=animate is not None,
                 animated=animated_keys, denoise=denoise,
-                denoise_passes=denoise_passes,
+                denoise_passes=denoise_passes, tonemap=tonemap,
+                exposure=exposure,
             )
             self.state = sharded_init()
         else:
@@ -153,18 +156,23 @@ class Engine:
                                          dynamic=animate is not None,
                                          animated=animated_keys,
                                          denoise=denoise,
-                                         denoise_passes=denoise_passes)
+                                         denoise_passes=denoise_passes,
+                                         tonemap=tonemap,
+                                         exposure=exposure)
             self.state = init_state(scene)
-        # --denoise: kept for the screenshot path ('p' re-finalizes the
-        # accumulation the way the step displays it).
+        # --denoise/--tonemap/--exposure: kept for the screenshot path
+        # ('p' re-finalizes the accumulation the way the step displays it).
         self.denoise = float(denoise)
         self.denoise_passes = int(denoise_passes)
+        self.tonemap = tonemap
+        self.exposure = float(exposure)
         # Step-construction options, kept for the lazily-built chunked
         # headless renderers (run_headless folds k frames per dispatch).
         self._step_opts = dict(full_color=full_color, backend=backend,
                                unbiased=unbiased, transport=transport,
                                accel=accel, denoise=denoise,
-                               denoise_passes=denoise_passes)
+                               denoise_passes=denoise_passes,
+                               tonemap=tonemap, exposure=exposure)
         self._chunk_renderers = {}
         self.blitter = Blitter(scene.height, scene.width, full_color, threads)
         # The variance heat map is always drawn as truecolor blocks.
@@ -304,7 +312,8 @@ class Engine:
                                    self.state.samples,
                                    max(self.frame_count - 1, 0),
                                    self.denoise, self.denoise_passes)
-        rgb = jax.device_get(tm.tonemap_fullcolor(acc_v))
+        rgb = jax.device_get(tm.tonemap_fullcolor(
+            acc_v, tm.parse_mode(self.tonemap), 2.0 ** self.exposure))
         path = f"screenshot_{self._shot_idx}.png"
         self._shot_idx += 1
         imageio.write_png(path, np.asarray(rgb))

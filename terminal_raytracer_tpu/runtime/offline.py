@@ -26,21 +26,25 @@ from .state import FrameOutput, FrameState, init_state, make_render_step
 
 
 def _finalize(state: FrameState, last_frame, full_color: bool,
-              denoise: float, denoise_passes: int):
+              denoise: float, denoise_passes: int,
+              tonemap="reference", exposure: float = 0.0):
     """Tonemap a final accumulation the way the per-frame step would have
     on its LAST frame: optional à-trous denoise (ops/denoise.py, guided by
     the last frame's variance/samples planes at that frame number), then
-    the reference tonemap. Keeps every scan/chunk path bit-identical to
-    per-frame driving under --denoise."""
+    the display transform (--tonemap/--exposure; defaults = the reference
+    tonemap). Keeps every scan/chunk path bit-identical to per-frame
+    driving under the display flags."""
     acc_v = V3(state.acc[0], state.acc[1], state.acc[2])
     if denoise > 0.0:
         acc_v = dn.denoise_acc(acc_v, state.variance, state.samples,
                                last_frame, denoise, denoise_passes)
+    mode = tm.parse_mode(tonemap)
+    scale = 2.0 ** float(exposure)
     if full_color:
-        rgb = tm.tonemap_fullcolor(acc_v)
+        rgb = tm.tonemap_fullcolor(acc_v, mode, scale)
         glyphs = jnp.zeros(rgb.shape[:2], jnp.uint8)
     else:
-        rgb, glyphs = tm.tonemap_ascii(acc_v)
+        rgb, glyphs = tm.tonemap_ascii(acc_v, mode, scale)
     return rgb, glyphs
 
 
@@ -54,6 +58,8 @@ def make_chunk_renderer(
     unbiased: bool = False,
     denoise: float = 0.0,
     denoise_passes: int = 3,
+    tonemap="reference",
+    exposure: float = 0.0,
 ):
     """k accumulation frames as ONE compiled dispatch: a ``lax.scan`` over
     the render step, tonemapping once from the final accumulation.
@@ -90,7 +96,7 @@ def make_chunk_renderer(
         state, rays = jax.lax.scan(body, state, (jnp.asarray(seeds), frames))
 
         rgb, glyphs = _finalize(state, frames[-1], full_color,
-                                denoise, denoise_passes)
+                                denoise, denoise_passes, tonemap, exposure)
         out = FrameOutput(state=state, rgb=rgb, glyphs=glyphs, rays=rays[-1])
         return out, rays
 
@@ -108,6 +114,8 @@ def make_noise_scan_renderer(
     transport: str = None,
     denoise: float = 0.0,
     denoise_passes: int = 3,
+    tonemap="reference",
+    exposure: float = 0.0,
 ):
     """``--until-noise`` composed with ``--scan``: a ``lax.while_loop``
     over chunk-of-frames scans, entirely on device (VERDICT r2 #8).
@@ -167,7 +175,7 @@ def make_noise_scan_renderer(
             cond, body, (state, jnp.int32(0), jnp.float32(0.0))
         )
         rgb, glyphs = _finalize(state, frame0 + ci * chunk - 1, full_color,
-                                denoise, denoise_passes)
+                                denoise, denoise_passes, tonemap, exposure)
         return state, rgb, glyphs, rays, ci * chunk
 
     return jax.jit(render, donate_argnums=(0,))
@@ -182,6 +190,8 @@ def make_scan_renderer(
     transport: str = None,
     denoise: float = 0.0,
     denoise_passes: int = 3,
+    tonemap="reference",
+    exposure: float = 0.0,
 ):
     """Build `render(state0, pose, seeds, frame0=0) -> (state, rgb, glyphs,
     rays)`.
@@ -194,7 +204,8 @@ def make_scan_renderer(
     chunk = make_chunk_renderer(scene, n_frames, full_color=full_color,
                                 backend=backend, accel=accel,
                                 transport=transport, denoise=denoise,
-                                denoise_passes=denoise_passes)
+                                denoise_passes=denoise_passes,
+                                tonemap=tonemap, exposure=exposure)
 
     def render(state: FrameState, pose, seeds, frame0=jnp.int32(0)):
         out, rays = chunk(state, pose, seeds, frame0)
@@ -213,6 +224,8 @@ def make_orbit_scan_renderer(
     transport: Optional[str] = None,
     denoise: float = 0.0,
     denoise_passes: int = 3,
+    tonemap="reference",
+    exposure: float = 0.0,
 ):
     """The whole turntable orbit as ONE compiled XLA program: an outer
     ``lax.scan`` over camera poses, each scan step running
@@ -244,7 +257,8 @@ def make_orbit_scan_renderer(
                 0, frames_per_pose, frame_body, (state0, rays_acc)
             )
             rgb, glyphs = _finalize(state, jnp.int32(frames_per_pose - 1),
-                                    full_color, denoise, denoise_passes)
+                                    full_color, denoise, denoise_passes,
+                                    tonemap, exposure)
             return rays_acc, (rgb, glyphs)
 
         rays, (rgbs, glyphss) = jax.lax.scan(
@@ -264,6 +278,8 @@ def make_animation_scan_renderer(
     animated=None,
     denoise: float = 0.0,
     denoise_passes: int = 3,
+    tonemap="reference",
+    exposure: float = 0.0,
 ):
     """A whole ANIMATION as one compiled XLA program: ``lax.scan`` over
     per-frame geometry/material arrays (the ops.dynamic.pack_scene layout,
@@ -278,7 +294,8 @@ def make_animation_scan_renderer(
     step = make_render_step(scene, full_color=full_color, backend=backend,
                             jit=False, dynamic=True, transport=transport,
                             animated=animated, denoise=denoise,
-                            denoise_passes=denoise_passes)
+                            denoise_passes=denoise_passes,
+                            tonemap=tonemap, exposure=exposure)
 
     def render(pose, arrays_seq, seeds):
         state0 = init_state(scene)

@@ -75,6 +75,8 @@ def make_render_step(
     animated=None,
     denoise: float = 0.0,
     denoise_passes: int = 3,
+    tonemap="reference",
+    exposure: float = 0.0,
 ):
     """Build `step(state, pose16, seed, frame_number) -> FrameOutput`.
 
@@ -94,9 +96,14 @@ def make_render_step(
     a pure post-process (estimator, RNG chains, checkpoints untouched).
     Statically gated: 0.0 (the default) compiles the exact unfiltered
     program.
+    tonemap / exposure: display transform (ops/tonemap.py parse_mode
+    specs) and pre-tonemap exposure in STOPS (scale 2**exposure).
+    Statically gated: the defaults compile the exact reference tonemap.
     """
     if backend == "auto":
         backend = "pallas" if jax.default_backend().startswith("tpu") else "jnp"
+    tm_mode = tm.parse_mode(tonemap)
+    tm_scale = 2.0 ** float(exposure)
 
     if backend == "jnp":
         tracer = tracer_mod.PathTracer(scene, unbiased=unbiased,
@@ -144,10 +151,10 @@ def make_render_step(
             acc_v = dn.denoise_acc(acc_v, variance, samples, frame_number,
                                    denoise, denoise_passes)
         if full_color:
-            rgb = tm.tonemap_fullcolor(acc_v)
+            rgb = tm.tonemap_fullcolor(acc_v, tm_mode, tm_scale)
             glyphs = jnp.zeros(rgb.shape[:2], jnp.uint8)
         else:
-            rgb, glyphs = tm.tonemap_ascii(acc_v)
+            rgb, glyphs = tm.tonemap_ascii(acc_v, tm_mode, tm_scale)
 
         return FrameOutput(
             state=FrameState(acc=acc, variance=variance, samples=samples),

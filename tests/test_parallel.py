@@ -370,3 +370,29 @@ def test_engine_shard_resumes_saved_state(tmp_path):
     rgb3, _g, rays3, _s, _h = e3.run_headless(2, chunk=1)
     assert float(rays2) == float(rays3)
     np.testing.assert_array_equal(np.asarray(rgb2), np.asarray(rgb3))
+
+
+def test_sharded_display_flags_match_single_chip():
+    """--tonemap/--exposure through the mesh step: the display transform
+    applies after the psum'd accumulation, so the sharded rgb/glyphs must
+    equal the single-chip step's under the same flags."""
+    scene = _scene()
+    mesh = make_mesh(n_px=4, n_sp=1)
+    step, mk_state = make_sharded_render_step(
+        scene, mesh, backend="jnp", full_color=False,
+        tonemap="aces", exposure=1.0)
+    out = step(mk_state(), POSE, np.uint32(5), np.int32(0))
+
+    ref_step = make_render_step(scene, backend="jnp", full_color=False,
+                                tonemap="aces", exposure=1.0)
+    ref = ref_step(init_state(scene), POSE, np.uint32(5), np.int32(0))
+
+    np.testing.assert_array_equal(np.asarray(out.rgb), np.asarray(ref.rgb))
+    np.testing.assert_array_equal(
+        np.asarray(out.glyphs), np.asarray(ref.glyphs))
+
+    # And the displayed pixels actually differ from the reference curves.
+    plain, mk2 = make_sharded_render_step(scene, mesh, backend="jnp",
+                                          full_color=False)
+    base = plain(mk2(), POSE, np.uint32(5), np.int32(0))
+    assert (np.asarray(base.rgb) != np.asarray(out.rgb)).any()
