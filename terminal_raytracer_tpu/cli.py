@@ -72,6 +72,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "'bilinear' blends the 2x2 texel neighborhood at "
                         "every image-texture/sky fetch (default: the "
                         "scene's texture_filter, or nearest)")
+    p.add_argument("--sampler", default=None,
+                   choices=("reference", "stratified"),
+                   help="(ext) pixel-jitter sampler override: 'stratified' "
+                        "places base-phase samples on a jittered sub-pixel "
+                        "grid (same RNG draws, affinely remapped — "
+                        "unbiased, faster-converging anti-aliasing at "
+                        "edges; adaptive extras keep independent jitter). "
+                        "Default: the scene's sampler, or reference")
     p.add_argument("--denoise", type=float, default=0.0, metavar="K",
                    help="(ext) edge-aware à-trous reconstruction filter "
                         "over the accumulated radiance before tonemap "
@@ -239,6 +247,7 @@ def main(argv=None) -> int:
             samples_per_pixel=args.spp, max_depth=args.depth,
             aperture=args.aperture, focus_distance=args.focus,
             fog=fog, texture_filter=args.texture_filter,
+            sampler=args.sampler,
         )
     except (FileNotFoundError, ValueError, KeyError) as e:
         print(f"error: {e}", file=sys.stderr)

@@ -220,6 +220,18 @@ class Scene:
     # fract() tiling of the nearest path — at the spherical mapping's
     # poles the blend wraps to the opposite row, a documented artifact).
     texture_filter: str = "nearest"
+    # Pixel-jitter sampler (extension): 'reference' (default — each
+    # sample's sub-pixel offset is an independent uniform draw,
+    # shader.wgsl:519-520, bit-exact) or 'stratified' (base-phase sample i
+    # lands in cell i mod g^2 of a g x g sub-pixel grid, jittered within
+    # the cell; g is the largest power of two whose square divides the
+    # base sample count, so cells are covered exactly evenly — unbiased,
+    # with lower jitter-variance at geometric edges; adaptive extras keep
+    # independent jitter). Same draws, affinely remapped — RNG chains and
+    # gate structure unchanged. Scene-level static like texture_filter:
+    # 'reference' compiles the exact reference program. See
+    # ops/tracer.py PathTracer.__init__ / stratify_jitter.
+    sampler: str = "reference"
     # Image textures (extension, models/texture.py): the scene-level
     # registry materials reference by name. Hashable Texture tuples —
     # Scene stays a valid jit static argument; the packed VMEM atlas is
@@ -318,6 +330,11 @@ class Scene:
             raise ValueError(
                 f"texture_filter must be 'nearest' or 'bilinear', got "
                 f"{self.texture_filter!r}"
+            )
+        if self.sampler not in ("reference", "stratified"):
+            raise ValueError(
+                f"sampler must be 'reference' or 'stratified', got "
+                f"{self.sampler!r}"
             )
         if self.sky is not None:
             if self.sky.texture not in tex_names:
@@ -571,6 +588,7 @@ class Scene:
         focus_distance: Optional[float] = None,
         fog: Optional["Fog"] = None,
         texture_filter: Optional[str] = None,
+        sampler: Optional[str] = None,
     ) -> "Scene":
         """Benchmark / terminal-clamp overrides (lib.rs:113-115), plus the
         depth-of-field lens parameters (CLI --aperture/--focus)."""
@@ -599,6 +617,8 @@ class Scene:
             kw["fog"] = fog
         if texture_filter is not None:
             kw["texture_filter"] = str(texture_filter)
+        if sampler is not None:
+            kw["sampler"] = str(sampler)
         return dataclasses.replace(self, **kw)
 
     def clamp_to_terminal(self, term_width: int, term_height: int) -> "Scene":
@@ -807,6 +827,7 @@ def scene_from_dict(cfg: dict, base_dir=None) -> Scene:
         sky=sky,
         textures=textures,
         texture_filter=str(cfg.get("texture_filter", "nearest")),
+        sampler=str(cfg.get("sampler", "reference")),
     )
 
 

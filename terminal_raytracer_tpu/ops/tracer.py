@@ -452,6 +452,31 @@ class PathTracer:
             base_quota if base_quota is not None else base_sample_count(self.spp)
         )
 
+        # Stratified pixel jitter (extension, scene-level like
+        # texture_filter — models/scene.py `sampler`): BASE-phase sample i
+        # lands in cell i mod g^2 of a g x g sub-pixel grid, jittered
+        # within the cell (stratify_jitter). g is the largest power of two
+        # with g^2 dividing the base count, so the base phase covers every
+        # cell exactly base/g^2 times — aggregate jitter coverage is
+        # EXACTLY uniform and the estimator stays unbiased (base >= 4
+        # guarantees g >= 2). Adaptive EXTRA samples keep the reference's
+        # independent jitter: their per-pixel counts are data-dependent,
+        # so no fixed grid covers them exactly — stratifying them would
+        # bias sub-pixel coverage toward low cells. Like auto-chunking,
+        # stratification requires owning the whole budget (base_quota is
+        # None): a sample-split shard renders a runtime share of the base
+        # phase under a decorrelated seed (parallel/mesh.py), where no
+        # static grid divides every share — those tracers fall back to
+        # reference jitter on every backend (documented in PARITY.md).
+        # strat_g == 1 compiles the exact reference jitter statically.
+        self.strat_g = 1
+        if scene.sampler == "stratified" and base_quota is None:
+            g = 1
+            while (4 * g * g <= self.base_samples
+                   and self.base_samples % (4 * g * g) == 0):
+                g *= 2
+            self.strat_g = g
+
         # Heavy-pixel chunk-split resolution (see the CHUNK_GOLDEN comment
         # block above). 'auto' turns it on only for the array traversal at
         # the scales where the v5e A/B matrix shows it WINNING
@@ -1323,9 +1348,39 @@ class PathTracer:
     # Camera ray generation (shader.wgsl:519-546)
     # ------------------------------------------------------------------
 
-    def gen_ray(self, state, cam: Cam, xf, yf, gate=None):
+    def stratify_jitter(self, samp, rx, ry):
+        """Remap a BASE-phase sample's uniform sub-pixel jitter (rx, ry in
+        [0, 1)) into cell ``samp mod g^2`` of the g x g stratification
+        grid (models/scene.py `sampler`; g^2 divides the base count — see
+        __init__). Pure affine remap of the SAME two draws — RNG chains,
+        draw counts and gates are untouched, so every scheduler/backend
+        derives identical jitter from identical state. ``samp`` is the
+        pixel's absolute sample index (scalar loop index or per-lane i32
+        vector — the bit ops below are the forms Mosaic lowers on both);
+        indices >= base (adaptive extras) keep the raw jitter. Identity
+        when strat_g == 1 (static)."""
+        g = self.strat_g
+        if g <= 1:
+            return rx, ry
+        s = jnp.asarray(samp, jnp.int32)
+        in_base = s < self.base_samples
+        cx = jnp.bitwise_and(s, g - 1).astype(jnp.float32)
+        cy = jnp.bitwise_and(
+            jax.lax.shift_right_logical(s, g.bit_length() - 1), g - 1
+        ).astype(jnp.float32)
+        inv_g = 1.0 / float(g)
+        return (jnp.where(in_base, (cx + rx) * inv_g, rx),
+                jnp.where(in_base, (cy + ry) * inv_g, ry))
+
+    def gen_ray(self, state, cam: Cam, xf, yf, gate=None, samp=0):
+        """One camera ray per lane (shader.wgsl:519-546): two jitter draws,
+        NDC with the char-aspect vertical squash, then the camera basis.
+        ``samp`` (absolute per-pixel sample index; scalar or lane vector)
+        only matters to the stratified sampler's jitter remap — the
+        'reference' sampler (strat_g == 1) ignores it statically."""
         state, rx = prng.next_f32(state, gate)
         state, ry = prng.next_f32(state, gate)
+        rx, ry = self.stratify_jitter(samp, rx, ry)
         u = (xf + rx) / float(self.width - 1)
         v = ((self.height - 1) - yf + ry) / float(self.height - 1)
         ndc_x = 2.0 * u - 1.0
@@ -1392,7 +1447,7 @@ class PathTracer:
             else:
                 state, csum, csumsq, rays = carry
             state = prng.advance_sample(state, i)
-            state, o, d = self.gen_ray(state, cam, xf, yf)
+            state, o, d = self.gen_ray(state, cam, xf, yf, samp=i)
             if with_cap:
                 state, c, r, it = self.ray_color(state, o, d, active,
                                                  with_iters=True)
@@ -1431,7 +1486,7 @@ class PathTracer:
                     else:
                         st, cs, cq, ry = carry
                     st = prng.advance_sample(st, _c * cb + j)
-                    st, o, d = self.gen_ray(st, cam, xf, yf)
+                    st, o, d = self.gen_ray(st, cam, xf, yf, samp=_c * cb + j)
                     if with_cap:
                         st, col, r, it = self.ray_color(st, o, d, active,
                                                         with_iters=True)
@@ -1490,7 +1545,7 @@ class PathTracer:
                 j, state, esum, rays = carry
             take = j.astype(jnp.float32) < additional
             state = prng.advance_sample(state, base + j, take)
-            state, o, d = self.gen_ray(state, cam, xf, yf, take)
+            state, o, d = self.gen_ray(state, cam, xf, yf, take, samp=base + j)
             if with_cap:
                 state, c, r, it = self.ray_color(state, o, d, take,
                                                  with_iters=True)
@@ -1527,7 +1582,8 @@ class PathTracer:
                         j, st, es, ry = carry
                     take = j.astype(jnp.float32) < _b
                     st = prng.advance_sample(st, _s0 + j, take)
-                    st, o, d = self.gen_ray(st, cam, xf, yf, take)
+                    st, o, d = self.gen_ray(st, cam, xf, yf, take,
+                                            samp=_s0 + j)
                     if with_cap:
                         st, col, r, it = self.ray_color(st, o, d, take,
                                                         with_iters=True)
@@ -1642,7 +1698,7 @@ class PathTracer:
         # per-sample re-hash, then 2 ray-gen draws — shader.wgsl:517-520).
         need = (~alive) & (samp.astype(jnp.float32) < quota)
         state = prng.advance_sample(state, samp, need)
-        state, o2, d2 = self.gen_ray(state, cam, xf, yf, need)
+        state, o2, d2 = self.gen_ray(state, cam, xf, yf, need, samp=samp)
         o = vm.where(need, o2, o)
         d = vm.where(need, d2, d)
         att = vm.where(need, vm.splat(jnp.ones_like(xf)), att)
@@ -1845,7 +1901,7 @@ class PathTracer:
             s_end = base
         need = (~alive) & (entry < k) & (samp < s_end) & real
         state = prng.advance_sample(state, samp, need)
-        state, o2, d2 = self.gen_ray(state, cam, xf, yf, need)
+        state, o2, d2 = self.gen_ray(state, cam, xf, yf, need, samp=samp)
         o = vm.where(need, o2, o)
         d = vm.where(need, d2, d)
         att = vm.where(need, vm.splat(jnp.ones_like(xf)), att)
