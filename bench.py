@@ -110,6 +110,12 @@ CONFIGS = {
     # reconstruction filter's cost against north_star
     "denoised": dict(scene="Cornell_Box", spp=16, depth=32, denoise=1.0,
                      frames=480),
+    # stratified pixel-jitter sampler at north-star params (ops/tracer.py
+    # stratify_jitter: base samples on a jittered 2x2 sub-pixel grid —
+    # two bit-ops + two selects per base ray gen) — the sampler should be
+    # measured ~free against north_star
+    "stratified": dict(scene="Cornell_Box", spp=16, depth=32,
+                       sampler="stratified", frames=480),
     # dynamic (animated) scenes: geometry streams through SMEM as runtime
     # values (ops/dynamic.py; --animate); north-star params, orbit animator
     "dynamic": dict(scene="Cornell_Box", spp=16, depth=32, dynamic=True,
@@ -128,6 +134,7 @@ def _load(cfg):
         height=cfg.get("height"),
         samples_per_pixel=cfg.get("spp"),
         max_depth=cfg.get("depth"),
+        sampler=cfg.get("sampler"),
     )
     if cfg.get("fog"):
         from terminal_raytracer_tpu.models.scene import Fog
