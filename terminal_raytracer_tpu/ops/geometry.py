@@ -49,6 +49,18 @@ T_FAR = 1e10  # shader.wgsl:445
 MISS = -1.0
 
 
+def _not(mask):
+    """Logical not that also accepts Python bools.
+
+    The intersection helpers run on jnp lane vectors AND on scalar Python
+    floats (constant-folded baked geometry, tests/scalar_ref.py); `~` on a
+    Python bool is deprecated (scheduled for removal in 3.16), while XOR
+    with True is logical-not for both Python bools and boolean jnp masks
+    (XLA folds xor(pred, true) to not — same program).
+    """
+    return mask ^ True
+
+
 def intersect_sphere(o: V3, d: V3, center: V3, radius, t_min, t_max):
     """Returns hit distance, or -1.0 for a miss. shader.wgsl:155-175.
 
@@ -73,7 +85,7 @@ def intersect_plane(o: V3, d: V3, point: V3, normal: V3, t_min, t_max):
     denom = vm.dot(normal, d)
     parallel = jnp.abs(denom) < PLANE_PARALLEL_EPS
     t = vm.dot(point - o, normal) / jnp.where(parallel, 1.0, denom)
-    hit = (~parallel) & (t >= t_min) & (t <= t_max)
+    hit = _not(parallel) & (t >= t_min) & (t <= t_max)
     return jnp.where(hit, t, MISS)
 
 
@@ -89,7 +101,7 @@ def intersect_triangle(o: V3, d: V3, v0: V3, edge1: V3, edge2: V3, t_min, t_max)
     v = f * vm.dot(d, q)
     t = f * vm.dot(edge2, q)
     hit = (
-        (~parallel)
+        _not(parallel)
         & (u >= 0.0)
         & (u <= 1.0)
         & (v >= 0.0)
@@ -133,7 +145,7 @@ def blocked_plane(o: V3, d: V3, point: V3, normal: V3, t_min, t_max):
     denom = vm.dot(normal, d)
     parallel = jnp.abs(denom) < PLANE_PARALLEL_EPS
     t = vm.dot(point - o, normal) / jnp.where(parallel, 1.0, denom)
-    return (~parallel) & (t >= t_min) & (t < t_max)
+    return _not(parallel) & (t >= t_min) & (t < t_max)
 
 
 def blocked_triangle(o: V3, d: V3, v0: V3, edge1: V3, edge2: V3, t_min,
@@ -148,7 +160,7 @@ def blocked_triangle(o: V3, d: V3, v0: V3, edge1: V3, edge2: V3, t_min,
     v = f * vm.dot(d, q)
     t = f * vm.dot(edge2, q)
     return (
-        (~parallel)
+        _not(parallel)
         & (u >= 0.0)
         & (u <= 1.0)
         & (v >= 0.0)

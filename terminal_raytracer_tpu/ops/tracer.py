@@ -48,6 +48,22 @@ from . import sampling
 from . import vecmath as vm
 from .vecmath import V3
 
+_STRAT_FALLBACK_NOTED: set = set()
+
+
+def _note_stratified_fallback(reason: str) -> None:
+    """One-line stderr note when an explicit `sampler: stratified` resolves
+    to strat_g == 1 (ADVICE r4: the silent fallback was undiagnosable).
+    Deduplicated per reason — a render builds many PathTracers (oracle +
+    kernels + shards) and the note is about the run, not the object."""
+    if reason not in _STRAT_FALLBACK_NOTED:
+        _STRAT_FALLBACK_NOTED.add(reason)
+        import sys
+
+        print("note: sampler=stratified inactive: " + reason,
+              file=sys.stderr)
+
+
 # Constants from the reference kernel.
 SKY_INTENSITY = 0.8  # shader.wgsl:303
 SKY_TOP = (0.5, 0.7, 1.0)  # shader.wgsl:301
@@ -470,12 +486,23 @@ class PathTracer:
         # reference jitter on every backend (documented in PARITY.md).
         # strat_g == 1 compiles the exact reference jitter statically.
         self.strat_g = 1
-        if scene.sampler == "stratified" and base_quota is None:
-            g = 1
-            while (4 * g * g <= self.base_samples
-                   and self.base_samples % (4 * g * g) == 0):
-                g *= 2
-            self.strat_g = g
+        if scene.sampler == "stratified":
+            if base_quota is None:
+                g = 1
+                while (4 * g * g <= self.base_samples
+                       and self.base_samples % (4 * g * g) == 0):
+                    g *= 2
+                self.strat_g = g
+                if g == 1:
+                    _note_stratified_fallback(
+                        "base sample count %d is not divisible by 4 — "
+                        "no sub-pixel grid covers it evenly; using "
+                        "reference jitter" % self.base_samples)
+            else:
+                _note_stratified_fallback(
+                    "sample-split shards render shard-local sample indices "
+                    "under decorrelated seeds — absolute strata don't "
+                    "survive the split; using reference jitter")
 
         # Heavy-pixel chunk-split resolution (see the CHUNK_GOLDEN comment
         # block above). 'auto' turns it on only for the array traversal at

@@ -112,6 +112,10 @@ def test_occupancy_metric():
     step = make_render_step(scene, backend="pallas")
     out = step(init_state(scene), POSE, np.uint32(5), np.int32(0))
     assert 0.0 < float(jax.device_get(out.occupancy)) <= 1.0
+    # Round 4 gave the jnp oracle measured sweep-weighted occupancy too
+    # (tracer.render_frame with_occ) — a real fraction, same contract as
+    # the Pallas paths; -1 now only marks bare 4-tuple bypasses.
     step_j = make_render_step(scene, backend="jnp")
     out_j = step_j(init_state(scene), POSE, np.uint32(5), np.int32(0))
-    assert float(jax.device_get(out_j.occupancy)) == -1.0
+    occ_j = float(jax.device_get(out_j.occupancy))
+    assert 0.0 < occ_j <= 1.0, occ_j

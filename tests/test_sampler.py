@@ -146,7 +146,13 @@ def test_mean_agreement_and_variance_reduction():
     assert np.abs(m_ref.mean() - m_st.mean()) < 4 * se.mean() / np.sqrt(
         m_ref.size)
     # Strictly less seed-to-seed variance in aggregate (edges dominate it).
-    assert v_st.sum() < 0.75 * v_ref.sum(), (v_st.sum(), v_ref.sum())
+    # Measured baseline on this fixed 48-seed set: ratio ~0.39 (v_st.sum()
+    # ~= 0.39 * v_ref.sum()).  The 0.9 margin is deliberately loose (ADVICE
+    # r4): it asserts the *direction* of the effect, so an unrelated RNG or
+    # numeric change upstream that nudges the statistics reads as a margin
+    # shift, not a spurious failure — a trip past 0.9 means stratification
+    # genuinely stopped reducing variance.
+    assert v_st.sum() < 0.9 * v_ref.sum(), (v_st.sum(), v_ref.sum())
 
 
 # ---------------------------------------------------------------------------
