@@ -64,7 +64,11 @@ def primitive_aabbs(scene: scene_mod.Scene) -> np.ndarray:
     return np.asarray(boxes, np.float32).reshape(-1, 2, 3)
 
 
-def build_uniform_grid(scene: scene_mod.Scene) -> UniformGrid:
+def build_uniform_grid(scene: scene_mod.Scene,
+                       factor: float = RESOLUTION_FACTOR) -> UniformGrid:
+    """`factor` scales the resolution heuristic s = n^(1/3) * factor —
+    default matches the reference (lib.rs:198); the gathered traversal
+    (ops/gathered.py) picks its own measured optimum."""
     boxes = primitive_aabbs(scene)
     n = len(boxes)
     if n == 0:
@@ -80,7 +84,7 @@ def build_uniform_grid(scene: scene_mod.Scene) -> UniformGrid:
     bmax = boxes[:, 1].max(0) + PAD
     extent = bmax - bmin
 
-    s = n ** (1.0 / 3.0) * RESOLUTION_FACTOR
+    s = n ** (1.0 / 3.0) * factor
     longest = max(float(extent.max()), 1e-12)
     dims = np.maximum(1, np.rint(s * extent / longest).astype(np.int64))
     cell = extent / dims

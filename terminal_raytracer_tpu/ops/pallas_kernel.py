@@ -69,28 +69,115 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _sweep_scratch_shapes(tracer, tile_h, tile_w):
-    """Extra VMEM scratch for the block-culled traversal (ops/accel.py):
-    the per-block pl.when sweeps carry their state through refs. Empty list
-    when the tracer uses the plain baked sweep."""
+    """Extra VMEM scratch for traversals that carry sweep state through
+    refs: the block-culled traversal's pl.when sweeps (ops/accel.py) or
+    the gathered walk's per-lane DDA state (ops/gathered.py — Mosaic
+    cannot legalize vector while-loop carries, so the walk loop keeps its
+    state in scratch planes and carries only scalars). Empty list for the
+    plain baked sweep."""
     from . import accel as accel_mod
+    from . import gathered as gathered_mod
 
+    mk = pltpu.VMEM if _HAS_PLTPU else pl.MemoryRef
+    if isinstance(tracer.prims, gathered_mod.GatheredPrims):
+        return [mk((gathered_mod.N_STATE, tile_h, tile_w), jnp.float32)]
     if not isinstance(tracer.prims, accel_mod.CulledPrims):
         return []
-    mk = pltpu.VMEM if _HAS_PLTPU else pl.MemoryRef
     # Instance attribute: up to +9 extension planes (glass 2, rough 1,
     # checker 4, texture 2) on top of the 13 base planes.
     return [mk((tracer.prims.N_SCRATCH, tile_h, tile_w), jnp.float32)]
 
 
+def _gather_kernel_loop(scratch):
+    """The Pallas driver for the gathered walk (ops/gathered.py): state in
+    the VMEM scratch planes, a lax.while_loop with scalar-only carries
+    (iteration count + live-lane count) — the same idiom as the regen
+    scheduler's carry refs."""
+    from . import gathered as gathered_mod
+
+    n_state = gathered_mod.N_STATE
+
+    def loop(prims, o, d, t_min, st0, any_hit):
+        for i, leaf in enumerate(st0):
+            scratch[i] = leaf
+
+        def n_active(st):
+            return jnp.sum(
+                jnp.where(st.active != 0.0, 1, 0)
+            ).astype(jnp.int32)
+
+        def cond(c):
+            it, n = c
+            return (it < prims.max_trips) & (n > 0)
+
+        def body(c):
+            it, _ = c
+            st = gathered_mod.WalkState(
+                *[scratch[i] for i in range(n_state)]
+            )
+            st2 = prims.walk_step(o, d, t_min, st, any_hit=any_hit)
+            for i, leaf in enumerate(st2):
+                scratch[i] = leaf
+            return (it + 1, n_active(st2))
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), n_active(st0)))
+        return gathered_mod.WalkState(*[scratch[i] for i in range(n_state)])
+
+    return loop
+
+
 def _maybe_bind_sweep(tracer, rest):
     """Split (rest_without_sweep, ...) and bind the sweep scratch (the last
-    entry of `rest`) into the tracer's CulledPrims, if present."""
+    entry of `rest`) into the tracer's traversal, if it uses one."""
     from . import accel as accel_mod
+    from . import gathered as gathered_mod
 
+    if isinstance(tracer.prims, gathered_mod.GatheredPrims):
+        tracer.prims._kernel_loop = _gather_kernel_loop(rest[-1])
+        return rest[:-1]
     if isinstance(tracer.prims, accel_mod.CulledPrims):
         tracer.prims.bind(rest[-1])
         return rest[:-1]
     return rest
+
+
+def _gather_ops(tracer):
+    """Host-side: the gathered traversal's table operands (f32 geometry/
+    material channels + i32 CSR indices/offsets) — whole-array VMEM inputs
+    appended after the texel atlas, same protocol (pallas rejects captured
+    array constants). () for other traversals."""
+    from . import gathered as gathered_mod
+
+    if not isinstance(tracer.prims, gathered_mod.GatheredPrims):
+        return ()
+    return tracer.prims.table_operands()
+
+
+def _gather_specs(tracer, grid_rank, vmem):
+    """The matching in_spec list: both tables replicated to every grid
+    step."""
+    from . import gathered as gathered_mod
+
+    if not isinstance(tracer.prims, gathered_mod.GatheredPrims):
+        return []
+    index_map = ((lambda i, j: (0, 0)) if grid_rank == 2
+                 else (lambda i: (0, 0)))
+    out = []
+    for tab in (tracer.prims.f32_tab_host, tracer.prims.i32_tab_host):
+        r, c = tab.shape
+        out.append(pl.BlockSpec((r, c), index_map, **vmem))
+    return out
+
+
+def _gather_bind_front(tracer, rest):
+    """Pop the two gathered-traversal table refs off the front of `rest`
+    (right after the texel atlas) and bind them. No-op otherwise."""
+    from . import gathered as gathered_mod
+
+    if not isinstance(tracer.prims, gathered_mod.GatheredPrims):
+        return rest
+    tracer.prims.bind_tables(rest[0], rest[1])
+    return rest[2:]
 
 
 def _dyn_layout(tracer):
@@ -304,6 +391,7 @@ def make_render_frame(
     def kernel_lockstep(pose_ref, seed_ref, frame_ref, y0_ref, *rest):
         rest = _bind_dyn(rest)
         rest = _tex_bind_front(tracer, rest)
+        rest = _gather_bind_front(tracer, rest)
         out_refs = _maybe_bind_sweep(tracer, rest)
         xs, ys, active = _tile_coords(y0_ref[0])
         cam = tracer_mod.cam_from_pose(pose_ref)
@@ -332,6 +420,7 @@ def make_render_frame(
     def kernel_regen(pose_ref, seed_ref, frame_ref, y0_ref, *rest):
         rest = _bind_dyn(rest)
         rest = _tex_bind_front(tracer, rest)
+        rest = _gather_bind_front(tracer, rest)
         rest = _maybe_bind_sweep(tracer, rest)
         (r_ref, g_ref, b_ref, var_ref, tot_ref, rays_ref, it_ref,
          u32_s, i32_s, f32_s) = rest
@@ -416,7 +505,8 @@ def make_render_frame(
             pl.BlockSpec(**smem),  # frame (1,)
             pl.BlockSpec(**smem),  # y0 row offset (1,)
         ] + [pl.BlockSpec(**smem)] * len(dyn_operands)  # scene values
-        + _tex_specs(tracer, 2, vmem),  # texel atlas (textured scenes)
+        + _tex_specs(tracer, 2, vmem)  # texel atlas (textured scenes)
+        + _gather_specs(tracer, 2, vmem),  # gathered-traversal tables
         out_specs=[tile_spec] * n_out,
         # r, g, b, variance, total samples, per-pixel ray counts
         # (+ regen: the per-tile executed-iteration plane)
@@ -464,7 +554,7 @@ def make_render_frame(
             y0 = jnp.asarray(y0, jnp.int32).reshape((1,))
             scene_ops = _dyn_values(tracer, arrays)
             return _finish(call(pose, seed, frame, y0, *scene_ops,
-                                *_tex_ops(tracer)))
+                                *_tex_ops(tracer), *_gather_ops(tracer)))
     else:
         auto_ops = _auto_scene_ops(tracer)
 
@@ -474,7 +564,7 @@ def make_render_frame(
             frame = jnp.asarray(frame_number, jnp.int32).reshape((1,))
             y0 = jnp.asarray(y0, jnp.int32).reshape((1,))
             return _finish(call(pose, seed, frame, y0, *(auto_ops or ()),
-                                *_tex_ops(tracer)))
+                                *_tex_ops(tracer), *_gather_ops(tracer)))
 
     return render_frame
 
@@ -715,6 +805,7 @@ def make_base_kernel(
             base_q = None
         rest = _dyn_bind_front(tracer, rest)
         rest = _tex_bind_front(tracer, rest)
+        rest = _gather_bind_front(tracer, rest)
         rest = _maybe_bind_sweep(tracer, rest)
         out_refs = rest[:-3]
         u32_s, i32_s, f32_s = rest[-3:]
@@ -826,7 +917,8 @@ def make_base_kernel(
         # scene-value operands (SMEM scalar arrays)
         in_specs=[pl.BlockSpec(**smem)] * 4 + [tile_spec] * (3 if cb else 2)
         + [pl.BlockSpec(**smem)] * (int(base_dynamic) + len(dyn_operands))
-        + _tex_specs(tracer, 1, vmem),  # texel atlas (textured scenes)
+        + _tex_specs(tracer, 1, vmem)  # texel atlas (textured scenes)
+        + _gather_specs(tracer, 1, vmem),  # gathered-traversal tables
         # per-entry result bands + the trailing per-tile iteration plane
         out_specs=[tile_spec] * (bpe * pair + 1),
         out_shape=([stream_f32] * 6 + [stream_u32, stream_f32]
@@ -854,7 +946,7 @@ def make_base_kernel(
         bands = call_a(pose, seed_a, frame_a, y0_a,
                        jnp.asarray(xs0_np), jnp.asarray(ys0_np),
                        *coord_ops, *quota_ops, *scene_ops,
-                       *_tex_ops(tracer))
+                       *_tex_ops(tracer), *_gather_ops(tracer))
 
         def assemble(q, reduce="sum"):
             # Entry e of lane L is stream entry e*n_lanes + L, so
@@ -937,6 +1029,7 @@ def make_extra_kernel(
                      *rest):
         dyn_refs = rest[: len(dyn_operands)]
         rest = _tex_bind_front(tracer, rest[len(dyn_operands):])
+        rest = _gather_bind_front(tracer, rest)
         rest = _maybe_bind_sweep(tracer, rest)
         er_ref, eg_ref, eb_ref, rays_ref, it_ref, u32_s, i32_s, f32_s = rest
         zeros_t = jnp.zeros((tile_h, tile_w), jnp.float32)
@@ -982,7 +1075,8 @@ def make_extra_kernel(
         grid=grid_b,
         in_specs=[pl.BlockSpec(**smem)] + [lane_spec] * 5
         + [pl.BlockSpec(**smem)] * len(dyn_operands)
-        + _tex_specs(tracer, 2, vmem),  # texel atlas (textured scenes)
+        + _tex_specs(tracer, 2, vmem)  # texel atlas (textured scenes)
+        + _gather_specs(tracer, 2, vmem),  # gathered-traversal tables
         out_specs=[lane_spec] * 5,
         out_shape=[plane_b] * 5,
         scratch_shapes=scratch_shapes + sweep_scratch,
@@ -996,7 +1090,8 @@ def make_extra_kernel(
             scene_ops = auto_ops  # accel='array': the tracer's own arrays
         pose = jnp.asarray(pose, jnp.float32)
         er, eg, eb, rays, iters = call_b(pose, xs, ys, state, add, samp0,
-                                         *scene_ops, *_tex_ops(tracer))
+                                         *scene_ops, *_tex_ops(tracer),
+                                         *_gather_ops(tracer))
         return V3(er, eg, eb), rays, jnp.sum(iters)
 
     return extra_fn

@@ -424,7 +424,7 @@ class PathTracer:
         # rarely fires — the same SIMD economics that left the reference's
         # own grid dead code (SURVEY.md §2.4). It stays available
         # (correctness-tested) for experimentation.
-        assert accel in ("auto", "baked", "array", "grid")
+        assert accel in ("auto", "baked", "array", "grid", "gathered")
         if accel == "auto":
             n_prims = (len(scene.spheres) + len(scene.planes)
                        + len(scene.triangles))
@@ -436,6 +436,12 @@ class PathTracer:
         # dyn_animated (optional key set) folds the non-animated value
         # subset back to baked constants (see DynPrims).
         self.dynamic = dynamic
+        if dynamic and accel == "gathered":
+            raise ValueError(
+                "accel='gathered' needs static geometry (the grid and "
+                "primitive tables are host-built); use accel='array' for "
+                "animated scenes at scale"
+            )
         if dynamic:
             if accel == "array":
                 # Animated scenes at scale: the fori-sweep traversal over
@@ -454,6 +460,14 @@ class PathTracer:
             from . import accel as accel_mod
 
             self.prims = accel_mod.CulledPrims(scene)
+        elif accel == "gathered":
+            # Per-lane gathered grid walks (ops/gathered.py): fewer
+            # primitive tests per ray via lane-axis gathers — the
+            # consumption of the reference's dead uniform grid
+            # (lib.rs:158-246) that actually fits TPU execution.
+            from . import gathered as gathered_mod
+
+            self.prims = gathered_mod.GatheredPrims(scene)
         elif accel == "array":
             from . import arrayscene
 
