@@ -358,6 +358,64 @@ def run_sim(args):
                       f"-> model gain x{gain:.2f}")
 
 
+def run_tpu(args):
+    """Part B: real-TPU A/B of accel='gathered' vs 'array' through the
+    shipped sorted pipeline (the per-bounce walk form — VERDICT r4 #1's
+    direct question), plus an on-TPU pallas-vs-jnp ray-count gate."""
+    import time
+
+    import jax
+
+    from terminal_raytracer_tpu.models import Camera, load_scene
+    from terminal_raytracer_tpu.runtime import init_state, make_render_step
+
+    pose = Camera().pose()
+
+    # Correctness gate first (small render, both backends, gathered).
+    scene0 = load_scene("stress:128").with_overrides(
+        width=64, height=24, samples_per_pixel=8, max_depth=4)
+    outs = {}
+    for backend in ("jnp", "pallas"):
+        step = make_render_step(scene0, backend=backend, accel="gathered")
+        st = init_state(scene0)
+        out = step(st, pose, np.uint32(7), np.int32(0))
+        outs[backend] = (float(jax.device_get(out.rays)),
+                         np.asarray(jax.device_get(out.state.acc)))
+    print("gate: rays jnp", outs["jnp"][0], "pallas", outs["pallas"][0],
+          "exact:", outs["jnp"][0] == outs["pallas"][0],
+          "acc maxrel:",
+          float(np.abs(outs["jnp"][1] - outs["pallas"][1]).max()
+                / max(np.abs(outs["jnp"][1]).max(), 1e-9)), flush=True)
+
+    for name in args.scenes:
+        scene, _cam = load_scene(name), None
+        for accel in args.accels:
+            step = make_render_step(scene, backend="pallas", accel=accel)
+            state = init_state(scene)
+            out = step(state, pose, np.uint32(1), np.int32(0))
+            jax.device_get(out.rays)
+            state = out.state
+            frame = 1
+            reps = []
+            occ = None
+            for _ in range(args.reps):
+                rays = []
+                t0 = time.perf_counter()
+                for _ in range(args.frames):
+                    out = step(state, pose, np.uint32(1 + frame),
+                               np.int32(frame))
+                    state = out.state
+                    rays.append(out.rays)
+                    frame += 1
+                total = float(sum(jax.device_get(rays)))
+                dt = time.perf_counter() - t0
+                reps.append(total / dt / 1e6)
+                occ = float(jax.device_get(out.occupancy))
+            print(f"{name} accel={accel}: "
+                  f"{' '.join(f'{m:.1f}' for m in reps)} Mray/s "
+                  f"(occ {occ:.3f})", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -367,6 +425,13 @@ def main():
     s.add_argument("--factors", nargs="+", type=float,
                    default=[1.5, 2.5, 4.0])
     s.set_defaults(fn=run_sim)
+    t = sub.add_parser("tpu")
+    t.add_argument("--scenes", nargs="+",
+                   default=["stress:256", "stress:1024"])
+    t.add_argument("--accels", nargs="+", default=["array", "gathered"])
+    t.add_argument("--frames", type=int, default=96)
+    t.add_argument("--reps", type=int, default=2)
+    t.set_defaults(fn=run_tpu)
     args = ap.parse_args()
     args.fn(args)
 
