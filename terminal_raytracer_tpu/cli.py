@@ -46,12 +46,14 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "pallas", "jnp"],
                    help="(ext) compute backend (default: pallas on TPU)")
     p.add_argument("--accel", default="auto",
-                   choices=["auto", "baked", "array", "grid"],
+                   choices=["auto", "baked", "array", "grid", "gathered"],
                    help="(ext) traversal: unrolled baked sweep (fastest at "
                         "shipped scale), array-resident fori_loop sweep "
-                        "(fixed code size — many-primitive scenes), or the "
-                        "experimental block-culled grid; auto picks "
-                        "baked/array by primitive count")
+                        "(fixed code size — many-primitive scenes), the "
+                        "experimental block-culled grid, or per-lane "
+                        "gathered grid walks (measured slower — see "
+                        "ops/gathered.py); auto picks baked/array by "
+                        "primitive count")
     p.add_argument("--frames", type=int, default=None, metavar="N",
                    help="(ext) headless: render N accumulated frames and exit")
     p.add_argument("--width", type=int, default=None, help="(ext) override")

@@ -7,13 +7,19 @@ brute-force linear (shader.wgsl:254). ops/grid.py reproduces that build-time
 artifact; this module completes the intent with an acceleration structure
 that actually fits TPU execution.
 
-Why not per-lane grid DDA: on an (8, 128)-lane vector machine, per-lane
-divergent cell walks and per-lane primitive gathers are the one thing the
-hardware cannot do. What it CAN do is skip *whole blocks of primitives for
-a whole tile at once*: a scalar-predicated branch (`pl.when`) around a
-block's intersection sweep, guarded by a per-lane ray/AABB slab test
-reduced with `any()`. Spatially sorting primitives (Morton order of their
-AABB centroids, boxes from ops/grid.py `primitive_aabbs`) makes blocks
+Why not per-lane grid DDA: this module's round-2 premise — "per-lane
+primitive gathers are the one thing the hardware cannot do" — was
+OVERTURNED in round 4 (Mosaic lowers lane-axis `take_along_axis`;
+tracer.gather_texels) and the per-lane walk was then built and measured
+in round 5 (ops/gathered.py, `--accel gathered`): it is correct but
+loses ~2.5x to the brute sweep at every stress scale, because the
+lane-axis gather costs ~30 vector ops per table row, making one gathered
+test ~25-50 brute tests (measured verdict in ops/gathered.py). What the
+hardware CAN do cheaply is skip *whole blocks of primitives for a whole
+tile at once*: a scalar-predicated branch (`pl.when`) around a block's
+intersection sweep, guarded by a per-lane ray/AABB slab test reduced
+with `any()`. Spatially sorting primitives (Morton order of their AABB
+centroids, boxes from ops/grid.py `primitive_aabbs`) makes blocks
 compact, so most tiles cull most blocks.
 
 Semantics are EXACTLY brute-force linear over the blocked primitive order:

@@ -45,6 +45,35 @@ walk, so oracle-vs-kernel stays exact.
 
 Host-side walk statistics + the cost model that motivated this design:
 tools/perf_probe23.py.
+
+MEASURED VERDICT (round 5, v5e — ships OPT-IN, `--accel gathered`; the
+brute sweeps stay the auto policy): the walk is correct on the real chip
+(on-TPU gate: ray counts exactly equal to the jnp oracle, radiance
+maxrel 3.3e-6) but LOSES to the brute array sweep at every stress scale
+— 96f x 2 reps through the shipped sorted pipeline:
+
+    stress:256   array 52.5/52.1   gathered 20.0/19.8  Mray/s  (0.38x)
+    stress:1024  array 24.0/24.1   gathered  9.4/ 9.4          (0.39x)
+    stress:4096  array  9.7/ 9.7   gathered  4.0/ 4.0          (0.41x)
+
+Root cause, isolated by a trip-cap slope probe (max_trips clamped to
+8/16/32 on stress:1024: 1.57 / 2.83 / 7.40 ms/frame): one walk iteration
+costs ~1 us per (16,128) tile — ~1,900 vector-op-equivalents, ~10x the
+naive 4-ops/row estimate — because Mosaic's lane-axis `take_along_axis`
+costs ~17-30 ns (~30 vector ops) PER TABLE ROW, and one iteration sweeps
+~60 rows (CSR indices nnz/128 + 4 geometry channels x N/128 + offsets).
+One gathered primitive test therefore costs ~25-50 brute tests, so even
+the mean ~20 tests/ray the walk achieves (vs N for brute —
+tools/perf_probe23.py sim) cannot pay for itself. The per-bounce form
+measured above additionally pays per-tile trip dispersion (tile-max
+~140 trips vs mean ~20 under decorrelated wavefront rays); a FUSED
+walker (one walk step per scheduler iteration, dispersion amortized
+like path length) would remove that factor but projects — at the
+MEASURED c_iter — to only parity-to-1.5x vs brute at realistic
+utilization, below any bar worth a fourth scheduler. The honest close
+of VERDICT r4 #1: the lane-gather mechanism works and the grid is
+consumed per-lane as intended, but on this hardware the brute sweep's
+~35-op primitive test is the faster primitive at every shipped scale.
 """
 
 from __future__ import annotations
