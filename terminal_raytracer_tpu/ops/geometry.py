@@ -170,6 +170,78 @@ def blocked_triangle(o: V3, d: V3, v0: V3, edge1: V3, edge2: V3, t_min,
     )
 
 
+# ---------------------------------------------------------------------------
+# Fused two-ray any-hit forms (probe: VERDICT r4 #3 "amortize each
+# primitive's operand load across multiple ray payloads"). The two NEE
+# shadow rays of one bounce share their ORIGIN (p + normal*eps for both
+# lights), so every origin-only subexpression of the blocked_* forms above
+# — sphere's oc and |oc|^2 - r^2, plane's dot(point - o, normal), the
+# triangle's s = o - v0 and q = cross(s, edge1) — can be computed once for
+# both payloads. Each per-ray result is the EXACT blocked_* expression
+# (same ops, same order), so fused results are bit-identical; whether the
+# sharing buys wall time (i.e. whether Mosaic's CSE wasn't already doing
+# it across the two occluded() calls) is what tools/perf_probe24.py
+# measures. Opt-in via PathTracer(fuse_nee=True).
+# ---------------------------------------------------------------------------
+
+
+def blocked_sphere2(o: V3, d1: V3, t_max1, d2: V3, t_max2, center, radius,
+                    t_min):
+    oc = center - o
+    c = vm.dot(oc, oc) - radius * radius
+
+    def one(d, t_max):
+        h = vm.dot(d, oc)
+        disc = h * h - c
+        sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+        near = h - sqrtd
+        far = h + sqrtd
+        near_ok = (near > t_min) & (near < t_max)
+        far_ok = (far > t_min) & (far < t_max)
+        return (disc >= 0.0) & (near_ok | far_ok)
+
+    return one(d1, t_max1), one(d2, t_max2)
+
+
+def blocked_plane2(o: V3, d1: V3, t_max1, d2: V3, t_max2, point, normal,
+                   t_min):
+    num = vm.dot(point - o, normal)
+
+    def one(d, t_max):
+        denom = vm.dot(normal, d)
+        parallel = jnp.abs(denom) < PLANE_PARALLEL_EPS
+        t = num / jnp.where(parallel, 1.0, denom)
+        return _not(parallel) & (t >= t_min) & (t < t_max)
+
+    return one(d1, t_max1), one(d2, t_max2)
+
+
+def blocked_triangle2(o: V3, d1: V3, t_max1, d2: V3, t_max2, v0, edge1,
+                      edge2, t_min):
+    s = o - v0
+    q = vm.cross(s, edge1)
+
+    def one(d, t_max):
+        h = vm.cross(d, edge2)
+        a = vm.dot(edge1, h)
+        parallel = (a > -TRI_PARALLEL_EPS) & (a < TRI_PARALLEL_EPS)
+        f = 1.0 / jnp.where(parallel, 1.0, a)
+        u = f * vm.dot(s, h)
+        v = f * vm.dot(d, q)
+        t = f * vm.dot(edge2, q)
+        return (
+            _not(parallel)
+            & (u >= 0.0)
+            & (u <= 1.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > t_min)
+            & (t < t_max)
+        )
+
+    return one(d1, t_max1), one(d2, t_max2)
+
+
 class Hit(NamedTuple):
     """Per-lane closest-hit record (shader.wgsl:39-47). `found` replaces the
     reference's `t < 0` sentinel check; `normal` is already front-face
@@ -283,8 +355,11 @@ class ScenePrims:
         #   (intersect(o, d, t_min, t_max) -> t, normal(p) -> V3, material)
         self._prims: List[Tuple[Callable, Callable, scene_mod.Material]] = []
         # Boolean any-hit forms (blocked_*), one per primitive — the
-        # shadow-ray sweep's op-lean path.
+        # shadow-ray sweep's op-lean path. _blocked2 holds the fused
+        # two-ray forms (blocked_*2, shared-origin subexpressions hoisted)
+        # consumed by occluded2 — the fuse_nee probe path.
         self._blocked: List[Callable] = []
+        self._blocked2: List[Callable] = []
         # Per primitive: the compile-time unit normal (plane/triangle), or
         # None for spheres whose normal is runtime math. Used by the
         # grouped-select sweep below.
@@ -327,6 +402,9 @@ class ScenePrims:
                 def blk(o, d, t_min, t_max, c=c, r=r):
                     return blocked_sphere(o, d, c, r, t_min, t_max)
 
+                def blk2(o, d1, tm1, d2, tm2, t_min, c=c, r=r):
+                    return blocked_sphere2(o, d1, tm1, d2, tm2, c, r, t_min)
+
                 def norm(p, c=c, inv_r=inv_r):
                     # (p - center)/radius, then normalize (shader.wgsl:236)
                     return vm.normalize((p - c) * inv_r)
@@ -345,6 +423,10 @@ class ScenePrims:
                 def blk(o, d, t_min, t_max, pt=pt, n_raw=n_raw):
                     return blocked_plane(o, d, pt, n_raw, t_min, t_max)
 
+                def blk2(o, d1, tm1, d2, tm2, t_min, pt=pt, n_raw=n_raw):
+                    return blocked_plane2(o, d1, tm1, d2, tm2, pt, n_raw,
+                                          t_min)
+
                 def norm(p, n_unit=n_unit):
                     return n_unit
 
@@ -361,6 +443,11 @@ class ScenePrims:
                 def blk(o, d, t_min, t_max, v0=v0, e1c=e1c, e2c=e2c):
                     return blocked_triangle(o, d, v0, e1c, e2c, t_min, t_max)
 
+                def blk2(o, d1, tm1, d2, tm2, t_min, v0=v0, e1c=e1c,
+                         e2c=e2c):
+                    return blocked_triangle2(o, d1, tm1, d2, tm2, v0, e1c,
+                                             e2c, t_min)
+
                 def norm(p, n_unit=n_unit):
                     return n_unit
 
@@ -369,6 +456,7 @@ class ScenePrims:
 
             self._prims.append((isect, norm, prim.material))
             self._blocked.append(blk)
+            self._blocked2.append(blk2)
 
     def raw_closest(self, o: V3, d: V3, t_min, t_max):
         """Closest-hit sweep WITHOUT the front-face flip: returns
@@ -543,3 +631,20 @@ class ScenePrims:
         for blk in self._blocked:
             blocked = blocked | blk(o, d, t_min, t_max)
         return blocked
+
+    def occluded2(self, o: V3, d1: V3, t_max1, d2: V3, t_max2,
+                  t_min=RAY_EPS, mask=None):
+        """Fused any-hit test for TWO shadow rays sharing one origin (the
+        two NEE lights of a bounce) — each primitive's origin-dependent
+        subexpressions are computed once for both payloads (blocked_*2).
+        Per-ray results are bit-identical to two occluded() calls: same
+        expressions, same sweep/OR order. fuse_nee probe path
+        (tools/perf_probe24.py)."""
+        del mask
+        b1 = jnp.zeros_like(o.x, dtype=bool)
+        b2 = jnp.zeros_like(o.x, dtype=bool)
+        for blk2 in self._blocked2:
+            r1, r2 = blk2(o, d1, t_max1, d2, t_max2, t_min)
+            b1 = b1 | r1
+            b2 = b2 | r2
+        return b1, b2

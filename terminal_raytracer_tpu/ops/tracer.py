@@ -72,6 +72,11 @@ RR_START_BOUNCE = 3  # "i > 3u", shader.wgsl:485
 RR_MAX_SURVIVAL = 0.95  # shader.wgsl:486
 ADAPTIVE_VAR_THRESHOLD = 10.0  # shader.wgsl:561
 ADAPTIVE_VAR_SCALE = 50.0  # shader.wgsl:562
+# Default for PathTracer(fuse_nee=None): fuse the two NEE shadow sweeps
+# into one shared-origin pass (geometry.occluded2). Bit-identical output
+# either way — see direct_light. Off pending perf_probe24's on-TPU
+# measurement.
+FUSE_NEE = False
 
 
 def gather_texels(tab, idx, n_rows, lo=0):
@@ -249,7 +254,8 @@ class PathTracer:
                  unbiased: bool = False, base_quota: Optional[int] = None,
                  accel: str = "auto", transport: Optional[str] = None,
                  dynamic: bool = False, dyn_animated=None,
-                 chunk_base="auto", chunk_extra="auto"):
+                 chunk_base="auto", chunk_extra="auto",
+                 fuse_nee: Optional[bool] = None):
         """loop_mode: 'while' uses lax.while_loop for the bounce and
         adaptive-sampling loops (early exit once every lane is dead — the
         oracle/XLA path); 'fori' uses fixed-trip lax.fori_loop (Mosaic
@@ -308,6 +314,15 @@ class PathTracer:
         count externally (mesh.py does)."""
         assert loop_mode in ("while", "fori")
         self.loop_mode = loop_mode
+        # Opt-in probe flag (VERDICT r4 #3): fuse the two NEE shadow
+        # sweeps of a bounce into one shared-origin pass
+        # (geometry.occluded2 via direct_light's deferred accumulation).
+        # Bit-identical output; only the op schedule changes. None
+        # inherits the module default FUSE_NEE (which a probe — or a
+        # measured win — can flip globally for every scheduler at once,
+        # keeping oracle and kernels in lockstep). Measured by
+        # tools/perf_probe24.py.
+        self.fuse_nee = FUSE_NEE if fuse_nee is None else bool(fuse_nee)
         if transport is None:
             transport = "unbiased" if unbiased else "reference"
         assert transport in ("reference", "unbiased", "mis")
@@ -864,6 +879,17 @@ class PathTracer:
             [_Light(*l) for l in self.prims.light_list()]
             if self.dynamic else self.lights
         )
+        # fuse_nee probe (VERDICT r4 #3): both lights' shadow sweeps share
+        # their origin, so the per-primitive origin-dependent
+        # subexpressions can be computed once for both payloads
+        # (geometry.occluded2). The occlusion tests are deferred out of
+        # the light loop; contributions accumulate in the same order with
+        # the same values — bit-identical, measured by perf_probe24.
+        fuse = (
+            self.fuse_nee and len(lights) == 2 and fog is None
+            and getattr(self.prims, "occluded2", None) is not None
+        )
+        deferred = []
         for light in lights:
             if light.kind == scene_mod.SPHERE:
                 center, radius = light.data
@@ -894,21 +920,23 @@ class PathTracer:
                 # unbiased keep the quirk (parity).
                 lvec_s = lp - shadow_o
                 ldist_s = vm.length(lvec_s)
-                blocked = self.prims.occluded(
-                    shadow_o, lvec_s / ldist_s, geom.RAY_EPS,
-                    ldist_s - geom.RAY_EPS, mask=gate,
-                )
+                sh_dir, sh_tmax = lvec_s / ldist_s, ldist_s - geom.RAY_EPS
+            else:
+                sh_dir, sh_tmax = ldir, ldist - geom.RAY_EPS
+            if fuse:
+                blocked = None  # deferred to the fused post-loop sweep
             else:
                 blocked = self.prims.occluded(
-                    shadow_o, ldir, geom.RAY_EPS, ldist - geom.RAY_EPS,
-                    mask=gate,
+                    shadow_o, sh_dir, geom.RAY_EPS, sh_tmax, mask=gate,
                 )
 
             cos_s = jnp.maximum(0.0, vm.dot(normal, ldir))
             if fog is not None:
                 cos_s = jnp.where(scatter, 1.0, cos_s)  # phase has no cos
             cos_l = jnp.maximum(0.0, vm.dot(ln, -ldir))
-            ok = (~blocked) & (cos_s > 0.0) & (cos_l > 0.0)
+            ok = (cos_s > 0.0) & (cos_l > 0.0)
+            if not fuse:
+                ok = (~blocked) & ok
 
             geom_term = (cos_s * cos_l) / (ldist * ldist)
             weight = geom_term * area
@@ -979,8 +1007,18 @@ class PathTracer:
                 )
             contrib = (brdf_l * emi) * (att * weight)
             contrib = vm.min_components(contrib, NEE_CLAMP)  # wgsl:420-427
-            direct = direct + vm.where(ok, contrib, vm.splat(zeros))
+            if fuse:
+                deferred.append((shadow_o, sh_dir, sh_tmax, ok, contrib))
+            else:
+                direct = direct + vm.where(ok, contrib, vm.splat(zeros))
 
+        if fuse:
+            (o1, d1, tm1, ok1, c1), (_, d2, tm2, ok2, c2) = deferred
+            b1, b2 = self.prims.occluded2(
+                o1, d1, tm1, d2, tm2, t_min=geom.RAY_EPS, mask=gate,
+            )
+            direct = direct + vm.where((~b1) & ok1, c1, vm.splat(zeros))
+            direct = direct + vm.where((~b2) & ok2, c2, vm.splat(zeros))
         return state, direct
 
     # ------------------------------------------------------------------

@@ -171,3 +171,32 @@ def test_occluded():
     assert not bool(prims.occluded(ORIGIN, MINUS_Z, 0.001, 3.5)[0])
     # Upward: clear.
     assert not bool(prims.occluded(ORIGIN, _v(0.0, 1.0, 0.0), 0.001, 100.0)[0])
+
+
+def test_occluded2_matches_two_occluded_calls():
+    """The fused two-ray any-hit sweep (fuse_nee probe, geometry.occluded2)
+    is bit-identical to two occluded() calls: same blocked_* expressions
+    per ray, shared-origin subexpressions hoisted (blocked_*2)."""
+    prims = geom.ScenePrims([
+        (sm.SPHERE, sm.Sphere((0.0, 0.0, -5.0), 1.0, sm.Material((1, 1, 1), (0, 0, 0), 0.0))),
+        (sm.SPHERE, sm.Sphere((3.0, 0.5, -4.0), 0.75, sm.Material((1, 1, 1), (0, 0, 0), 0.0))),
+        (sm.PLANE, sm.Plane((0.0, -1.0, 0.0), (0.0, 1.0, 0.0),
+                            sm.Material((1, 1, 1), (0, 0, 0), 0.0))),
+        (sm.TRIANGLE, sm.Triangle((-1.0, 2.0, -3.0), (1.0, 2.0, -3.0),
+                                  (0.0, 3.0, -3.0), sm.Material((1, 1, 1), (0, 0, 0), 0.0))),
+    ])
+    rng = np.random.default_rng(7)
+    o = V3(*(jnp.asarray(rng.normal(size=64).astype(np.float32))
+             for _ in range(3)))
+    def unit():
+        d = np.stack([rng.normal(size=64) for _ in range(3)])
+        d /= np.sqrt((d * d).sum(0))
+        return V3(*(jnp.asarray(r.astype(np.float32)) for r in d))
+    d1, d2 = unit(), unit()
+    tm1 = jnp.asarray(rng.uniform(0.5, 20.0, size=64).astype(np.float32))
+    tm2 = jnp.asarray(rng.uniform(0.5, 20.0, size=64).astype(np.float32))
+    b1, b2 = prims.occluded2(o, d1, tm1, d2, tm2)
+    r1 = prims.occluded(o, d1, geom.RAY_EPS, tm1)
+    r2 = prims.occluded(o, d2, geom.RAY_EPS, tm2)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(r1))
+    np.testing.assert_array_equal(np.asarray(b2), np.asarray(r2))

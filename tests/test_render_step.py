@@ -193,3 +193,32 @@ def test_until_noise_convergence_stop():
     eng2 = Engine(scene, backend="jnp", deterministic=3, pipeline=False)
     eng2.run_headless(6, until_noise=0.0)  # unreachable -> cap
     assert eng2.frame_count == 6
+
+
+def test_fuse_nee_bit_identical():
+    """The fuse_nee probe path (deferred fused two-light shadow sweep,
+    geometry.occluded2) renders BIT-identically to the shipped per-light
+    occluded() calls — oracle and the sorted Pallas scheduler alike (it
+    only reorders op scheduling, not values)."""
+    from terminal_raytracer_tpu.ops import pallas_kernel
+    from terminal_raytracer_tpu.ops import tracer as tracer_mod
+
+    scene = load_scene("Cornell_Box").with_overrides(
+        width=64, height=32, samples_per_pixel=8, max_depth=6)
+    pose = Camera().pose()
+    args = (pose, np.uint32(42), np.int32(0))
+
+    a = jax.jit(PathTracer(scene, fuse_nee=False).render_frame)(*args)
+    b = jax.jit(PathTracer(scene, fuse_nee=True).render_frame)(*args)
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    try:
+        tracer_mod.FUSE_NEE = False
+        p0 = jax.jit(pallas_kernel.make_render_frame(scene, mode="sorted"))(*args)
+        tracer_mod.FUSE_NEE = True
+        p1 = jax.jit(pallas_kernel.make_render_frame(scene, mode="sorted"))(*args)
+    finally:
+        tracer_mod.FUSE_NEE = False
+    for x, y in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
