@@ -74,8 +74,13 @@ ADAPTIVE_VAR_THRESHOLD = 10.0  # shader.wgsl:561
 ADAPTIVE_VAR_SCALE = 50.0  # shader.wgsl:562
 # Default for PathTracer(fuse_nee=None): fuse the two NEE shadow sweeps
 # into one shared-origin pass (geometry.occluded2). Bit-identical output
-# either way — see direct_light. Off pending perf_probe24's on-TPU
-# measurement.
+# either way — see direct_light. OFF: perf_probe24 measured the fusion
+# NEGATIVE on v5e at north-star params (fused 2266.7 vs unfused 2339.1
+# Mray/s median, 480f x 3 reps) — Mosaic's CSE already shares the hoisted
+# subexpressions across the two occluded() calls, and deferring the
+# occlusion tests lengthens the live ranges of both lights' contrib/ok
+# planes across the whole light loop, which costs more than the (already
+# free) sharing. Kept opt-in for the record.
 FUSE_NEE = False
 
 
