@@ -110,46 +110,27 @@ def _pad128(a: np.ndarray, fill=0) -> np.ndarray:
 
 def gather_rows(tab, idx, lo, hi):
     """Per-lane fetch ``tab.flat[idx]`` from a (rows, 128) table, sweeping
-    only the static row range [lo, hi) — tracer.gather_texels' mechanism
-    (the ONE dynamic-index gather Mosaic lowers: take_along_axis along the
-    lane axis), generalized to any dtype table. `idx` is a GLOBAL flat
-    index into the table (callers add their channel block's base offset).
-    Out-of-range lanes return 0."""
-    r = jax.lax.shift_right_logical(idx, 7)
-    c = jnp.bitwise_and(idx, 127)
-    lead = (1,) * (c.ndim - 1)
-    shape = c.shape[:-1] + (128,)
-    out = None
-    for k in range(lo, hi):
-        row = jnp.broadcast_to(jnp.reshape(tab[k:k + 1, :], lead + (128,)),
-                               shape)
-        got = jnp.take_along_axis(row, c, axis=-1)
-        out = (jnp.where(r == k, got, out)
-               if out is not None else
-               jnp.where(r == k, got, jnp.zeros_like(got)))
-    if out is None:
-        z = jnp.zeros(c.shape, jnp.float32)
-        return z
-    return out
+    only the static row range [lo, hi). `idx` is a GLOBAL flat index into
+    the table (callers add their channel block's base offset). Thin alias
+    of tracer.gather_texels — the ONE Mosaic-legal dynamic gather idiom
+    (lane-axis take_along_axis under a static row sweep) lives in exactly
+    one place; gather_texels is dtype-polymorphic, so the f32 tables here
+    ride the same code as the i32 texel atlas."""
+    return gather_rows_multi(tab, (idx,), lo, hi)[0]
 
 
 def gather_rows_multi(tab, idxs, lo, hi):
     """gather_rows for several index grids sharing each row's broadcast
-    (the CSR offsets fetch reads off[ci] and off[ci+1] together)."""
-    rs = [jax.lax.shift_right_logical(i, 7) for i in idxs]
-    cs = [jnp.bitwise_and(i, 127) for i in idxs]
-    lead = (1,) * (cs[0].ndim - 1)
-    shape = cs[0].shape[:-1] + (128,)
-    outs = [None] * len(idxs)
-    for k in range(lo, hi):
-        row = jnp.broadcast_to(jnp.reshape(tab[k:k + 1, :], lead + (128,)),
-                               shape)
-        for j, (r, c) in enumerate(zip(rs, cs)):
-            got = jnp.take_along_axis(row, c, axis=-1)
-            outs[j] = (jnp.where(r == k, got, outs[j])
-                       if outs[j] is not None else
-                       jnp.where(r == k, got, jnp.zeros_like(got)))
-    return outs
+    (the CSR offsets fetch reads off[ci] and off[ci+1] together).
+    Delegates to tracer.gather_texels_multi (one shared implementation of
+    the fragile Mosaic gather pattern); empty ranges return f32 zeros
+    (this module's tables are f32)."""
+    from . import tracer as tracer_mod
+
+    if lo >= hi:
+        return [jnp.zeros(jnp.bitwise_and(i, 127).shape, jnp.float32)
+                for i in idxs]
+    return tracer_mod.gather_texels_multi(tab, idxs, hi, lo)
 
 
 class WalkState(NamedTuple):
@@ -294,11 +275,15 @@ class GatheredPrims:
         return gather_rows(self._f32, local_id + (lo * 128), lo, hi)
 
     def _fetch_sphere_geo(self, sid):
-        cx = self._fetch("s_cx", sid)
-        cy = self._fetch("s_cy", sid)
-        cz = self._fetch("s_cz", sid)
+        c = self._fetch_sphere_center(sid)
         r = self._fetch("s_r", sid)
-        return V3(cx, cy, cz), r
+        return c, r
+
+    def _fetch_sphere_center(self, sid):
+        """Center only — the post-walk winner gather needs no radius (the
+        normal uses s_invr), so skip the s_r block sweep there."""
+        return V3(self._fetch("s_cx", sid), self._fetch("s_cy", sid),
+                  self._fetch("s_cz", sid))
 
     def _fetch_tri_geo(self, tid):
         a = V3(self._fetch("t_ax", tid), self._fetch("t_ay", tid),
@@ -511,7 +496,7 @@ class GatheredPrims:
         ch = {m: zeros for m in ext}
         if self.ns:
             sid = jnp.clip(pid, 0.0, float(self.ns - 1)).astype(jnp.int32)
-            c, _r = self._fetch_sphere_geo(sid)
+            c = self._fetch_sphere_center(sid)
             invr = self._fetch("s_invr", sid)
             n_s = vm.normalize((p - c) * invr)
             nrm = vm.where(is_s, n_s, nrm)

@@ -119,14 +119,20 @@ def gather_texels_multi(tab, idxs, n_rows, lo=0):
     c0 = cs[0]
     lead = (1,) * (c0.ndim - 1)
     shape = c0.shape[:-1] + (128,)
-    outs = [jnp.zeros(c0.shape, jnp.int32) for _ in idxs]
+    # dtype-polymorphic: the first row's gather fixes the output dtype
+    # (i32 texel atlas, f32 gathered-traversal tables — ops/gathered.py
+    # shares this one fragile Mosaic gather idiom instead of copying it).
+    outs = [None] * len(idxs)
     for k in range(lo, n_rows):
         row = jnp.broadcast_to(
             jnp.reshape(tab[k:k + 1, :], lead + (128,)), shape)
         for j, (r, c) in enumerate(zip(rs, cs)):
             got = jnp.take_along_axis(row, c, axis=-1)
-            outs[j] = jnp.where(r == k, got, outs[j])
-    return outs
+            outs[j] = jnp.where(r == k, got,
+                                jnp.zeros_like(got) if outs[j] is None
+                                else outs[j])
+    return [jnp.zeros(c0.shape, jnp.int32) if o is None else o
+            for o in outs]
 
 
 class Cam(NamedTuple):

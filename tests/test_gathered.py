@@ -152,17 +152,44 @@ def test_full_render_matches_array():
 @pytest.mark.parametrize("mode", ["lockstep", "regen", "sorted"])
 def test_pallas_matches_oracle(mode):
     """All three schedulers drive the scratch-resident walk loop
-    (interpret mode) decision-exactly vs the oracle's vector-carry walk."""
+    (interpret mode) decision-exactly vs the oracle's vector-carry walk.
+    spp=16 (base 4 + adaptive extras) so the sorted pipeline's EXTRA
+    kernel also binds and consumes the gathered tables — the operand
+    plumbing the spp==base case leaves dead."""
     from terminal_raytracer_tpu.ops import pallas_kernel as pk
     from terminal_raytracer_tpu.ops import tracer as tracer_mod
 
-    scene = small_stress(48)
+    scene = dataclasses.replace(small_stress(48), samples_per_pixel=16)
     tr = tracer_mod.PathTracer(scene, accel="gathered")
     cur_o, var_o, tot_o, rays_o = tr.render_frame(POSE, np.uint32(7),
                                                   np.int32(0))
+    # Non-vacuous: some pixel drew adaptive extras beyond the base 4.
+    assert float(np.asarray(tot_o).max()) > 4.0
     rf = pk.make_render_frame(scene, mode=mode, accel="gathered",
                               interpret=True)
     cur, var, tot, rays, occ = rf(POSE, np.uint32(7), np.int32(0))
+    assert float(rays) == float(np.asarray(rays_o).sum())
+    np.testing.assert_array_equal(np.asarray(tot), np.asarray(tot_o))
+    np.testing.assert_allclose(np.asarray(cur.x), np.asarray(cur_o.x),
+                               atol=1e-4)
+
+
+def test_pallas_textured_gathered():
+    """Image textures + gathered traversal in ONE kernel: the atlas
+    operands and the gathered tables ride together (tex-then-gather
+    operand ordering), sorted scheduler, decision-exact vs the oracle."""
+    from terminal_raytracer_tpu.ops import pallas_kernel as pk
+    from terminal_raytracer_tpu.ops import tracer as tracer_mod
+
+    scene = load_scene("textured").with_overrides(
+        width=48, height=16, samples_per_pixel=4, max_depth=2)
+    assert scene.has_texture
+    tr = tracer_mod.PathTracer(scene, accel="gathered")
+    cur_o, var_o, tot_o, rays_o = tr.render_frame(POSE, np.uint32(11),
+                                                  np.int32(0))
+    rf = pk.make_render_frame(scene, mode="sorted", accel="gathered",
+                              interpret=True)
+    cur, var, tot, rays, occ = rf(POSE, np.uint32(11), np.int32(0))
     assert float(rays) == float(np.asarray(rays_o).sum())
     np.testing.assert_array_equal(np.asarray(tot), np.asarray(tot_o))
     np.testing.assert_allclose(np.asarray(cur.x), np.asarray(cur_o.x),

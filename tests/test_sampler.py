@@ -147,12 +147,12 @@ def test_mean_agreement_and_variance_reduction():
         m_ref.size)
     # Strictly less seed-to-seed variance in aggregate (edges dominate it).
     # Measured baseline on this fixed 48-seed set: ratio ~0.39 (v_st.sum()
-    # ~= 0.39 * v_ref.sum()).  The 0.9 margin is deliberately loose (ADVICE
-    # r4): it asserts the *direction* of the effect, so an unrelated RNG or
-    # numeric change upstream that nudges the statistics reads as a margin
-    # shift, not a spurious failure — a trip past 0.9 means stratification
-    # genuinely stopped reducing variance.
-    assert v_st.sum() < 0.9 * v_ref.sum(), (v_st.sum(), v_ref.sum())
+    # ~= 0.39 * v_ref.sum()).  The 0.6 margin (ADVICE r4 + review r5)
+    # leaves ~50% headroom for unrelated upstream RNG/numeric drift to
+    # read as a margin shift rather than a spurious failure, while still
+    # catching a real regression that halves stratification's measured
+    # variance reduction.
+    assert v_st.sum() < 0.6 * v_ref.sum(), (v_st.sum(), v_ref.sum())
 
 
 # ---------------------------------------------------------------------------
