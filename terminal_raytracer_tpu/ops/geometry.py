@@ -308,7 +308,11 @@ def _tri_edges_f32(tri: scene_mod.Triangle):
     e2 = np.asarray(tri.v2, np.float32) - v0
     cr = np.cross(e1, e2).astype(np.float32)
     cr_len = np.float32(np.sqrt(np.float32(np.dot(cr, cr))))
-    normal = (cr / cr_len).astype(np.float32)
+    # Degenerate (zero-area) triangles get a NaN normal, exactly like the
+    # reference's runtime f32 divide would (shader.wgsl:194) — silence
+    # only the host-side numpy warning, not the value.
+    with np.errstate(invalid="ignore", divide="ignore"):
+        normal = (cr / cr_len).astype(np.float32)
     area = np.float32(0.5) * cr_len
     return e1, e2, normal, float(area)
 
