@@ -116,6 +116,17 @@ CONFIGS = {
     # measured ~free against north_star
     "stratified": dict(scene="Cornell_Box", spp=16, depth=32,
                        sampler="stratified", frames=480),
+    # many-LIGHT scene (lights:16 — 16 emissive spheres over a diffuse
+    # field): the reference's NEE loop casts one shadow ray per light per
+    # bounce, so per-bounce occlusion cost is O(L) primitive sweeps;
+    # `light_sample: power` (the one-light NEE extension,
+    # ops/tracer._one_light_nee) picks ONE light by emitted power and
+    # casts a single weighted shadow ray — O(1). The A/B pair measures
+    # that scaling win at L=16 (note Mray/s counts OWED rays, which the
+    # one-light mode also cuts ~8.5x per bounce — compare ms/frame).
+    "manylights": dict(scene="lights:16", frames=192),
+    "manylights_one": dict(scene="lights:16", light_sample="power",
+                           frames=480),
     # dynamic (animated) scenes: geometry streams through SMEM as runtime
     # values (ops/dynamic.py; --animate); north-star params, orbit animator
     "dynamic": dict(scene="Cornell_Box", spp=16, depth=32, dynamic=True,
@@ -135,6 +146,7 @@ def _load(cfg):
         samples_per_pixel=cfg.get("spp"),
         max_depth=cfg.get("depth"),
         sampler=cfg.get("sampler"),
+        light_sample=cfg.get("light_sample"),
     )
     if cfg.get("fog"):
         from terminal_raytracer_tpu.models.scene import Fog

@@ -41,7 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scene", default=None,
                    help="(ext) packaged scene name (Cornell_Box, demo, "
                         "scene2, mesh_demo) or procedural stress:N[:seed] / "
-                        "icosphere:S[:seed]")
+                        "icosphere:S[:seed] / lights:L[:seed]")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "pallas", "jnp"],
                    help="(ext) compute backend (default: pallas on TPU)")
@@ -82,6 +82,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "unbiased, faster-converging anti-aliasing at "
                         "edges; adaptive extras keep independent jitter). "
                         "Default: the scene's sampler, or reference")
+    p.add_argument("--light-sample", dest="light_sample", default=None,
+                   choices=("all", "uniform", "power"),
+                   help="(ext) NEE light-sampling strategy override: 'all' "
+                        "casts one shadow ray per light per bounce (the "
+                        "reference's NEE loop); 'uniform'/'power' pick ONE "
+                        "light per bounce (uniformly, or by emitted power) "
+                        "and weight the estimate by 1/p(pick) — unbiased, "
+                        "with per-bounce occlusion cost O(1) instead of "
+                        "O(lights). Default: the scene's light_sample, or "
+                        "all. Scenes with <= 1 light ignore it")
     p.add_argument("--denoise", type=float, default=0.0, metavar="K",
                    help="(ext) edge-aware à-trous reconstruction filter "
                         "over the accumulated radiance before tonemap "
@@ -249,7 +259,7 @@ def main(argv=None) -> int:
             samples_per_pixel=args.spp, max_depth=args.depth,
             aperture=args.aperture, focus_distance=args.focus,
             fog=fog, texture_filter=args.texture_filter,
-            sampler=args.sampler,
+            sampler=args.sampler, light_sample=args.light_sample,
         )
     except (FileNotFoundError, ValueError, KeyError) as e:
         print(f"error: {e}", file=sys.stderr)

@@ -69,6 +69,77 @@ def stress_scene(
     )
 
 
+def lights_scene(
+    n_lights: int = 16,
+    seed: int = 0,
+    width: int = 200,
+    height: int = 100,
+    samples_per_pixel: int = 8,
+    max_depth: int = 6,
+    light_sample: str = "all",
+) -> scene_mod.Scene:
+    """The many-LIGHT benchmark scene (`lights:L[:seed]`): a diffuse
+    sphere field over a floor, lit by L emissive spheres whose powers span
+    ~2 decades (one dominant skylight, a geometric ramp of dimmer lamps) —
+    the scene family where NEE's per-bounce cost is dominated by the
+    n_lights occlusion sweeps the reference's light loop casts
+    (shader.wgsl:338-436: one shadow ray per light per bounce).
+    `light_sample` pre-sets the scene's NEE strategy ('all' keeps the
+    reference loop; 'uniform'/'power' cast ONE weighted shadow ray —
+    models/scene.py) so bench configs and tests can build both sides of
+    the A/B from one spec."""
+    rng = np.random.RandomState(seed)
+
+    def f3(v):
+        return tuple(float(np.float32(x)) for x in v)
+
+    spheres = []
+    # Lights first (light order is parity-relevant): one dominant
+    # skylight, then a geometric power ramp down to ~1% of it, ringed
+    # around the field so every surface sees several.
+    for i in range(n_lights):
+        ang = 2.0 * np.pi * (i / max(1, n_lights)) + rng.uniform(0, 0.3)
+        rad = 10.0 + rng.uniform(-1.5, 1.5)
+        c = (rad * np.cos(ang), rng.uniform(5.0, 9.0), -14.0 + rad * np.sin(ang))
+        power = 24.0 * (0.01 ** (i / max(1, n_lights - 1))) if n_lights > 1 else 24.0
+        tint = rng.uniform(0.6, 1.0, 3)
+        tint = tint / tint.max()
+        spheres.append(scene_mod.Sphere(
+            center=f3(c), radius=float(np.float32(rng.uniform(0.4, 0.8))),
+            material=scene_mod.Material(
+                color=(1.0, 1.0, 1.0),
+                emission=f3(power * tint),
+                reflectivity=0.0),
+        ))
+    for _ in range(24):
+        c = rng.uniform([-8, 0.4, -20], [8, 3.0, -8], size=3)
+        col = rng.uniform(0.25, 0.9, 3)
+        refl = float(rng.rand() < 0.15) * float(rng.uniform(0.5, 0.9))
+        spheres.append(scene_mod.Sphere(
+            center=f3(c), radius=float(np.float32(rng.uniform(0.3, 0.7))),
+            material=scene_mod.Material(color=f3(col),
+                                        emission=(0.0, 0.0, 0.0),
+                                        reflectivity=float(np.float32(refl))),
+        ))
+    planes = (scene_mod.Plane(
+        point=(0.0, 0.0, 0.0), normal=(0.0, 1.0, 0.0),
+        material=scene_mod.Material(color=(0.6, 0.58, 0.55),
+                                    emission=(0.0, 0.0, 0.0),
+                                    reflectivity=0.0),
+    ),)
+    return scene_mod.Scene(
+        width=width, height=height,
+        samples_per_pixel=samples_per_pixel, max_depth=max_depth,
+        frames_to_accumulate=100,
+        camera=scene_mod.Camera_Config(fov_degrees=float(np.float32(55.0)),
+                                       char_aspect_ratio=float(np.float32(0.55))),
+        spheres=tuple(spheres),
+        planes=planes,
+        triangles=(),
+        light_sample=light_sample,
+    )
+
+
 def icosphere_scene(
     subdivisions: int = 3,
     seed: int = 0,

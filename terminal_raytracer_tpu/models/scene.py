@@ -232,6 +232,19 @@ class Scene:
     # 'reference' compiles the exact reference program. See
     # ops/tracer.py PathTracer.__init__ / stratify_jitter.
     sampler: str = "reference"
+    # NEE light-sampling strategy (extension): 'all' (default — every
+    # bounce casts one shadow ray per light, the reference's NEE loop,
+    # shader.wgsl:338-436, bit-exact) or single-light sampling: 'uniform'
+    # (pick one light per NEE event uniformly) / 'power' (pick
+    # proportionally to emitted power = Rec.709 luminance x area). Both
+    # weight the one estimate by 1/p(pick), so the estimator's
+    # expectation equals the full loop — unbiased by construction — while
+    # the per-bounce occlusion cost drops from n_lights primitive sweeps
+    # to ONE, the difference between O(L) and O(1) scaling in the light
+    # count. Scene-level static like `sampler`: 'all' compiles the exact
+    # reference program; scenes with <= 1 NEE light ignore the mode (the
+    # loop is already one sweep). See ops/tracer.py _one_light_nee.
+    light_sample: str = "all"
     # Image textures (extension, models/texture.py): the scene-level
     # registry materials reference by name. Hashable Texture tuples —
     # Scene stays a valid jit static argument; the packed VMEM atlas is
@@ -330,6 +343,11 @@ class Scene:
             raise ValueError(
                 f"texture_filter must be 'nearest' or 'bilinear', got "
                 f"{self.texture_filter!r}"
+            )
+        if self.light_sample not in ("all", "uniform", "power"):
+            raise ValueError(
+                f"light_sample must be 'all', 'uniform', or 'power', got "
+                f"{self.light_sample!r}"
             )
         if self.sampler not in ("reference", "stratified"):
             raise ValueError(
@@ -589,6 +607,7 @@ class Scene:
         fog: Optional["Fog"] = None,
         texture_filter: Optional[str] = None,
         sampler: Optional[str] = None,
+        light_sample: Optional[str] = None,
     ) -> "Scene":
         """Benchmark / terminal-clamp overrides (lib.rs:113-115), plus the
         depth-of-field lens parameters (CLI --aperture/--focus)."""
@@ -619,6 +638,8 @@ class Scene:
             kw["texture_filter"] = str(texture_filter)
         if sampler is not None:
             kw["sampler"] = str(sampler)
+        if light_sample is not None:
+            kw["light_sample"] = str(light_sample)
         return dataclasses.replace(self, **kw)
 
     def clamp_to_terminal(self, term_width: int, term_height: int) -> "Scene":
@@ -828,6 +849,7 @@ def scene_from_dict(cfg: dict, base_dir=None) -> Scene:
         textures=textures,
         texture_filter=str(cfg.get("texture_filter", "nearest")),
         sampler=str(cfg.get("sampler", "reference")),
+        light_sample=str(cfg.get("light_sample", "all")),
     )
 
 
@@ -842,6 +864,11 @@ def load_scene(path_or_name: Optional[str] = None) -> Scene:
     `icosphere:S[:seed]` (models/gen.py) is the many-TRIANGLE procedural
     scene: an icosphere of 20 * 4**S faces over a floor — the triangle
     counterpart of `stress:N`, exercising the array-resident mesh sweep.
+
+    `lights:L[:seed]` (models/gen.py) is the many-LIGHT procedural scene:
+    a diffuse sphere field lit by L emissive spheres spanning ~2 decades
+    of power — the benchmark/test fixture for the `light_sample`
+    single-light NEE modes.
     """
     if isinstance(path_or_name, str) and path_or_name.startswith("icosphere:"):
         from .gen import icosphere_scene
@@ -856,6 +883,19 @@ def load_scene(path_or_name: Optional[str] = None) -> Scene:
                 f"icosphere:S or icosphere:S:seed"
             ) from None
         return icosphere_scene(s, seed=seed)
+    if isinstance(path_or_name, str) and path_or_name.startswith("lights:"):
+        from .gen import lights_scene
+
+        parts = path_or_name.split(":")
+        try:
+            n = int(parts[1])
+            seed = int(parts[2]) if len(parts) > 2 else 0
+        except (IndexError, ValueError):
+            raise ValueError(
+                f"bad procedural scene spec {path_or_name!r}; expected "
+                f"lights:L or lights:L:seed"
+            ) from None
+        return lights_scene(n, seed=seed)
     if isinstance(path_or_name, str) and path_or_name.startswith("stress:"):
         from .gen import stress_scene
 

@@ -520,7 +520,7 @@ def make_render_frame(
     # regen surfaces its executed while-loop trip counts; lockstep's
     # denominator is STATIC — every lane of every tile runs the full
     # fixed-trip spp x max_depth schedule (render_lanes loop_mode='fori').
-    sweeps_per_iter = 1.0 + float(tracer.n_lights)
+    sweeps_per_iter = 1.0 + float(tracer.nee_sweeps)
     n_lanes = grid[0] * grid[1] * tile_h * tile_w
     # base + extra fixed-trip loops = max(base, spp) samples x max_depth
     # bounces (the extra loop is statically absent when base >= spp; a
@@ -1374,7 +1374,7 @@ def make_sorted_render_frame(
     # reference's control flow actually owes. Their ratio is the measured
     # sweep-weighted occupancy — the quantity NOTES.md's perf analysis
     # derived from throwaway probes, now first-class (VERDICT r2 #6).
-    sweeps_per_iter = 1.0 + float(tracer.n_lights)
+    sweeps_per_iter = 1.0 + float(tracer.nee_sweeps)
 
     def render_body(pose, seed, frame_number, y0, scene_ops):
         out_a = base_fn(pose, seed, frame_number, y0, scene_ops=scene_ops)

@@ -68,6 +68,9 @@ def _note_stratified_fallback(reason: str) -> None:
 SKY_INTENSITY = 0.8  # shader.wgsl:303
 SKY_TOP = (0.5, 0.7, 1.0)  # shader.wgsl:301
 NEE_CLAMP = 10.0  # shader.wgsl:420
+# Rec.709 luma weights — the 'power' light-sampling mode's luminance
+# (the same weights ops/tonemap.py ranks glyph brightness by).
+_LUM = (0.2126, 0.7152, 0.0722)
 RR_START_BOUNCE = 3  # "i > 3u", shader.wgsl:485
 RR_MAX_SURVIVAL = 0.95  # shader.wgsl:486
 ADAPTIVE_VAR_THRESHOLD = 10.0  # shader.wgsl:561
@@ -594,6 +597,7 @@ class PathTracer:
         if dynamic:
             self.lights = ()
             self.n_lights = len(self.prims.light_topology)
+            self._init_light_sample()
             return
         self.lights = []
         for tag, p in scene.lights:
@@ -611,6 +615,78 @@ class PathTracer:
                     )
                 )
         self.n_lights = len(self.lights)
+        self._init_light_sample()
+
+    def _init_light_sample(self):
+        """Resolve the scene's NEE light-sampling strategy (extension,
+        models/scene.py `light_sample`). 'all' (default) keeps the
+        reference's one-shadow-ray-per-light loop — the traced program is
+        untouched, bit-exact. 'uniform'/'power' cast ONE shadow ray per
+        NEE event at a light picked per lane (see _one_light_nee),
+        weighted by 1/p(pick): the per-bounce occlusion cost drops from
+        n_lights primitive sweeps to one. Scenes with <= 1 NEE light
+        normalize to 'all' (the loop is already a single sweep; a
+        selection draw would change the RNG chains for nothing).
+
+        `nee_sweeps` is the per-iteration shadow-sweep (= owed shadow
+        ray) count every accounting site charges: the rays metric
+        (bounce_step), the oracle occupancy denominator (render_frame),
+        and the Pallas/mesh scheduler capacities (ops/pallas_kernel.py,
+        parallel/mesh.py) — 'all' keeps the historic 1 + n_lights."""
+        mode = self.scene.light_sample
+        self.one_light = mode != "all" and self.n_lights > 1
+        self.light_mode = mode if self.one_light else "all"
+        self.nee_sweeps = 1 if self.one_light else self.n_lights
+
+    def _light_pick(self, lights):
+        """Per-light pick probabilities of the one-light NEE modes.
+
+        Returns (probs, cums, inv_total): `probs[i]` the probability of
+        picking light i, `cums` its inclusive running sum (the selection
+        thresholds), `inv_total` the reciprocal of the total emitted
+        power (consumed by the 'power' mode's BSDF-side MIS density,
+        where the hit light's area term cancels — see bounce_step).
+        'uniform' picks 1/L each; 'power' picks proportionally to
+        Rec.709 luminance x surface area (the same luma weights the
+        tonemapper ranks glyphs by). Baked scenes fold everything to
+        Python floats at trace time; dynamic scenes compute the same
+        expressions over traced SMEM scalars — one shared code path, so
+        baked and template-value dynamic traces agree exactly."""
+        n = len(lights)
+        if self.light_mode == "uniform":
+            probs = [1.0 / n] * n
+            inv_total = None
+        else:
+            powers = []
+            for light in lights:
+                e = light.emission
+                ex, ey, ez = (e.x, e.y, e.z) if isinstance(e, V3) else e
+                lum = _LUM[0] * ex + _LUM[1] * ey + _LUM[2] * ez
+                if light.kind == scene_mod.SPHERE:
+                    r = light.data[1]
+                    area = 4.0 * sampling.PI * r * r
+                else:
+                    area = light.data[4]
+                powers.append(lum * area)
+            total = powers[0]
+            for pw in powers[1:]:
+                total = total + pw
+            # Zero total power is unreachable for baked scenes (is_light
+            # requires emission above LIGHT_POWER_EPS) but an animator
+            # could drive every emission to ~0 at runtime: the guard
+            # keeps the math finite (contributions are ~0 anyway).
+            if isinstance(total, float):
+                total = max(total, 1e-20)
+            else:
+                total = jnp.maximum(total, 1e-20)
+            inv_total = 1.0 / total
+            probs = [pw * inv_total for pw in powers]
+        cums = []
+        acc = 0.0
+        for pr in probs:
+            acc = acc + pr
+            cums.append(acc)
+        return probs, cums, inv_total
 
     # ------------------------------------------------------------------
     # Image textures (extension)
@@ -890,6 +966,14 @@ class PathTracer:
             [_Light(*l) for l in self.prims.light_list()]
             if self.dynamic else self.lights
         )
+        if self.one_light:
+            # Single-light NEE (extension, scene `light_sample`): one
+            # picked light, one occlusion sweep, estimator weighted by
+            # 1/p(pick) — see _one_light_nee.
+            return self._one_light_nee(
+                state, p, normal, brdf, att, gate, lights,
+                refl=refl, fog=fog, rough=rough,
+            )
         # fuse_nee probe (VERDICT r4 #3): both lights' shadow sweeps share
         # their origin, so the per-primitive origin-dependent
         # subexpressions can be computed once for both payloads
@@ -1032,6 +1116,157 @@ class PathTracer:
             direct = direct + vm.where((~b2) & ok2, c2, vm.splat(zeros))
         return state, direct
 
+    def _one_light_nee(self, state, p, normal, brdf, att, gate, lights,
+                       refl=None, fog=None, rough=None):
+        """One NEE estimate from ONE picked light (extension, scene
+        `light_sample: uniform|power`). Returns (state', direct V3).
+
+        The reference's NEE loop casts one shadow ray per light per
+        bounce (shader.wgsl:338-436) — per-bounce occlusion cost O(L) in
+        the light count, each sweep touching every primitive. Here each
+        lane picks light i with probability p_i (uniform, or proportional
+        to Rec.709 luminance x area — _light_pick) and casts a single
+        shadow ray, weighting the estimate by 1/p_i: the expectation is
+        exactly the full loop's sum, so the estimator stays unbiased,
+        while the per-bounce cost drops to ONE sweep — O(1) in L.
+
+        RNG: three gated draws per NEE event in canonical order — the
+        selection uniform, then ONE point-sampling pair (both light kinds
+        consume exactly two uniforms, sampling.sphere/triangle_light_point,
+        so the pair serves whichever light each lane picked — no
+        per-kind draw divergence). `gate` is the caller's nee_gate, the
+        same condition that gates the 'all' loop's draws.
+
+        The picked light's parameters materialize by one-hot selects over
+        the (few) lights — per light ~6 V3 selects, vs a whole primitive
+        sweep per light in 'all' mode. Everything downstream (shadow
+        offset, occlusion, cosines, fog transmittance / phase, MIS
+        balance weight, NEE clamp) is the 'all' loop body verbatim, with
+        two one-light deltas: the contribution carries the 1/p_i factor
+        (applied BEFORE the reference's firefly clamp, so the clamp
+        bounds the actual added value), and under 'mis' the NEE density
+        gains the pick probability — p_l = p_i * t^2/(cos_l * area),
+        mirrored by the BSDF-side emitter-hit weight in bounce_step, so
+        the balance weights stay an exact partition of unity
+        (non-overlapping light surfaces put all pick density on the one
+        light the sampled point lies on)."""
+        zeros = jnp.zeros_like(p.x)
+        if fog is not None:
+            # `p`/`brdf` were already scatter-adjusted by direct_light;
+            # only the mask and incoming direction are consumed here.
+            scatter, _sp, d_in = fog
+
+        probs, cums, _inv_total = self._light_pick(lights)
+        state, u_sel = prng.next_f32(state, gate)
+        state, r1, r2 = prng.next_f32_pair(state, gate)
+
+        # Picked index as an f32 plane (Mosaic-safe; small ints are exact
+        # in f32): idx = #{thresholds <= u_sel}. Baked thresholds are
+        # Python-float constants; dynamic ones are traced SMEM scalars.
+        idxf = zeros
+        for c in cums[:-1]:
+            idxf = idxf + jnp.where(u_sel >= c, 1.0, 0.0)
+
+        # Shared point-sampling forms — functions of the draws alone, so
+        # one instance serves every light of that kind.
+        if any(light.kind == scene_mod.SPHERE for light in lights):
+            cos_theta = 1.0 - 2.0 * r1  # sampling.sphere_light_point
+            sin_theta = jnp.sqrt(1.0 - cos_theta * cos_theta)
+            phi = sampling.TWO_PI * r2
+            local = V3(sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi),
+                       cos_theta)
+        if any(light.kind != scene_mod.SPHERE for light in lights):
+            sqrt_r1 = jnp.sqrt(r1)  # sampling.triangle_light_point
+            bu = 1.0 - sqrt_r1
+            bv = r2 * sqrt_r1
+
+        lp = vm.splat(zeros)
+        ln = vm.splat(zeros)
+        emi = vm.splat(zeros)
+        area = zeros
+        psel = zeros
+        for i, light in enumerate(lights):
+            m = idxf == float(i)
+            if light.kind == scene_mod.SPHERE:
+                center, radius = light.data
+                cand = center + local * radius
+                ln_i = local
+                a_i = 4.0 * sampling.PI * radius * radius
+            else:
+                v0, v1, v2, ln_i, a_i = light.data
+                cand = v0 * (1.0 - bu - bv) + v1 * bu + v2 * bv
+            lp = vm.where(m, cand, lp)
+            ln = vm.where(m, ln_i, ln)
+            e = light.emission
+            emi = vm.where(m, e if isinstance(e, V3) else V3(*e), emi)
+            area = jnp.where(m, a_i, area)
+            psel = jnp.where(m, probs[i], psel)
+        psel = jnp.maximum(psel, 1e-12)
+
+        # ---- the 'all' loop body, for the picked light ----
+        lvec = lp - p
+        ldist = vm.length(lvec)
+        ldir = lvec / ldist
+
+        shadow_o = p + normal * geom.RAY_EPS  # offset along normal (wgsl:399)
+        if fog is not None:
+            shadow_o = vm.where(scatter, p, shadow_o)  # no surface
+        if self.transport == "mis":
+            # Honest eps margin from the offset origin — see the 'all'
+            # loop's self-block note (direct_light).
+            lvec_s = lp - shadow_o
+            ldist_s = vm.length(lvec_s)
+            sh_dir, sh_tmax = lvec_s / ldist_s, ldist_s - geom.RAY_EPS
+        else:
+            sh_dir, sh_tmax = ldir, ldist - geom.RAY_EPS
+        blocked = self.prims.occluded(
+            shadow_o, sh_dir, geom.RAY_EPS, sh_tmax, mask=gate,
+        )
+
+        cos_s = jnp.maximum(0.0, vm.dot(normal, ldir))
+        if fog is not None:
+            cos_s = jnp.where(scatter, 1.0, cos_s)  # phase has no cos
+        cos_l = jnp.maximum(0.0, vm.dot(ln, -ldir))
+        ok = (~blocked) & (cos_s > 0.0) & (cos_l > 0.0)
+
+        geom_term = (cos_s * cos_l) / (ldist * ldist)
+        weight = geom_term * area * (1.0 / psel)  # 1/p(pick) estimator
+        if fog is not None:
+            weight = weight * jnp.exp(-self.fog_sigma * ldist)
+        if self.transport == "mis":
+            # Balance heuristic — identical to the 'all' loop except the
+            # NEE density carries the pick probability.
+            p_l = psel * (ldist * ldist) / (
+                jnp.maximum(cos_l, 1e-8) * area
+            )
+            p_b = (1.0 - refl) * cos_s * (1.0 / sampling.PI)
+            mix = 1.0 - refl
+            if rough is not None:
+                f_r, m_refl, m_dir = rough
+                metal = m_refl * sampling.fuzz_pdf(
+                    vm.dot(m_dir, ldir), f_r
+                )
+                p_b = p_b + metal
+                mix = mix + metal * sampling.PI / jnp.maximum(
+                    cos_s, 1e-8
+                )
+            if fog is not None:
+                ph_pdf = sampling.hg_phase(vm.dot(d_in, ldir), self.fog_g)
+                p_b = jnp.where(scatter, ph_pdf, p_b)
+                mix = jnp.where(scatter, 1.0, mix)
+                p_b = p_b * jnp.exp(-self.fog_sigma * ldist)
+            weight = weight * (
+                mix * p_l / jnp.maximum(p_l + p_b, 1e-20)
+            )
+        brdf_l = brdf
+        if fog is not None and self.fog_g != 0.0:
+            ph = sampling.hg_phase(vm.dot(d_in, ldir), self.fog_g)
+            brdf_l = vm.where(scatter, V3(*self.fog_albedo) * ph, brdf)
+        contrib = (brdf_l * emi) * (att * weight)
+        contrib = vm.min_components(contrib, NEE_CLAMP)  # wgsl:420-427
+        direct = vm.where(ok, contrib, vm.splat(zeros))
+        return state, direct
+
     # ------------------------------------------------------------------
     # One wavefront bounce (the body of shader.wgsl:444-493)
     # ------------------------------------------------------------------
@@ -1155,6 +1390,33 @@ class PathTracer:
             p_nee = (hit.t * hit.t) * hit.light_inv_area / jnp.maximum(
                 cos_l, 1e-8
             )
+            if self.one_light:
+                # Single-light NEE (extension): the NEE strategy's density
+                # for the point this BSDF ray hit additionally carries the
+                # probability of PICKING that light — the mirror image of
+                # _one_light_nee's p_l = p_pick * t^2/(cos_l * area).
+                if self.light_mode == "uniform":
+                    p_nee = p_nee * (1.0 / self.n_lights)
+                else:
+                    # power: p_pick = lum * area / P_total; the hit's area
+                    # term cancels against light_inv_area, leaving
+                    # t^2 * lum / (P_total * cos_l), gated on the hit
+                    # being an NEE-sampled light at all (lia > 0 — the
+                    # same marker the emit gates use).
+                    lights_now = (
+                        [_Light(*l) for l in self.prims.light_list()]
+                        if self.dynamic else self.lights
+                    )
+                    _pr, _cu, inv_total = self._light_pick(lights_now)
+                    lum = (_LUM[0] * hit.emission.x
+                           + _LUM[1] * hit.emission.y
+                           + _LUM[2] * hit.emission.z)
+                    p_nee = jnp.where(
+                        hit.light_inv_area > 0.0,
+                        (hit.t * hit.t) * lum * inv_total
+                        / jnp.maximum(cos_l, 1e-8),
+                        0.0,
+                    )
             p_prev = jnp.maximum(emit_info, 0.0)
             if self.has_fog:
                 # In a medium the previous scatter's BSDF/phase strategy
@@ -1226,7 +1488,7 @@ class PathTracer:
                 ghost = jnp.where(scatter, 1.0, ghost)
             direct = direct * ghost
         acc = acc + vm.where(nee_gate, direct, vm.splat(zeros))
-        rays = rays + jnp.where(nee_gate, float(self.n_lights), 0.0)
+        rays = rays + jnp.where(nee_gate, float(self.nee_sweeps), 0.0)
 
         # Scatter: stochastic mirror-vs-diffuse (wgsl:465-480), with the
         # (extension) dielectric branch spliced into the same single
@@ -2209,7 +2471,7 @@ class PathTracer:
             )
             rays_sum = jnp.sum(rays)
             sweeps = cap.astype(jnp.float32) * float(
-                h * w * (1 + self.n_lights)
+                h * w * (1 + self.nee_sweeps)
             )
             occ = rays_sum / jnp.maximum(sweeps, 1.0)
             return current, var, total, rays_sum, occ

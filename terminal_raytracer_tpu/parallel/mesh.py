@@ -211,7 +211,7 @@ def make_sharded_render_step(
             xf = x.astype(jnp.float32)
             yf = y.astype(jnp.float32)
 
-            spi = 1.0 + float(tracer.n_lights)
+            spi = 1.0 + float(tracer.nee_sweeps)
             scene_ops = ()
             if backend == "pallas":
                 if dynamic:
